@@ -1,0 +1,82 @@
+"""Single configuration object consumed by the CLI, the GUI launcher and the
+init-view codec.
+
+The reference spreads the same parameters over argparse flags
+(reference main.py:52-93), a Tk form (main_gui_launcher.py:137-347) and the
+init-view string (main.py:206-263); here they share one validated dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import Optional
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu import orientation
+from moonrtx_tpu.types import Camera, Observer
+
+
+class ConfigError(ValueError):
+    """Raised when a configuration value is out of its supported range."""
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Validated render configuration (defaults match reference main.py:52-93)."""
+
+    observer: Observer = Observer(0.0, 0.0, 0)
+    dt_local: Optional[datetime] = None
+    elevation_file: Optional[str] = None
+    color_file: Optional[str] = None
+    starmap_file: Optional[str] = None
+    features_file: Optional[str] = None
+    downscale: int = C.DEFAULT_DOWNSCALE
+    brightness: int = C.DEFAULT_BRIGHTNESS
+    gamma: float = C.DEFAULT_GAMMA
+    time_step_minutes: int = C.DEFAULT_TIME_STEP_MINUTES
+    view_orientation: str = orientation.NSWE
+    parallactic_mode: bool = False
+    shadow_accuracy: int = C.DEFAULT_SHADOW_ACCURACY
+    initial_camera: Optional[Camera] = None
+    # Engine extensions (no reference equivalent):
+    width: int = 1920
+    height: int = 1080
+    backend: str = "auto"          # auto | reference | mxu | pallas
+    accumulation_frames: int = C.MAX_ACCUMULATION_FRAMES
+
+    def validate(self) -> "RenderConfig":
+        """Range-check every field (reference main.py:298-332)."""
+        if not (-90.0 <= self.observer.lat <= 90.0):
+            raise ConfigError("Invalid latitude. Must be between -90 and 90 degrees.")
+        if not (-180.0 <= self.observer.lon <= 180.0):
+            raise ConfigError("Invalid longitude. Must be between -180 and 180 degrees.")
+        lo, hi = C.ELEVATION_RANGE_M
+        if not (lo <= self.observer.elevation_m <= hi):
+            raise ConfigError(f"Invalid elevation. Must be between {lo} and {hi} meters.")
+        if self.downscale < 1 or int(self.downscale) != self.downscale:
+            raise ConfigError("Invalid downscale factor. Must be a positive integer.")
+        lo, hi = C.BRIGHTNESS_RANGE
+        if not (lo <= self.brightness <= hi):
+            raise ConfigError(f"Invalid brightness. Must be between {lo} and {hi}.")
+        lo, hi = C.GAMMA_RANGE
+        if not (lo <= self.gamma <= hi):
+            raise ConfigError(f"Invalid gamma. Must be between {lo} and {hi}.")
+        lo, hi = C.TIME_STEP_RANGE
+        if not (lo <= self.time_step_minutes <= hi):
+            raise ConfigError(f"Invalid time step. Must be between {lo} and {hi} minutes.")
+        lo, hi = C.SHADOW_ACCURACY_RANGE
+        if not (lo <= self.shadow_accuracy <= hi):
+            raise ConfigError(f"Invalid shadow accuracy. Must be between {lo} and {hi}.")
+        if self.view_orientation not in orientation.VIEW_ORIENTATIONS:
+            raise ConfigError(
+                f"Invalid view orientation '{self.view_orientation}'. Must be one of: "
+                + ", ".join(orientation.VIEW_ORIENTATIONS)
+            )
+        if self.dt_local is not None and self.dt_local.tzinfo is None:
+            raise ConfigError("Time without timezone information.")
+        if self.width <= 0 or self.height <= 0:
+            raise ConfigError("Invalid render size.")
+        if self.backend not in ("auto", "reference", "mxu", "pallas"):
+            raise ConfigError(f"Invalid backend '{self.backend}'.")
+        return self

@@ -1,0 +1,45 @@
+"""RenderConfig validation ranges (reference main.py:298-332)."""
+
+import dataclasses
+
+import pytest
+
+from moonrtx_tpu.config import ConfigError, RenderConfig
+from moonrtx_tpu.types import Observer
+
+
+def test_defaults_valid():
+    RenderConfig().validate()
+
+
+@pytest.mark.parametrize(
+    "field,value",
+    [
+        ("downscale", 0),
+        ("brightness", 501),
+        ("brightness", -1),
+        ("gamma", 0.4),
+        ("gamma", 5.1),
+        ("time_step_minutes", 0),
+        ("time_step_minutes", 1441),
+        ("shadow_accuracy", 0),
+        ("shadow_accuracy", 21),
+        ("view_orientation", "ABCD"),
+        ("backend", "cuda"),
+    ],
+)
+def test_out_of_range_rejected(field, value):
+    cfg = dataclasses.replace(RenderConfig(), **{field: value})
+    with pytest.raises(ConfigError):
+        cfg.validate()
+
+
+@pytest.mark.parametrize(
+    "lat,lon,elev",
+    [(91.0, 0.0, 0), (-91.0, 0.0, 0), (0.0, 181.0, 0), (0.0, 0.0, -1),
+     (0.0, 0.0, 100001)],
+)
+def test_observer_ranges(lat, lon, elev):
+    cfg = RenderConfig(observer=Observer(lat, lon, elev))
+    with pytest.raises(ConfigError):
+        cfg.validate()
