@@ -1,0 +1,182 @@
+"""Data ingest: elevation, color, star map.
+
+Reproduces the reference's processing semantics (data_loader.py):
+
+* LOLA LDEM TIFF -> int16 reinterpret -> 0.5 m/unit / 1737.4 km -> block-mean
+  downscale -> +1.0 -> peak-normalized so max == 1.0 (the displaced surface
+  must stay inside the bounding sphere, data_loader.py:136-140,188-190),
+  returning (elevation, radius_scale),
+* color TIFF -> RGB linear reflectance,
+* star map -> resized RGB float,
+* fingerprinted .npy caches with silent fallback (data_loader.py:19-49).
+
+When a source file is absent the loaders fall back to procedural synthesis
+(moonrtx_tpu.data.synth) instead of aborting, so the framework is fully
+functional without the ~9 GB download. The block-mean hot loop can use the
+native C++ path (moonrtx_tpu.native) when built.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu.data import cache, synth
+from moonrtx_tpu.data.mips import block_mean
+
+SYNTH_CACHE_DIR = os.environ.get(
+    "MOONRTX_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "moonrtx_tpu")
+)
+SYNTH_ELEVATION_SHAPE = (2880, 5760)
+
+
+def _native_block_mean(a: np.ndarray, factor: int) -> np.ndarray:
+    """Use the multithreaded C++ downscaler when available."""
+    try:
+        from moonrtx_tpu.native import bindings
+        return bindings.block_mean_int16(a, factor)
+    except Exception:
+        return block_mean(a.astype(np.float32), factor)
+
+
+def _synth_cache(name: str, maker, *shape_args) -> np.ndarray:
+    os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
+    path = os.path.join(SYNTH_CACHE_DIR, name + ".npy")
+    try:
+        return np.load(path)
+    except Exception:
+        pass
+    arr = maker(*shape_args)
+    try:
+        np.save(path, arr)
+    except Exception as e:
+        print(f"Warning: could not cache {path}: {e}")
+    return arr
+
+
+def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.ndarray, float]:
+    """(elevation displacement factors with max exactly 1.0, radius_scale)."""
+    if filepath and os.path.isfile(filepath):
+        return _load_elevation_file(filepath, downscale)
+    if filepath:
+        print(f"Elevation file not found: {filepath} — using procedural synthesis.")
+    else:
+        print("No elevation file configured — using procedural synthesis.")
+    h, w = SYNTH_ELEVATION_SHAPE
+
+    def make(hh, ww):
+        elev, _ = synth.synthesize_moon(hh, ww)
+        return elev
+
+    elevation = _synth_cache(f"synth_elev_{h}x{w}_s7", make, h, w)
+    if downscale > 1:
+        elevation = block_mean(elevation, downscale)
+    radius_scale = float(elevation.max())
+    return (elevation / radius_scale).astype(np.float32), radius_scale
+
+
+def _load_elevation_file(filepath: str, downscale: int) -> tuple[np.ndarray, float]:
+    import cv2
+
+    print(f"Loading elevation data from {filepath}...")
+    cache_base = f"{filepath}.ds{downscale}"
+    fp = None
+    if downscale > 1:
+        fp = cache.fingerprint(filepath, downscale=downscale)
+        elevation, meta = cache.load(cache_base, fp)
+        if elevation is not None:
+            print(f"  Loaded from cache: {cache_base}.npy, dimensions {elevation.shape}")
+            return elevation, float(meta["radius_scale"])
+
+    src = cv2.imread(filepath, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH)
+    if src is None:
+        raise ValueError(f"Failed to read elevation file: {filepath}")
+    if src.ndim == 3:
+        src = src[..., 0]
+    # LDEM stores signed 16-bit values; readers often hand them back as uint16.
+    if src.dtype == np.uint16:
+        src = src.view(np.int16)
+    print(f"  Original dimensions: {src.shape}, {src.nbytes / 1024**3:.2f} GB")
+
+    scale = C.LDEM_METERS_PER_UNIT / C.MOON_REFERENCE_RADIUS_M
+    if downscale == 1:
+        elevation = src.astype(np.float32) * scale
+    else:
+        elevation = _native_block_mean(src, downscale) * scale
+    del src
+
+    elevation += 1.0
+    print("  Relief range: {:.0f} m to {:+.0f} m relative to the reference radius".format(
+        (elevation.min() - 1.0) * C.MOON_REFERENCE_RADIUS_M,
+        (elevation.max() - 1.0) * C.MOON_REFERENCE_RADIUS_M))
+
+    radius_scale = float(elevation.max())
+    elevation = (elevation / radius_scale).astype(np.float32)
+
+    if fp is not None:
+        cache.save(cache_base, elevation, {**fp, "radius_scale": radius_scale})
+    return elevation, radius_scale
+
+
+def load_color_data(filepath: Optional[str], downscale: int = 1) -> np.ndarray:
+    """Linear RGB albedo, float32 (H, W, 3) in [0, 1].
+
+    Real color maps get the reference's reflectance mapping
+    0.2 + 0.75/255 * value (data_loader.py:222). Unlike the reference (which
+    bakes gamma into a GPU texture) the engine keeps albedo linear and
+    applies exposure/gamma in its own tone-map stage.
+    """
+    if filepath and os.path.isfile(filepath):
+        import cv2
+
+        print(f"Loading color data from {filepath}...")
+        src = cv2.imread(filepath)
+        if src is None:
+            raise ValueError(f"Failed to read color file: {filepath}")
+        rgb = src[..., ::-1].astype(np.float32)
+        rgb = 0.2 + (0.75 / 255.0) * rgb
+        if downscale > 1:
+            rgb = block_mean(rgb, downscale)
+        return np.ascontiguousarray(rgb)
+    if filepath:
+        print(f"Color file not found: {filepath} — using procedural synthesis.")
+    h, w = SYNTH_ELEVATION_SHAPE
+
+    def make(hh, ww):
+        _, albedo = synth.synthesize_moon(hh, ww)
+        return albedo
+
+    albedo = _synth_cache(f"synth_color_{h}x{w}_s7", make, h, w)
+    if downscale > 1:
+        albedo = block_mean(albedo, downscale)
+    return albedo
+
+
+def load_starmap(filepath: Optional[str], target_width: int) -> Optional[np.ndarray]:
+    """Star background, float32 (H, W, 3) in [0, 1], resized to target_width."""
+    if filepath and os.path.isfile(filepath):
+        import cv2
+
+        print(f"Loading star map from {filepath}...")
+        cache_base = f"{filepath}.w{target_width}"
+        fp = cache.fingerprint(filepath, target_width=target_width)
+        star_map, _ = cache.load(cache_base, fp)
+        if star_map is not None:
+            print(f"  Loaded from cache: {cache_base}.npy")
+            return star_map
+        src = cv2.imread(filepath)
+        if src is None:
+            print(f"Failed to read star map: {filepath}")
+            return None
+        star = src[..., ::-1].astype(np.float32) / 255.0
+        if target_width < star.shape[1]:
+            th = int(star.shape[0] * target_width / star.shape[1])
+            star = cv2.resize(star, (target_width, th), interpolation=cv2.INTER_CUBIC)
+            np.clip(star, 0.0, 1.0, out=star)
+        cache.save(cache_base, star, fp)
+        return star
+    h = max(target_width // 2, 256)
+    return _synth_cache(f"synth_stars_{h}x{2*h}_s11", synth.synthesize_starmap, h, 2 * h)

@@ -1,0 +1,59 @@
+"""Mip pyramids for the HBM-resident heightfield.
+
+TPU-first replacement for the reference's destructive --downscale
+preprocessing (reference data_loader.py:169-175, SURVEY.md section 5
+"long context" note): instead of throwing resolution away up front, the
+full map is kept with a chain of 2x block-mean levels; the renderer picks
+the level whose texel footprint matches the screen-pixel footprint, so the
+sampled working set is always ~O(pixels) regardless of zoom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def block_mean(a: np.ndarray, factor: int) -> np.ndarray:
+    """Block-mean downscale by an integer factor (trailing remainder cropped).
+
+    Same operation as the reference's downscale (data_loader.py:169-175).
+    Works on (H, W) or (H, W, C).
+    """
+    if factor == 1:
+        return a
+    h = a.shape[0] // factor
+    w = a.shape[1] // factor
+    a = a[: h * factor, : w * factor]
+    if a.ndim == 2:
+        return a.reshape(h, factor, w, factor).mean(axis=(1, 3), dtype=np.float32)
+    c = a.shape[2]
+    return a.reshape(h, factor, w, factor, c).mean(axis=(1, 3), dtype=np.float32)
+
+
+def build_mips(base: np.ndarray, min_size: int = 64) -> list[np.ndarray]:
+    """[level0=base, level1=half, ...] until min dimension < min_size."""
+    mips = [np.ascontiguousarray(base, dtype=np.float32)]
+    while min(mips[-1].shape[0], mips[-1].shape[1]) // 2 >= min_size:
+        mips.append(block_mean(mips[-1], 2))
+    return mips
+
+
+def pad_lon_wrap(a: np.ndarray, pad: int) -> np.ndarray:
+    """Append `pad` wrapped columns on the right so sampling windows crossing
+    the +/-180 deg longitude seam need no modular indexing."""
+    return np.concatenate([a, a[:, :pad]], axis=1)
+
+
+def select_level(mips_shapes: list[tuple[int, int]], texels_per_pixel: float) -> int:
+    """Pick the mip level whose texel footprint best matches one screen pixel.
+
+    texels_per_pixel: how many level-0 texels one screen pixel spans at the
+    image center. Level L halves that by 2^L; choose the last level still
+    sampling at >= ~1 texel per pixel (avoid aliasing while maximizing detail).
+    """
+    level = 0
+    t = texels_per_pixel
+    while t >= 2.0 and level + 1 < len(mips_shapes):
+        t /= 2.0
+        level += 1
+    return level

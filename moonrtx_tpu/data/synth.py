@@ -1,0 +1,155 @@
+"""Procedural lunar data synthesis.
+
+The reference downloads ~9 GB of NASA/USGS source data on first run
+(reference main.py:95-152). In environments without those files (or network
+access) this module synthesizes a statistically Moon-like elevation and
+albedo map — cratered highlands, dark maria, realistic relief amplitude —
+so every part of the framework (rendering, shadows, picking, measurement,
+benchmarks) runs end-to-end out of the box. Real LOLA/LROC files take
+precedence whenever present (see moonrtx_tpu.data.loader).
+
+Deterministic for a given seed; generation is cached to .npy by the loader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Moon-like relief: LOLA global range is about -9.1 km .. +10.8 km around the
+# 1737.4 km reference radius, i.e. displacement factors in ~[0.9948, 1.0062].
+RELIEF_SCALE = 1.0 / 1737.4  # km -> radius factor
+
+
+def _value_noise(h: int, w: int, rng: np.random.Generator,
+                 octaves: int = 6, base_cells: int = 8) -> np.ndarray:
+    """Multi-octave bilinear value noise in [-1, 1], longitude-periodic."""
+    import cv2
+
+    out = np.zeros((h, w), np.float32)
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        cells_w = base_cells * (2 ** o)
+        cells_h = max(2, cells_w // 2)
+        if cells_w >= w:
+            break
+        grid = rng.standard_normal((cells_h, cells_w)).astype(np.float32)
+        # periodic in longitude: wrap one column before resize
+        grid = np.concatenate([grid, grid[:, :1]], axis=1)
+        up = cv2.resize(grid, (w + w // cells_w, h), interpolation=cv2.INTER_CUBIC)
+        out += amp * up[:, :w]
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
+def _crater_field(h: int, w: int, rng: np.random.Generator,
+                  n_craters: int) -> np.ndarray:
+    """Sum of crater bowls + rims stamped into an equirectangular grid (km)."""
+    elev = np.zeros((h, w), np.float32)
+    # power-law radii (km): many small, few large
+    u = rng.random(n_craters)
+    radii_km = 3.0 * (1.0 - u) ** (-0.8)          # 3 .. ~200 km
+    radii_km = np.clip(radii_km, 2.0, 250.0)
+    order = np.argsort(-radii_km)                  # large first (small overprint)
+    # uniform positions on the sphere
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n_craters)))
+    lon = rng.uniform(-180.0, 180.0, n_craters)
+
+    deg_per_row = 180.0 / h
+    km_per_deg = 30.3236  # 2*pi*1737.4/360
+
+    for i in order:
+        R_km = float(radii_km[i])
+        depth_km = 0.18 * R_km ** 0.8              # depth/diameter ~ 0.1 for small
+        rim_km = 0.5 * depth_km
+        R_deg = R_km / km_per_deg
+        la, lo = float(lat[i]), float(lon[i])
+        cos_la = max(np.cos(np.radians(la)), 0.05)
+        # stamp window: 2.2 R in every direction
+        half_deg = 2.2 * R_deg
+        r0 = max(int((90.0 - la - half_deg) / deg_per_row), 0)
+        r1 = min(int((90.0 - la + half_deg) / deg_per_row) + 1, h)
+        if r1 <= r0:
+            continue
+        half_cols = int(half_deg / cos_la / (360.0 / w)) + 1
+        c_center = int((lo + 180.0) / 360.0 * w)
+        cols = (np.arange(c_center - half_cols, c_center + half_cols + 1)) % w
+        lat_px = 90.0 - (np.arange(r0, r1) + 0.5) * deg_per_row
+        lon_px = (cols + 0.5) * (360.0 / w) - 180.0
+        dlat = (lat_px - la)[:, None]
+        dlon = (lon_px - lo + 180.0) % 360.0 - 180.0
+        d_deg = np.sqrt(dlat**2 + (dlon[None, :] * cos_la) ** 2)
+        d = d_deg / R_deg
+        bowl = np.where(d < 1.0, depth_km * (d * d - 1.0), 0.0)
+        rim = rim_km * np.exp(-((d - 1.0) / 0.35) ** 2)
+        elev[r0:r1, cols[None, :].repeat(r1 - r0, 0)] += (bowl + rim).astype(np.float32)
+    return elev
+
+
+def _maria(h: int, w: int, rng: np.random.Generator,
+           n_basins: int = 9) -> tuple[np.ndarray, np.ndarray]:
+    """(basin depression km, mare mask 0..1) — large shallow dark basins,
+    biased to the northern near side like the real maria."""
+    depress = np.zeros((h, w), np.float32)
+    mask = np.zeros((h, w), np.float32)
+    lat_px = np.linspace(90.0, -90.0, h, endpoint=False)[:, None] - 90.0 / h
+    lon_px = np.linspace(-180.0, 180.0, w, endpoint=False)[None, :] + 180.0 / w
+    for _ in range(n_basins):
+        la = float(rng.normal(15.0, 20.0))
+        lo = float(rng.normal(0.0, 45.0))
+        R_deg = float(rng.uniform(8.0, 22.0))
+        cos_la = max(np.cos(np.radians(la)), 0.05)
+        dlon = (lon_px - lo + 180.0) % 360.0 - 180.0
+        d = np.sqrt((lat_px - la) ** 2 + (dlon * cos_la) ** 2) / R_deg
+        m = np.clip(1.0 - d, 0.0, 1.0) ** 0.7
+        depress -= 1.8 * m
+        mask = np.maximum(mask, np.clip(1.2 - d, 0.0, 1.0))
+    return depress, np.clip(mask, 0.0, 1.0)
+
+
+def synthesize_moon(height: int = 2880, width: int = 5760, seed: int = 7,
+                    n_craters: int = 2500) -> tuple[np.ndarray, np.ndarray]:
+    """Synthesize (elevation_factor, albedo_rgb).
+
+    elevation_factor: float32 (H, W), surface radius as a factor of the
+    reference radius (mean ~1.0, range ~[0.994, 1.007]) — same physical
+    scale as the reference's LDEM processing before peak normalization
+    (reference data_loader.py:162-180).
+    albedo_rgb: float32 (H, W, 3) linear reflectance in [0.05, 0.95].
+    """
+    rng = np.random.default_rng(seed)
+    noise = _value_noise(height, width, rng)
+    craters = _crater_field(height, width, rng, n_craters)
+    basins, mare_mask = _maria(height, width, rng)
+
+    elev_km = 2.6 * noise + craters + basins
+    # soften relief where maria flooded the terrain
+    elev_km = elev_km * (1.0 - 0.75 * mare_mask) + basins * 0.75 * mare_mask
+    elevation = (1.0 + elev_km * RELIEF_SCALE).astype(np.float32)
+
+    highlands = 0.52 + 0.10 * _value_noise(height, width, rng, octaves=4)
+    mare_albedo = 0.24 + 0.05 * noise
+    gray = np.clip(highlands * (1.0 - mare_mask) + mare_albedo * mare_mask, 0.05, 0.95)
+    # slight warm tint like real regolith
+    albedo = np.stack([gray * 1.02, gray, gray * 0.95], axis=-1).astype(np.float32)
+    return elevation, np.clip(albedo, 0.05, 0.95)
+
+
+def synthesize_starmap(height: int = 1024, width: int = 2048,
+                       seed: int = 11, n_stars: int = 4000) -> np.ndarray:
+    """Equirectangular star background, float32 (H, W, 3) in [0, 1]."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((height, width, 3), np.float32)
+    ys = (np.arccos(rng.uniform(-1, 1, n_stars)) / np.pi * height).astype(int) % height
+    xs = rng.integers(0, width, n_stars)
+    mag = rng.random(n_stars) ** 4.0
+    tint = 0.85 + 0.3 * rng.random((n_stars, 3))
+    for y, x, m, t in zip(ys, xs, mag, tint):
+        img[y, x] = np.minimum(img[y, x] + m * t, 1.0)
+    # faint milky-way style band along a tilted great circle
+    lon = np.linspace(-np.pi, np.pi, width)[None, :]
+    lat = np.linspace(np.pi / 2, -np.pi / 2, height)[:, None]
+    band = np.exp(-((lat - 0.35 * np.sin(lon + 1.0)) / 0.12) ** 2).astype(np.float32)
+    img += 0.035 * band[..., None]
+    return np.clip(img, 0.0, 1.0)
