@@ -1,0 +1,90 @@
+"""Pinhole camera ray generation (device, jnp).
+
+Reproduces the reference camera semantics (PlotOptiX pinhole with vertical
+FOV, reference moon_renderer.py:479-487) and the four telescope view
+orientations as image-space mirrors (reference view_orientation.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from moonrtx_tpu.engine.geometry import normalize
+from moonrtx_tpu.orientation import flips
+from moonrtx_tpu.types import Camera
+
+
+class CameraBasis(NamedTuple):
+    """Device-ready camera state (all float32)."""
+
+    eye: jnp.ndarray       # (3,)
+    forward: jnp.ndarray   # (3,) unit
+    right: jnp.ndarray     # (3,) unit
+    up: jnp.ndarray        # (3,) unit
+    tan_half_fov: jnp.ndarray  # scalar
+
+
+def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
+    """Orthonormal view basis from eye/target/up + fov.
+
+    View-orientation flips mirror the image by negating the right/up basis
+    vectors: horizontal flip => E appears left (negate right), vertical
+    flip => S appears up (negate up). Mirrors, not rotations — matching the
+    reference's telescope orientations.
+    """
+    eye = np.asarray(cam.eye, np.float64)
+    target = np.asarray(cam.target, np.float64)
+    up_hint = np.asarray(cam.up, np.float64)
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up_hint)
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    flip_h, flip_v = flips(orientation)
+    if flip_h:
+        right = -right
+    if flip_v:
+        up = -up
+    return CameraBasis(
+        eye=jnp.asarray(eye, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        tan_half_fov=jnp.float32(np.tan(np.radians(cam.fov) / 2.0)),
+    )
+
+
+def ray_directions(basis: CameraBasis, height: int, width: int,
+                   jitter=None) -> jnp.ndarray:
+    """Unit ray directions (H, W, 3) in scene coordinates.
+
+    Vertical FOV; square pixels; pixel centers at +0.5. ``jitter`` is an
+    optional (2,) or (H, W, 2) sub-pixel offset in [-0.5, 0.5) used by
+    progressive accumulation for antialiasing.
+    """
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    jy = 0.0 if jitter is None else jitter[..., 0]
+    jx = 0.0 if jitter is None else jitter[..., 1]
+    # NDC in [-1, 1], y up
+    v = 1.0 - 2.0 * (ys + 0.5 + jy) / height
+    u = (2.0 * (xs + 0.5 + jx) / width - 1.0) * (width / height)
+    u = jnp.broadcast_to(u, (height, width))
+    v = jnp.broadcast_to(v, (height, width))
+    d = (basis.forward[None, None, :]
+         + basis.tan_half_fov * (u[..., None] * basis.right[None, None, :]
+                                 + v[..., None] * basis.up[None, None, :]))
+    return normalize(d)
+
+
+def pixel_ray(basis: CameraBasis, y: float, x: float,
+              height: int, width: int) -> jnp.ndarray:
+    """Single ray direction for picking (image pixel coords, y down)."""
+    v = 1.0 - 2.0 * (y + 0.5) / height
+    u = (2.0 * (x + 0.5) / width - 1.0) * (width / height)
+    d = (basis.forward + basis.tan_half_fov
+         * (u * basis.right + v * basis.up))
+    return normalize(d)

@@ -1,0 +1,257 @@
+"""MoonScene: functional scene state + device resource management.
+
+The host-side owner of everything the render pipeline needs: device-resident
+mip pyramids, the current ephemeris-driven FrameParams, camera state,
+progressive accumulation, and the rebuild triggers (background on camera
+change, shadow map on time change) — the functional counterpart of the
+reference's MoonRenderer scene management (moon_renderer.py:432-683), with
+no mutable engine underneath: every frame is a pure function of state.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu.astro import calculate_ephemeris
+from moonrtx_tpu.config import RenderConfig
+from moonrtx_tpu.data.mips import build_mips, pad_lon_wrap, select_level
+from moonrtx_tpu.engine import light as light_mod
+from moonrtx_tpu.engine import render as render_mod
+from moonrtx_tpu.engine.camera import CameraBasis, camera_basis, pixel_ray
+from moonrtx_tpu.engine.render import FrameParams
+from moonrtx_tpu.ops import sampler
+from moonrtx_tpu.types import Camera, MoonEphemeris
+
+PAD_COLS = 8  # wrapped longitude columns appended to every mip
+
+
+def default_camera() -> Camera:
+    """Ephemeris-independent default view (reference moon_renderer.py:190-198)."""
+    visible_height = 2 * C.MOON_RADIUS / C.MOON_FILL_FRACTION
+    fov = math.degrees(2 * math.atan(visible_height / (2 * C.CAMERA_DISTANCE)))
+    return Camera(eye=[0.0, -C.CAMERA_DISTANCE, 0.0], target=[0.0, 0.0, 0.0],
+                  up=[0.0, 0.0, 1.0], fov=max(1.0, min(90.0, fov)))
+
+
+@jax.jit
+def _render_background(starmap, forward, right, up, tan_half_fov, shape2):
+    """Star background for one camera pose (device; rebuilt on camera change).
+
+    The star map is fixed to scene coordinates exactly like the reference's
+    environment texture (moon_renderer.py:458-463)."""
+    height, width = shape2.shape
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    v = 1.0 - 2.0 * (ys + 0.5) / height
+    u = (2.0 * (xs + 0.5) / width - 1.0) * (width / height)
+    d = (forward[None, None, :]
+         + tan_half_fov * (u[..., None] * right[None, None, :]
+                           + v[..., None] * up[None, None, :]))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    lat = jnp.rad2deg(jnp.arcsin(jnp.clip(d[..., 2], -1, 1)))
+    lon = jnp.rad2deg(jnp.arctan2(d[..., 0], -d[..., 1]))
+    h, w = starmap.shape[0], starmap.shape[1] - PAD_COLS
+    row, col = sampler.latlon_to_rowcol(lat, lon, h, w)
+    return sampler.gather_bilinear(starmap, row, col)
+
+
+class MoonScene:
+    """Owns device textures + scene state; renders progressive frames."""
+
+    def __init__(self, config: RenderConfig, elevation: np.ndarray,
+                 radius_scale: float, albedo: np.ndarray,
+                 starmap: Optional[np.ndarray]):
+        self.config = config
+        self.radius_scale = float(radius_scale)
+        self.h_min = float(elevation.min())
+
+        self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
+                     for m in build_mips(elevation)]
+        self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS) for m in self.mips]
+        albedo_mips = build_mips(albedo)
+        # albedo pyramid aligned level-for-level with the heightfield pyramid
+        while len(albedo_mips) < len(self.mips):
+            albedo_mips.append(albedo_mips[-1])
+        self.albedo_mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
+                            for m in albedo_mips[: len(self.mips)]]
+        self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
+                        if starmap is not None else None)
+
+        # scene state
+        self.width = config.width
+        self.height = config.height
+        self.dt_local: Optional[datetime] = config.dt_local
+        self.brightness = config.brightness
+        self.gamma = config.gamma
+        self.view_orientation = config.view_orientation
+        self.parallactic_mode = config.parallactic_mode
+        self.shadow_accuracy = config.shadow_accuracy
+        self.shadows_on = config.shadow_accuracy > 1
+        self.camera: Camera = config.initial_camera or default_camera()
+        self.displaced = True
+
+        self.ephem: Optional[MoonEphemeris] = None
+        self._fp: Optional[FrameParams] = None
+        self._basis: Optional[CameraBasis] = None
+        self._background = None
+        self._shadow = None          # (shadow_map, params) or None
+        self._accum = None
+        self._accum_n = 0
+        self._hitbuf = None
+        self._rng = np.random.default_rng(42)
+
+    # ---- state updates -------------------------------------------------
+
+    def update_view(self, dt_local: Optional[datetime] = None) -> MoonEphemeris:
+        """Recompute ephemeris-driven state (reference moon_renderer.py:638-664)."""
+        if dt_local is not None:
+            self.dt_local = dt_local
+        self.ephem = calculate_ephemeris(
+            self.dt_local, self.config.observer, self.parallactic_mode)
+        e = self.ephem
+        light_pos = light_mod.calculate_light_pos(e)
+        disk_c, disk_r = light_mod.calculate_sun_disk(e)
+        self._fp = FrameParams(
+            rotation=jnp.asarray(e.rotation_matrix, jnp.float32),
+            light_pos=jnp.asarray(light_pos, jnp.float32),
+            sun_disk_center=jnp.asarray(disk_c, jnp.float32),
+            sun_disk_radius=jnp.float32(disk_r),
+            irradiance=jnp.float32(
+                light_mod.sun_irradiance_factor(self.brightness, e)),
+            sun_ang_radius=jnp.float32(
+                math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
+        )
+        self._shadow_dirty = True
+        self.reset_accumulation()
+        return e
+
+    def set_brightness(self, brightness: int) -> None:
+        self.brightness = int(np.clip(brightness, *C.BRIGHTNESS_RANGE))
+        if self.ephem is not None:
+            self._fp = self._fp._replace(irradiance=jnp.float32(
+                light_mod.sun_irradiance_factor(self.brightness, self.ephem)))
+        self.reset_accumulation()
+
+    def set_camera(self, camera: Camera) -> None:
+        self.camera = camera
+        self._basis = None
+        self._background = None
+        self.reset_accumulation()
+
+    def set_view_orientation(self, orientation: str) -> None:
+        self.view_orientation = orientation
+        self._basis = None
+        self._background = None
+        self.reset_accumulation()
+
+    def reset_accumulation(self) -> None:
+        self._accum_n = 0
+
+    # ---- derived device state -------------------------------------------
+
+    def basis(self) -> CameraBasis:
+        if self._basis is None:
+            self._basis = camera_basis(self.camera, self.view_orientation)
+        return self._basis
+
+    def mip_level(self) -> int:
+        """Footprint-matched mip level for the current view."""
+        eye = np.asarray(self.camera.eye)
+        dist = max(float(np.linalg.norm(eye)) - C.MOON_RADIUS, 1.0)
+        px_ang = math.radians(self.camera.fov) / self.height
+        ground_per_px = dist * px_ang
+        h0, w0 = self.mip_shapes[0]
+        texel_ground = 2 * math.pi * C.MOON_RADIUS / w0
+        return select_level(self.mip_shapes, ground_per_px / texel_ground)
+
+    def background(self):
+        if self.starmap is None:
+            return None
+        if self._background is None:
+            b = self.basis()
+            self._background = _render_background(
+                self.starmap, b.forward, b.right, b.up, b.tan_half_fov,
+                jnp.zeros((self.height, self.width), jnp.uint8))
+        return self._background
+
+    def shadow_args(self):
+        """Current (shadow_map, params), rebuilt lazily on time change."""
+        if not self.shadows_on or not self.displaced:
+            return None
+        if self._shadow is None or self._shadow_dirty:
+            from moonrtx_tpu.ops import shadow_scan
+            level = max(self.mip_level(), 0)
+            tex = self.mips[level]
+            h, w = self.mip_shapes[level]
+            sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
+                light_mod.calculate_light_pos(self.ephem))
+            self._shadow = shadow_scan.build_shadow_map(
+                tex, h, w, jnp.asarray(sun_body / np.linalg.norm(sun_body),
+                                       jnp.float32),
+                float(np.asarray(self._fp.sun_ang_radius)),
+                accuracy=self.shadow_accuracy if self.shadows_on else 1)
+            self._shadow_dirty = False
+        return self._shadow
+
+    # ---- rendering -------------------------------------------------------
+
+    def render_accumulation_frame(self):
+        """Render one accumulation sample and fold it into the running mean."""
+        if self.ephem is None:
+            self.update_view(self.dt_local)
+        level = self.mip_level()
+        tex = self.mips[level]
+        alb = self.albedo_mips[level]
+        h, w = self.mip_shapes[level]
+        if self._accum_n == 0:
+            jitter = jnp.zeros(2, jnp.float32)
+        else:
+            jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
+        out = render_mod.render_frame(
+            tex, alb, self.background(), self.shadow_args(),
+            self.basis(), self._fp, jitter,
+            self.height, self.width, h, w, self.h_min,
+            h_mean=1.0 / self.radius_scale, displaced=self.displaced)
+        if self._accum_n == 0 or self._accum is None:
+            self._accum = out.rgb
+            self._hitbuf = out.hitbuf
+        else:
+            self._accum = render_mod.accumulate(
+                self._accum, out.rgb, jnp.float32(self._accum_n))
+        self._accum_n += 1
+        return self._accum
+
+    def render(self, n_frames: Optional[int] = None) -> np.ndarray:
+        """Accumulate up to n_frames samples and return the display image
+        (uint8 RGB)."""
+        n = n_frames if n_frames is not None else self.config.accumulation_frames
+        while self._accum_n < n:
+            self.render_accumulation_frame()
+        return self.display()
+
+    def display(self) -> np.ndarray:
+        if self._accum_n == 0:
+            self.render_accumulation_frame()
+        img = render_mod.tonemap(self._accum, jnp.float32(C.TONEMAP_EXPOSURE),
+                                 jnp.float32(self.gamma))
+        return np.asarray(img)
+
+    # ---- picking ----------------------------------------------------------
+
+    def get_hit_at(self, x: int, y: int) -> tuple[float, float, float, float]:
+        """Scene-frame hit position + distance at an image pixel (0 distance
+        = miss) — the replacement for the reference's device hit-buffer
+        readback (renderer_navigation.py:189-192). Reads back 16 bytes."""
+        if self._hitbuf is None:
+            self.render_accumulation_frame()
+        y = int(np.clip(y, 0, self.height - 1))
+        x = int(np.clip(x, 0, self.width - 1))
+        v = np.asarray(jax.lax.dynamic_slice(self._hitbuf, (y, x, 0), (1, 1, 4)))
+        return float(v[0, 0, 0]), float(v[0, 0, 1]), float(v[0, 0, 2]), float(v[0, 0, 3])

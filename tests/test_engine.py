@@ -1,0 +1,261 @@
+"""Render engine: camera, geometry, intersection, lighting, shadow scan.
+
+Golden checks run on CPU (identical XLA semantics to TPU, SURVEY.md sec. 4).
+"""
+
+import math
+from datetime import datetime, timezone
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu.engine.camera import camera_basis, pixel_ray, ray_directions
+from moonrtx_tpu.engine.geometry import (
+    latlon_to_unit,
+    mat3_apply,
+    mat3t_apply,
+    ray_sphere,
+    unit_to_latlon,
+)
+from moonrtx_tpu.engine.light import calculate_light_pos, calculate_sun_disk
+from moonrtx_tpu.engine.render import (
+    intersect_heightfield,
+    intersect_smooth_sphere,
+    surface_normal,
+    tonemap,
+)
+from moonrtx_tpu.engine.scene import default_camera
+from moonrtx_tpu.data.mips import pad_lon_wrap
+from moonrtx_tpu.ops import shadow_scan
+from moonrtx_tpu.types import Camera, MoonEphemeris
+
+
+def _flat_tex(h=180, w=360, value=0.99, pad=8):
+    tex = np.full((h, w), value, np.float32)
+    return tex, pad
+
+
+# ---- geometry ----
+
+def test_latlon_unit_convention():
+    """lon 0 at -Y, +X at 90E, +Z north (reference renderer_navigation.py:34-40)."""
+    v = np.asarray(latlon_to_unit(0.0, 0.0))
+    assert np.allclose(v, [0, -1, 0], atol=1e-7)
+    v = np.asarray(latlon_to_unit(0.0, 90.0))
+    assert np.allclose(v, [1, 0, 0], atol=1e-7)
+    v = np.asarray(latlon_to_unit(90.0, 0.0))
+    assert np.allclose(v, [0, 0, 1], atol=1e-7)
+
+
+def test_latlon_round_trip():
+    lats = np.array([-80.0, -20.0, 0.0, 45.0, 89.0])
+    lons = np.array([-179.0, -90.0, 0.0, 30.0, 170.0])
+    la, lo = unit_to_latlon(latlon_to_unit(lats, lons))
+    assert np.allclose(np.asarray(la), lats, atol=1e-4)
+    assert np.allclose(np.asarray(lo), lons, atol=1e-4)
+
+
+def test_mat3_apply_matches_matmul():
+    rng = np.random.default_rng(0)
+    M = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+    v = rng.standard_normal((5, 3)).astype(np.float32)
+    assert np.allclose(np.asarray(mat3_apply(M, v)), v @ M.T, atol=1e-6)
+    assert np.allclose(np.asarray(mat3t_apply(M, v)), v @ M, atol=1e-6)
+
+
+def test_ray_sphere_values():
+    o = jnp.asarray([0.0, -300.0, 0.0])
+    d = jnp.asarray([0.0, 1.0, 0.0])
+    hit, t0, t1 = ray_sphere(o, d, 10.0)
+    assert bool(hit) and float(t0) == pytest.approx(290.0) and float(t1) == pytest.approx(310.0)
+    hit, _, _ = ray_sphere(o, jnp.asarray([1.0, 0.0, 0.0]), 10.0)
+    assert not bool(hit)
+
+
+# ---- camera ----
+
+def test_camera_center_ray_and_fov():
+    cam = default_camera()
+    b = camera_basis(cam)
+    dirs = np.asarray(ray_directions(b, 64, 64))
+    assert np.allclose(dirs[32, 32], [0, 1, 0], atol=2e-2)
+    # vertical fov: angle between top and bottom edge rays
+    top = dirs[0, 32] / np.linalg.norm(dirs[0, 32])
+    bot = dirs[63, 32] / np.linalg.norm(dirs[63, 32])
+    ang = math.degrees(math.acos(np.clip(top @ bot, -1, 1)))
+    assert ang == pytest.approx(cam.fov, rel=0.05)
+
+
+def test_orientation_flips_mirror_image():
+    cam = default_camera()
+    d0 = np.asarray(ray_directions(camera_basis(cam, "NSWE"), 16, 16))
+    dh = np.asarray(ray_directions(camera_basis(cam, "NSEW"), 16, 16))
+    dv = np.asarray(ray_directions(camera_basis(cam, "SNWE"), 16, 16))
+    db = np.asarray(ray_directions(camera_basis(cam, "SNEW"), 16, 16))
+    assert np.allclose(dh, d0[:, ::-1], atol=1e-6)   # horizontal mirror
+    assert np.allclose(dv, d0[::-1, :], atol=1e-6)   # vertical mirror
+    assert np.allclose(db, d0[::-1, ::-1], atol=1e-6)
+
+
+def test_pixel_ray_matches_grid():
+    cam = default_camera()
+    b = camera_basis(cam)
+    dirs = np.asarray(ray_directions(b, 32, 48))
+    pr = np.asarray(pixel_ray(b, 7, 11, 32, 48))
+    assert np.allclose(pr, dirs[7, 11], atol=1e-6)
+
+
+# ---- intersection ----
+
+def test_smooth_sphere_center_distance():
+    ob = jnp.asarray([0.0, -300.0, 0.0])
+    db = jnp.asarray([[0.0, 1.0, 0.0]])
+    hit, t, lat, lon, p = intersect_smooth_sphere(9.9, ob, db)
+    assert bool(hit[0])
+    assert float(t[0]) == pytest.approx(290.1, abs=1e-3)
+    assert float(lat[0]) == pytest.approx(0.0, abs=1e-4)
+    assert float(lon[0]) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_heightfield_constant_matches_analytic():
+    tex, pad = _flat_tex(value=0.99)
+    texj = jnp.asarray(pad_lon_wrap(tex, pad))
+    ob = jnp.asarray([0.0, -300.0, 0.0])
+    db = np.zeros((5, 3), np.float32)
+    # center + slightly off-axis rays
+    for i, ang in enumerate([0.0, 0.005, -0.005, 0.01, -0.01]):
+        db[i] = [math.sin(ang), math.cos(ang), 0.0]
+    hit, t, lat, lon, p = intersect_heightfield(
+        texj, 180, 360, 0.99, ob, jnp.asarray(db))
+    assert bool(np.all(np.asarray(hit)))
+    # analytic: sphere radius 9.9
+    _, t_ref, _, _, _ = intersect_smooth_sphere(9.9, ob, jnp.asarray(db))
+    assert np.allclose(np.asarray(t), np.asarray(t_ref), atol=2e-3)
+
+
+def test_heightfield_miss_outside_disk():
+    tex, pad = _flat_tex()
+    texj = jnp.asarray(pad_lon_wrap(tex, pad))
+    ob = jnp.asarray([0.0, -300.0, 0.0])
+    db = jnp.asarray([[math.sin(0.1), math.cos(0.1), 0.0]])  # 0.1 rad off: misses
+    hit, *_ = intersect_heightfield(texj, 180, 360, 0.99, ob, db)
+    assert not bool(hit[0])
+
+
+def test_surface_normal_radial_on_flat():
+    tex, pad = _flat_tex()
+    texj = jnp.asarray(pad_lon_wrap(tex, pad))
+    lat = jnp.asarray([0.0, 30.0, -45.0])
+    lon = jnp.asarray([0.0, 60.0, -120.0])
+    hs = jnp.full(3, 0.99)
+    n = np.asarray(surface_normal(texj, 180, 360, lat, lon, hs))
+    r = np.asarray(latlon_to_unit(lat, lon))
+    assert np.allclose(n, r, atol=1e-3)
+
+
+# ---- light geometry (reference moon_renderer.py:505-579 axis cases) ----
+
+def _ephem(phase_angle, bright_limb, elongation=90.0, distance=384400.0,
+           sun_distance=1.496e8):
+    return MoonEphemeris(
+        az=0, alt=0, ra=0, dec=0, distance=distance, sun_distance=sun_distance,
+        phase_angle=phase_angle, bright_limb_angle=bright_limb,
+        libr_long_geo=0, libr_lat_geo=0, libr_long_topo=0, libr_lat_topo=0,
+        elongation=elongation, phase_name="", colongitude=0,
+        rotation_matrix=np.eye(3))
+
+
+def test_light_pos_axis_cases():
+    D = C.SUN_LIGHT_DISTANCE
+    # full moon (phase 0): light behind camera (-Y)
+    lp = calculate_light_pos(_ephem(0.0, 0.0))
+    assert np.allclose(lp, [0, -D, 0], atol=1e-6)
+    # new moon (phase 180): light behind the Moon (+Y)
+    lp = calculate_light_pos(_ephem(180.0, 0.0))
+    assert np.allclose(lp, [0, D, 0], atol=1e-3)
+    # quarter with bright limb up (bla 0): light from +Z
+    lp = calculate_light_pos(_ephem(90.0, 0.0))
+    assert np.allclose(lp, [0, 0, D], atol=1e-3)
+    # bright limb at +90 (east/left): light from -X
+    lp = calculate_light_pos(_ephem(90.0, 90.0))
+    assert np.allclose(lp, [-D, 0, 0], atol=1e-3)
+
+
+def test_sun_disk_parking_beyond_90deg():
+    c, r = calculate_sun_disk(_ephem(90.0, 0.0, elongation=170.0))
+    assert r == pytest.approx(0.01)
+    c2, r2 = calculate_sun_disk(_ephem(179.0, 0.0, elongation=0.5))
+    assert r2 > 1.0  # near-eclipse: disk visible and sized
+    # disk direction ~ +Y from camera (toward the Moon)
+    cam = np.array([0.0, -C.CAMERA_DISTANCE, 0.0])
+    d = (c2 - cam) / np.linalg.norm(c2 - cam)
+    assert d[1] > 0.99
+
+
+# ---- shadow scan ----
+
+def test_shadow_scan_mountain_casts_correct_length():
+    """A mountain on flat terrain under grazing sun: shadowed out to roughly
+    height/tan(altitude) behind it, lit beyond the tip and on the sun side.
+
+    This is the spec the reference documents for its shadow-accuracy modes
+    (moon_renderer.py:62-76): grazing shadows must reach physical length.
+    Note a slope only casts a shadow when steeper than the sun altitude —
+    the scan reproduces that exactly (m = r sin(theta) monotonicity).
+    """
+    h, w = 720, 1440
+    base = 0.99
+    bump_h = 0.006           # 0.06 scene units ~ 10.4 km peak
+    sigma = 0.75             # deg; max slope ~ 22 deg > 10 deg sun altitude
+    tex = np.full((h, w), base, np.float32)
+    la = np.linspace(90, -90, h, endpoint=False)[:, None] - 90 / h
+    lo = np.linspace(-180, 180, w, endpoint=False)[None, :] + 180 / w
+    d2 = (la - 0.0) ** 2 + (lo - 0.0) ** 2
+    tex += (bump_h * np.exp(-d2 / sigma ** 2)).astype(np.float32)
+    texj = jnp.asarray(pad_lon_wrap(tex, 8))
+
+    # sun at lon -80 over the equator => 10 deg altitude at lon 0; shadows
+    # extend toward +lon
+    sun = np.asarray(latlon_to_unit(0.0, -80.0))
+    smap, params = shadow_scan.build_shadow_map(
+        texj, h, w, jnp.asarray(sun, jnp.float32), 0.00465, accuracy=10)
+
+    R = C.MOON_RADIUS
+    surf = lambda lon_deg: (R * base) * np.asarray(latlon_to_unit(0.0, lon_deg))
+    # shadow tip ~ peak_height / tan(alt) of arc beyond the peak ~ 2.0 deg
+    tip_deg = math.degrees((R * bump_h / math.tan(math.radians(10.0))) / (R * base))
+
+    pts_in = np.stack([surf(1.2), surf(0.5 * tip_deg + 0.8)])
+    vals_in = np.asarray(shadow_scan.shadow_lookup(
+        smap, params, jnp.asarray(pts_in, jnp.float32)))
+    assert np.all(vals_in < 0.45), (vals_in, tip_deg)
+
+    pts_out = np.stack([surf(tip_deg * 2.0 + 1.5), surf(-5.0)])
+    vals_out = np.asarray(shadow_scan.shadow_lookup(
+        smap, params, jnp.asarray(pts_out, jnp.float32)))
+    assert np.all(vals_out > 0.75), (vals_out, tip_deg)
+
+
+def test_shadow_scan_subsolar_lit_antisolar_dark():
+    tex, pad = _flat_tex(180, 360, 0.99)
+    texj = jnp.asarray(pad_lon_wrap(tex, pad))
+    sun = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)  # sun over (lat 0, lon 0)
+    smap, params = shadow_scan.build_shadow_map(texj, 180, 360, sun, 0.00465, 1)
+    p_sub = 9.9 * np.asarray(latlon_to_unit(0.0, 0.0))
+    p_anti = 9.9 * np.asarray(latlon_to_unit(0.0, 180.0))
+    v = np.asarray(shadow_scan.shadow_lookup(
+        smap, params, jnp.asarray(np.stack([p_sub, p_anti]), jnp.float32)))
+    assert v[0] > 0.9
+    assert v[1] < 0.1
+
+
+# ---- tonemap ----
+
+def test_tonemap_reference_curve():
+    lin = jnp.asarray([[[0.0, 0.5, 2.0]]])
+    out = np.asarray(tonemap(lin, 0.9, 2.2))
+    assert out[0, 0, 0] == 0
+    assert out[0, 0, 1] == int((0.45 ** (1 / 2.2)) * 255 + 0.5)
+    assert out[0, 0, 2] == 255  # clipped
