@@ -1,0 +1,328 @@
+"""Blocked (windowed-MXU) render backend.
+
+The TPU fast path. The image is tiled into 8x16-pixel blocks of 128 rays;
+each block samples the heightfield through a small private window so every
+bilinear fetch becomes a one-hot MXU contraction (ops.sampler.window_bilinear)
+instead of a gather (TPUs have no gather hardware; measured ~70 M scalar
+gathers/s vs >1 G one-hot samples/s on v5e).
+
+Cache structure (what changes when):
+* WindowOrigins + WindowCache — depend on camera pose, Moon orientation and
+  mip level; rebuilt on camera/time change, reused across accumulation.
+* ShadowWindows — depend additionally on the sun direction; rebuilt with the
+  shadow map on time change.
+* Per-frame: jittered rays, march, shading — pure math on cached windows.
+
+This module is also the scaffolding for the fused Pallas kernel (same block
+layout, same window geometry): the Pallas path replaces march+shade with an
+in-VMEM kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu.engine.camera import CameraBasis, ray_directions
+from moonrtx_tpu.engine.geometry import (
+    latlon_to_unit,
+    mat3_apply,
+    mat3t_apply,
+    normalize,
+    ray_sphere,
+    unit_to_latlon,
+)
+from moonrtx_tpu.engine.render import (
+    FrameParams,
+    RenderOutput,
+    shade_lambert,
+    sun_disk_hit,
+)
+from moonrtx_tpu.ops import sampler
+from moonrtx_tpu.ops.sampler import latlon_to_rowcol, window_bilinear
+
+BLOCK_H = 8
+BLOCK_W = 16
+BLOCK = BLOCK_H * BLOCK_W
+
+# Window geometry (texels). Width pad on mips must be >= WIN_W.
+WIN_H = 40
+WIN_W = 96
+ALB_DOWN = 2          # albedo windows come from a 4x coarser mip level
+AWIN_H = 16
+AWIN_W = 32
+SWIN_H = 24           # shadow-map window (scan-grid texels)
+SWIN_W = 40
+
+
+def to_blocks(img):
+    """(H, W, ...) -> (NBLK, 128, ...) in block-major order."""
+    h, w = img.shape[0], img.shape[1]
+    rest = img.shape[2:]
+    x = img.reshape(h // BLOCK_H, BLOCK_H, w // BLOCK_W, BLOCK_W, *rest)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(-1, BLOCK, *rest)
+
+
+def from_blocks(blocks, height: int, width: int):
+    """Inverse of to_blocks."""
+    rest = blocks.shape[2:]
+    x = blocks.reshape(height // BLOCK_H, width // BLOCK_W, BLOCK_H, BLOCK_W, *rest)
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape(height, width, *rest)
+
+
+class RayGeom(NamedTuple):
+    """Per-frame (jittered) ray state."""
+
+    db: jnp.ndarray        # (NBLK, B, 3) body-frame ray dirs
+    ob: jnp.ndarray        # (3,) body-frame eye
+    t_enter: jnp.ndarray   # (NBLK, B)
+    t_end: jnp.ndarray     # (NBLK, B)
+    hit_outer: jnp.ndarray # (NBLK, B) bool
+    dirs_scene: jnp.ndarray  # (H, W, 3) for the background/sun-disk pass
+
+
+class WindowOrigins(NamedTuple):
+    r0: jnp.ndarray   # (NBLK,) int32 height-window row origin
+    c0: jnp.ndarray
+    ar0: jnp.ndarray  # albedo-window origins (coarser mip)
+    ac0: jnp.ndarray
+
+
+class WindowCache(NamedTuple):
+    hwin: jnp.ndarray      # (NBLK, WIN_H, WIN_W) mean-centered heights
+    hmean: jnp.ndarray     # (NBLK, 1) per-window mean height
+    awin: jnp.ndarray      # (NBLK, AWIN_H, AWIN_W, 3)
+
+
+class ShadowWindows(NamedTuple):
+    swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W)
+    sr0: jnp.ndarray
+    sc0: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def block_rays(basis: CameraBasis, rotation, jitter,
+               height: int, width: int, h_min: float) -> RayGeom:
+    """Jittered rays + shell-chord ranges (cheap; every frame)."""
+    dirs_scene = ray_directions(basis, height, width, jitter)
+    db = mat3t_apply(rotation, to_blocks(dirs_scene))
+    ob = mat3t_apply(rotation, basis.eye)
+
+    hit_out, t_enter, t_exit_out = ray_sphere(ob, db, C.MOON_RADIUS)
+    hit_in, t_in, _ = ray_sphere(ob, db, C.MOON_RADIUS * h_min * 0.999)
+    t_enter = jnp.maximum(t_enter, 0.0)
+    t_end = jnp.where(hit_in & (t_in > 0), t_in, t_exit_out)
+    # inactive rays collapse to the block's mean chord so windows stay tight
+    t_enter_m = jnp.where(hit_out, t_enter, jnp.nan)
+    mean_enter = jnp.nan_to_num(
+        jnp.nanmean(t_enter_m, axis=1, keepdims=True), nan=0.0)
+    t_enter = jnp.where(hit_out, t_enter, mean_enter)
+    t_end = jnp.where(hit_out, t_end, mean_enter)
+    return RayGeom(db=db, ob=ob, t_enter=t_enter, t_end=t_end,
+                   hit_outer=hit_out, dirs_scene=dirs_scene)
+
+
+def _origin_from_footprint(rows, cols, wrap_w, win_h: int, win_w: int,
+                           map_h: int, map_pad_w: int):
+    """Window origins covering per-ray (row, col) footprints; seam-aware."""
+    c_min = jnp.min(cols, axis=1)
+    c_max = jnp.max(cols, axis=1)
+    spans_seam = (c_max - c_min) > (wrap_w * 0.5)
+    cols_adj = jnp.where(spans_seam[:, None] & (cols < wrap_w * 0.5),
+                         cols + wrap_w, cols)
+    c_mid = 0.5 * (jnp.min(cols_adj, axis=1) + jnp.max(cols_adj, axis=1))
+    r_mid = 0.5 * (jnp.min(rows, axis=1) + jnp.max(rows, axis=1))
+    r0 = jnp.clip((r_mid - win_h * 0.5).astype(jnp.int32), 0, map_h - win_h)
+    c0 = jnp.clip((c_mid - win_w * 0.5).astype(jnp.int32), 0,
+                  map_pad_w - win_w)
+    return r0, c0
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "mip_pad_w",
+                                             "ah", "aw", "a_pad_w"))
+def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
+                   ah: int, aw: int, a_pad_w: int) -> WindowOrigins:
+    lat_a, lon_a = unit_to_latlon(geom.ob + geom.t_enter[..., None] * geom.db)
+    lat_b, lon_b = unit_to_latlon(geom.ob + geom.t_end[..., None] * geom.db)
+    rows_a, cols_a = latlon_to_rowcol(lat_a, lon_a, h, w)
+    rows_b, cols_b = latlon_to_rowcol(lat_b, lon_b, h, w)
+    rows = jnp.concatenate([rows_a, rows_b], axis=1)
+    cols = jnp.concatenate([cols_a, cols_b], axis=1)
+    r0, c0 = _origin_from_footprint(rows, cols, w, WIN_H, WIN_W, h, mip_pad_w)
+    scale = h / ah
+    ar0, ac0 = _origin_from_footprint(rows / scale, cols / scale, aw,
+                                      AWIN_H, AWIN_W, ah, a_pad_w)
+    return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0)
+
+
+@jax.jit
+def extract_window_cache(mip, albedo_mip, org: WindowOrigins) -> WindowCache:
+    hwin = sampler.extract_windows(mip, org.r0, org.c0, WIN_H, WIN_W)
+    awin = sampler.extract_windows(albedo_mip, org.ar0, org.ac0, AWIN_H, AWIN_W)
+    # Mean-center each height window: bilinear one-hot weights sum to 1, so
+    # sample(win) == sample(win - mean) + mean EXACTLY, and the centered
+    # residuals (~1e-3 of radius) survive the MXU's bf16 operand precision
+    # with ~1e-5 relative error instead of quantizing absolute heights ~1.0
+    # to 2**-8. This keeps the sampler on the fast single-pass MXU path.
+    hmean = jnp.mean(hwin, axis=(1, 2), keepdims=False)[:, None]
+    return WindowCache(hwin=hwin - hmean[..., None], hmean=hmean, awin=awin)
+
+
+def _local_coords(lat, lon, h: int, w: int, r0, c0):
+    """Window-local fractional coords; seam-aware via padded columns."""
+    row, col = latlon_to_rowcol(lat, lon, h, w)
+    col = jnp.where(col < c0[:, None].astype(col.dtype) - 0.5, col + w, col)
+    return row - r0[:, None], col - c0[:, None]
+
+
+def _sample_height(cache: WindowCache, lat, lon, h, w, r0, c0):
+    wy, wx = _local_coords(lat, lon, h, w, r0, c0)
+    return window_bilinear(cache.hwin, wy, wx) + cache.hmean
+
+
+def march_blocks(cache: WindowCache, org: WindowOrigins, geom: RayGeom,
+                 h: int, w: int, jitter_t, n_coarse: int = 24,
+                 n_bisect: int = 8):
+    """Bracket+bisect against cached windows; jitter_t dithers the coarse
+    sample phase per accumulation frame."""
+    ob = geom.ob
+    db = geom.db
+    span = geom.t_end - geom.t_enter
+
+    def field(t):
+        p = ob + t[..., None] * db
+        lat, lon = unit_to_latlon(p)
+        hs = _sample_height(cache, lat, lon, h, w, org.r0, org.c0)
+        return jnp.linalg.norm(p, axis=-1) - C.MOON_RADIUS * hs
+
+    def coarse(k, carry):
+        found, t_lo, t_hi = carry
+        frac = (k + jitter_t) / n_coarse
+        t_k = geom.t_enter + span * frac
+        f_k = field(t_k)
+        newly = (~found) & (f_k < 0.0) & geom.hit_outer
+        t_prev = geom.t_enter + span * jnp.maximum(frac - 1.0 / n_coarse, 0.0)
+        return (found | newly,
+                jnp.where(newly, t_prev, t_lo),
+                jnp.where(newly, t_k, t_hi))
+
+    found0 = jnp.zeros(db.shape[:2], bool)
+    found, t_lo, t_hi = jax.lax.fori_loop(
+        0, n_coarse + 1, coarse, (found0, geom.t_enter, geom.t_end))
+
+    def bisect(_, carry):
+        t_lo, t_hi = carry
+        t_mid = 0.5 * (t_lo + t_hi)
+        outside = field(t_mid) > 0.0
+        return jnp.where(outside, t_mid, t_lo), jnp.where(outside, t_hi, t_mid)
+
+    t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect, (t_lo, t_hi))
+    t_hit = 0.5 * (t_lo + t_hi)
+    p = ob + t_hit[..., None] * db
+    lat, lon = unit_to_latlon(p)
+    return found, t_hit, lat, lon, p
+
+
+def shade_blocks(cache: WindowCache, org: WindowOrigins,
+                 h: int, w: int, ah: int, aw: int,
+                 lat, lon, p, fp: FrameParams, shadow):
+    """Normals from height windows, albedo from coarse windows, Lambert."""
+    hs = _sample_height(cache, lat, lon, h, w, org.r0, org.c0)
+    dlat = 0.5 * 180.0 / h
+    coslat = jnp.maximum(jnp.cos(jnp.deg2rad(lat)), 0.05)
+    dlon = dlat / coslat
+
+    def spoint(la, lo):
+        hv = _sample_height(cache, la, lo, h, w, org.r0, org.c0)
+        return C.MOON_RADIUS * hv[..., None] * latlon_to_unit(la, lo)
+
+    p_c = C.MOON_RADIUS * hs[..., None] * latlon_to_unit(lat, lon)
+    n = jnp.cross(spoint(lat, lon + dlon) - spoint(lat, lon - dlon),
+                  spoint(lat + dlat, lon) - spoint(lat - dlat, lon))
+    n = normalize(n)
+    n = jnp.where(jnp.sum(n * p_c, axis=-1, keepdims=True) < 0.0, -n, n)
+
+    awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0)
+    albedo = window_bilinear(cache.awin, awy, awx)
+    return shade_lambert(albedo, n, p, fp, shadow)
+
+
+# ---- shadow windows ---------------------------------------------------------
+
+def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindows:
+    """Per-block windows into the sun-frame shadow map (rebuilt on time or
+    camera change). Footprints from the chord endpoints."""
+    from moonrtx_tpu.ops import shadow_scan
+
+    n_phi = shadow_map.shape[1] - shadow_scan.PHI_PAD
+    p_a = geom.ob + geom.t_enter[..., None] * geom.db
+    p_b = geom.ob + geom.t_end[..., None] * geom.db
+    rows_a, cols_a = shadow_scan.rowcol_of_points(smap_params, n_phi, p_a)
+    rows_b, cols_b = shadow_scan.rowcol_of_points(smap_params, n_phi, p_b)
+    rows = jnp.concatenate([rows_a, rows_b], axis=1)
+    cols = jnp.concatenate([cols_a, cols_b], axis=1)
+    sr0, sc0 = _origin_from_footprint(rows, cols, n_phi, SWIN_H, SWIN_W,
+                                      shadow_map.shape[0], shadow_map.shape[1])
+    swin = sampler.extract_windows(shadow_map, sr0, sc0, SWIN_H, SWIN_W)
+    return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0)
+
+
+def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
+    from moonrtx_tpu.ops import shadow_scan
+
+    rows, cols = shadow_scan.rowcol_of_points(smap_params, n_phi, p)
+    cols = jnp.where(cols < sw.sc0[:, None].astype(cols.dtype) - 0.5,
+                     cols + n_phi, cols)
+    theta_ok = rows < shadow_scan_total_rows(smap_params) - 1.001
+    val = window_bilinear(sw.swin, rows - sw.sr0[:, None], cols - sw.sc0[:, None])
+    return jnp.where(theta_ok, val, 0.0)
+
+
+def shadow_scan_total_rows(smap_params):
+    return smap_params.n_coarse + smap_params.n_fine
+
+
+# ---- full frame -------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "ah", "aw", "n_phi", "n_coarse"))
+def render_frame_blocked(cache: WindowCache, org: WindowOrigins,
+                         geom: RayGeom,
+                         shadow_windows: Optional[ShadowWindows],
+                         smap_params,
+                         background, basis: CameraBasis, fp: FrameParams,
+                         jitter_t,
+                         height: int, width: int, h: int, w: int,
+                         ah: int, aw: int, n_phi: int = 0,
+                         n_coarse: int = 24) -> RenderOutput:
+    """Full frame from cached windows (the per-frame hot path)."""
+    hit, t_hit, lat, lon, p = march_blocks(
+        cache, org, geom, h, w, jitter_t, n_coarse=n_coarse)
+
+    if shadow_windows is not None:
+        shadow = lookup_shadow_windows(shadow_windows, smap_params, n_phi, p)
+    else:
+        shadow = jnp.ones_like(t_hit)
+
+    rgb_b = shade_blocks(cache, org, h, w, ah, aw, lat, lon, p, fp, shadow)
+    rgb = from_blocks(jnp.where(hit[..., None], rgb_b, 0.0), height, width)
+    hit_img = from_blocks(hit, height, width)
+
+    disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
+    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
+                if background is None else background)
+    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
+    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
+
+    p_scene = mat3_apply(fp.rotation, from_blocks(p, height, width))
+    t_img = from_blocks(t_hit, height, width)
+    hitbuf = jnp.concatenate(
+        [jnp.where(hit_img[..., None], p_scene, 0.0),
+         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    return RenderOutput(rgb=rgb, hitbuf=hitbuf)

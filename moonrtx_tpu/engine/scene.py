@@ -22,6 +22,7 @@ from moonrtx_tpu import constants as C
 from moonrtx_tpu.astro import calculate_ephemeris
 from moonrtx_tpu.config import RenderConfig
 from moonrtx_tpu.data.mips import build_mips, pad_lon_wrap, select_level
+from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
 from moonrtx_tpu.engine.camera import CameraBasis, camera_basis, pixel_ray
@@ -29,7 +30,9 @@ from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.ops import sampler
 from moonrtx_tpu.types import Camera, MoonEphemeris
 
-PAD_COLS = 8  # wrapped longitude columns appended to every mip
+# Wrapped longitude columns appended to every mip: must cover the widest
+# sampling window of the blocked backend plus slack.
+PAD_COLS = 128
 
 
 def default_camera() -> Camera:
@@ -84,9 +87,12 @@ class MoonScene:
         self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
                         if starmap is not None else None)
 
-        # scene state
-        self.width = config.width
-        self.height = config.height
+        # scene state; internal render size padded to the block grid
+        # (display crops back to the requested size)
+        self.out_width = config.width
+        self.out_height = config.height
+        self.width = -(-config.width // blocked.BLOCK_W) * blocked.BLOCK_W
+        self.height = -(-config.height // blocked.BLOCK_H) * blocked.BLOCK_H
         self.dt_local: Optional[datetime] = config.dt_local
         self.brightness = config.brightness
         self.gamma = config.gamma
@@ -97,11 +103,21 @@ class MoonScene:
         self.camera: Camera = config.initial_camera or default_camera()
         self.displaced = True
 
+        self.backend = config.backend
+        if self.backend in ("auto", "mxu"):
+            self.backend = "blocked"
+
         self.ephem: Optional[MoonEphemeris] = None
         self._fp: Optional[FrameParams] = None
         self._basis: Optional[CameraBasis] = None
         self._background = None
         self._shadow = None          # (shadow_map, params) or None
+        self._shadow_dirty = True
+        # blocked-backend caches
+        self._origins = None         # WindowOrigins (per pose+level+rotation)
+        self._wincache = None        # WindowCache
+        self._shadowwin = None       # ShadowWindows
+        self._cache_level = None
         self._accum = None
         self._accum_n = 0
         self._hitbuf = None
@@ -129,6 +145,7 @@ class MoonScene:
                 math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
         )
         self._shadow_dirty = True
+        self._origins = None   # body-frame footprints move with the rotation
         self.reset_accumulation()
         return e
 
@@ -143,12 +160,14 @@ class MoonScene:
         self.camera = camera
         self._basis = None
         self._background = None
+        self._origins = None
         self.reset_accumulation()
 
     def set_view_orientation(self, orientation: str) -> None:
         self.view_orientation = orientation
         self._basis = None
         self._background = None
+        self._origins = None
         self.reset_accumulation()
 
     def reset_accumulation(self) -> None:
@@ -202,6 +221,24 @@ class MoonScene:
 
     # ---- rendering -------------------------------------------------------
 
+    def _ensure_blocked_caches(self, level: int, geom):
+        """(Re)build window caches for the blocked backend when invalid."""
+        h, w = self.mip_shapes[level]
+        alevel = min(level + blocked.ALB_DOWN, len(self.albedo_mips) - 1)
+        ah, aw = self.mip_shapes[alevel]
+        if self._origins is None or self._cache_level != level:
+            self._origins = blocked.window_origins(
+                geom, h, w, self.mips[level].shape[1], ah, aw,
+                self.albedo_mips[alevel].shape[1])
+            self._wincache = blocked.extract_window_cache(
+                self.mips[level], self.albedo_mips[alevel], self._origins)
+            self._cache_level = level
+            self._shadowwin = None
+        if self.shadows_on and self._shadowwin is None:
+            smap, sparams = self.shadow_args()
+            self._shadowwin = blocked.build_shadow_windows(smap, sparams, geom)
+        return alevel
+
     def render_accumulation_frame(self):
         """Render one accumulation sample and fold it into the running mean."""
         if self.ephem is None:
@@ -214,11 +251,31 @@ class MoonScene:
             jitter = jnp.zeros(2, jnp.float32)
         else:
             jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
-        out = render_mod.render_frame(
-            tex, alb, self.background(), self.shadow_args(),
-            self.basis(), self._fp, jitter,
-            self.height, self.width, h, w, self.h_min,
-            h_mean=1.0 / self.radius_scale, displaced=self.displaced)
+
+        if self.backend == "blocked" and self.displaced:
+            geom = blocked.block_rays(self.basis(), self._fp.rotation, jitter,
+                                      self.height, self.width, self.h_min)
+            alevel = self._ensure_blocked_caches(level, geom)
+            ah, aw = self.mip_shapes[alevel]
+            if self.shadows_on:
+                smap, sparams = self.shadow_args()
+                n_phi = smap.shape[1] - 2
+                shadow_windows = self._shadowwin
+            else:
+                sparams, n_phi, shadow_windows = None, 0, None
+            jitter_t = (jnp.float32(0.5) if self._accum_n == 0
+                        else jnp.asarray(self._rng.random(), jnp.float32))
+            out = blocked.render_frame_blocked(
+                self._wincache, self._origins, geom, shadow_windows, sparams,
+                self.background(), self.basis(), self._fp, jitter_t,
+                self.height, self.width, h, w, ah, aw, n_phi=n_phi)
+        else:
+            out = render_mod.render_frame(
+                tex, alb, self.background(), self.shadow_args(),
+                self.basis(), self._fp, jitter,
+                self.height, self.width, h, w, self.h_min,
+                h_mean=1.0 / self.radius_scale, displaced=self.displaced)
+
         if self._accum_n == 0 or self._accum is None:
             self._accum = out.rgb
             self._hitbuf = out.hitbuf
@@ -241,7 +298,7 @@ class MoonScene:
             self.render_accumulation_frame()
         img = render_mod.tonemap(self._accum, jnp.float32(C.TONEMAP_EXPOSURE),
                                  jnp.float32(self.gamma))
-        return np.asarray(img)
+        return np.asarray(img)[: self.out_height, : self.out_width]
 
     # ---- picking ----------------------------------------------------------
 

@@ -142,20 +142,32 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
     return smap, params
 
 
-def shadow_lookup(shadow_map, params: ShadowMapParams, p_body):
-    """Sample the shadow factor at body-frame surface points (..., 3)."""
-    n_phi = shadow_map.shape[1] - PHI_PAD
+def rowcol_of_points(params: ShadowMapParams, n_phi: int, p_body):
+    """Fractional (row, col) scan-grid coordinates of body-frame points.
+
+    Rows clamp to the grid; points past THETA_MAX land on the last row
+    (whose scan value is deep-night 0 for any real terrain)."""
     zc = jnp.sum(p_body * params.axis_z, axis=-1)
     xc = jnp.sum(p_body * params.axis_x, axis=-1)
     yc = jnp.sum(p_body * params.axis_y, axis=-1)
     rho = jnp.sqrt(xc * xc + yc * yc)
     theta = jnp.rad2deg(jnp.arctan2(rho, zc))
     phi = jnp.arctan2(yc, xc) % (2 * np.pi)
-
     row = _theta_to_row(theta, params.n_coarse, params.n_fine)
-    row = jnp.clip(row, 0.0, shadow_map.shape[0] - 1.001)
+    row = jnp.clip(row, 0.0, params.n_coarse + params.n_fine - 1.001)
     col = phi / (2 * np.pi) * n_phi - 0.5
     col = jnp.where(col < 0.0, col + n_phi, col)
+    return row, col
+
+
+def shadow_lookup(shadow_map, params: ShadowMapParams, p_body):
+    """Sample the shadow factor at body-frame surface points (..., 3)
+    (gather path; the blocked backend uses per-block shadow windows)."""
+    n_phi = shadow_map.shape[1] - PHI_PAD
+    row, col = rowcol_of_points(params, n_phi, p_body)
+    zc = jnp.sum(p_body * params.axis_z, axis=-1)
+    rho = jnp.sqrt(jnp.sum(p_body * p_body, axis=-1) - zc * zc)
+    theta = jnp.rad2deg(jnp.arctan2(rho, zc))
     val = sampler.gather_bilinear(shadow_map, row, col)
     # beyond the scanned band it is deep night side
     return jnp.where(theta >= THETA_MAX_DEG, 0.0, val)
