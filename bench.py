@@ -1,0 +1,102 @@
+"""Benchmark: 1080p frame time with exact terminator shadows on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "ms", "vs_baseline": N, ...}
+
+Baseline (BASELINE.json north star): 1920x1080 with exact terminator
+shadows at >30 FPS on one TPU v5e chip, i.e. 33.33 ms/frame.
+vs_baseline > 1.0 means faster than the target.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(
+        os.environ.get("MOONRTX_TPU_CACHE",
+                       os.path.expanduser("~/.cache/moonrtx_tpu")), "jaxcache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from datetime import datetime, timezone
+
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from moonrtx_tpu.config import RenderConfig
+    from moonrtx_tpu.data.loader import load_color_data, load_elevation_data
+    from moonrtx_tpu.engine.scene import MoonScene
+    from moonrtx_tpu.types import Observer
+
+    t_setup = time.time()
+    elevation, radius_scale = load_elevation_data(None, downscale=1)
+    albedo = load_color_data(None, 1)
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=1920, height=1080, shadow_accuracy=10,
+    ).validate()
+    scene = MoonScene(cfg, elevation, radius_scale, albedo, None)
+    scene.shadows_on = True
+    scene.update_view()
+    print(f"# setup {time.time()-t_setup:.0f}s on {jax.devices()}", file=sys.stderr)
+
+    def sync():
+        # force completion with a 16-byte readback (axon block_until_ready
+        # does not synchronize reliably through the tunnel)
+        scene.get_hit_at(scene.width // 2, scene.height // 2)
+
+    # warm up / compile
+    t0 = time.time()
+    scene.render_accumulation_frame()
+    sync()
+    print(f"# first frame (compile+caches) {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # steady-state accumulation frames (device work only)
+    n = 8
+    t0 = time.time()
+    for _ in range(n):
+        scene.render_accumulation_frame()
+    sync()
+    dt_shadows = (time.time() - t0) / n
+
+    # without exact shadows
+    scene.shadows_on = False
+    scene.reset_accumulation()
+    scene.render_accumulation_frame()
+    sync()
+    t0 = time.time()
+    for _ in range(n):
+        scene.render_accumulation_frame()
+    sync()
+    dt_fast = (time.time() - t0) / n
+
+    rays = scene.width * scene.height
+    baseline_ms = 1000.0 / 30.0
+    value_ms = dt_shadows * 1000.0
+    print(json.dumps({
+        "metric": "1080p_frame_time_exact_shadows",
+        "value": round(value_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / value_ms, 3),
+        "fps": round(1000.0 / value_ms, 2),
+        "frame_time_no_shadows_ms": round(dt_fast * 1000.0, 2),
+        "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
+        "backend": scene.backend,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Headless rendering: config -> frame(s) -> image file.
+
+The natural end-to-end driver (SURVEY.md section 4): fixed time/location ->
+PNG, plus the screenshot-name round trip for view persistence. Also the
+path used by golden-image tests and the benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from moonrtx_tpu.app import codec
+from moonrtx_tpu.config import RenderConfig
+from moonrtx_tpu.data.features import load_moon_features
+from moonrtx_tpu.data.loader import load_color_data, load_elevation_data, load_starmap
+from moonrtx_tpu.engine.scene import MoonScene
+
+
+def build_scene(config: RenderConfig, with_starmap: bool = True) -> MoonScene:
+    """Load data (real files or procedural fallback) and build the scene."""
+    elevation, radius_scale = load_elevation_data(
+        config.elevation_file, config.downscale)
+    albedo = load_color_data(config.color_file, config.downscale)
+    starmap = (load_starmap(config.starmap_file, config.width * 2)
+               if with_starmap else None)
+    scene = MoonScene(config, elevation, radius_scale, albedo, starmap)
+    scene.features = sorted(load_moon_features(config.features_file),
+                            key=lambda f: f.angular_radius)
+    return scene
+
+
+def default_screenshot_name(scene: MoonScene) -> str:
+    """Filename encoding the full view state (reference
+    renderer_dialogs.py:173-223), restorable via --init-view."""
+    return codec.format_view_state(
+        scene.dt_local, scene.config.observer.lat, scene.config.observer.lon,
+        scene.view_orientation, scene.parallactic_mode, scene.camera)
+
+
+def save_image(img: np.ndarray, path: str,
+               linear_hdr: Optional[np.ndarray] = None,
+               exposure: float = 0.9, gamma: float = 2.2) -> None:
+    """Save a frame: 8 bits/sample for .jpg/.png/.tif, 16 bits/sample for
+    .tiff, re-tonemapped from the linear accumulation when available
+    (reference renderer_dialogs.py:167-170 Bps8/Bps16 split)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".tiff" and linear_hdr is not None:
+        import cv2
+
+        x = np.clip(linear_hdr * exposure, 0.0, 1.0) ** (1.0 / gamma)
+        img16 = (x * 65535.0 + 0.5).astype(np.uint16)
+        cv2.imwrite(path, img16[..., ::-1])  # BGR order for cv2
+    else:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+    print(f"Saved: {path}")
+
+
+def render_headless(config: RenderConfig, save_path: Optional[str] = None,
+                    n_frames: Optional[int] = None) -> str:
+    """Render one accumulated view and save it. Returns the saved path."""
+    scene = build_scene(config, with_starmap=True)
+    scene.update_view()
+    img = scene.render(n_frames)
+    if save_path is None:
+        save_path = default_screenshot_name(scene) + ".png"
+    save_image(img, save_path,
+               linear_hdr=np.asarray(scene._accum)[: scene.out_height,
+                                                   : scene.out_width],
+               gamma=scene.gamma)
+    return save_path

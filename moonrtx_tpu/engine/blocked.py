@@ -106,11 +106,16 @@ class ShadowWindows(NamedTuple):
     sc0: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "full_height"))
 def block_rays(basis: CameraBasis, rotation, jitter,
-               height: int, width: int, h_min: float) -> RayGeom:
-    """Jittered rays + shell-chord ranges (cheap; every frame)."""
-    dirs_scene = ray_directions(basis, height, width, jitter)
+               height: int, width: int, h_min: float,
+               row_offset=0, full_height: int = None) -> RayGeom:
+    """Jittered rays + shell-chord ranges (cheap; every frame).
+
+    row_offset/full_height select a horizontal strip of a larger frame for
+    image-tile sharding over a device mesh."""
+    dirs_scene = ray_directions(basis, height, width, jitter,
+                                row_offset=row_offset, full_height=full_height)
     db = mat3t_apply(rotation, to_blocks(dirs_scene))
     ob = mat3t_apply(rotation, basis.eye)
 

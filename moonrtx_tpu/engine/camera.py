@@ -58,20 +58,25 @@ def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
 
 
 def ray_directions(basis: CameraBasis, height: int, width: int,
-                   jitter=None) -> jnp.ndarray:
+                   jitter=None, row_offset=0, full_height: int = None,
+                   full_width: int = None) -> jnp.ndarray:
     """Unit ray directions (H, W, 3) in scene coordinates.
 
     Vertical FOV; square pixels; pixel centers at +0.5. ``jitter`` is an
     optional (2,) or (H, W, 2) sub-pixel offset in [-0.5, 0.5) used by
-    progressive accumulation for antialiasing.
+    progressive accumulation for antialiasing. ``row_offset``/``full_height``
+    render a horizontal strip of a larger image (image-tile sharding over a
+    device mesh).
     """
-    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    fh = height if full_height is None else full_height
+    fw = width if full_width is None else full_width
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None] + row_offset
     xs = jnp.arange(width, dtype=jnp.float32)[None, :]
     jy = 0.0 if jitter is None else jitter[..., 0]
     jx = 0.0 if jitter is None else jitter[..., 1]
     # NDC in [-1, 1], y up
-    v = 1.0 - 2.0 * (ys + 0.5 + jy) / height
-    u = (2.0 * (xs + 0.5 + jx) / width - 1.0) * (width / height)
+    v = 1.0 - 2.0 * (ys + 0.5 + jy) / fh
+    u = (2.0 * (xs + 0.5 + jx) / fw - 1.0) * (fw / fh)
     u = jnp.broadcast_to(u, (height, width))
     v = jnp.broadcast_to(v, (height, width))
     d = (basis.forward[None, None, :]

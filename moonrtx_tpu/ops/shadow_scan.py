@@ -82,13 +82,17 @@ def _argmax_combine(a, b):
     return jnp.where(take_b, bm, am), jnp.where(take_b, bz, az)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
-                                             "n_phi"))
-def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
-           n_coarse: int, n_fine: int, n_phi: int):
-    n_theta = n_coarse + n_fine
+def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
+               n_coarse: int, n_fine: int, n_phi_total: int,
+               phi0, n_phi: int):
+    """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
+
+    The running max along theta is local to each meridian, so wedges are
+    embarrassingly parallel — this is the unit sharded over the device mesh
+    (moonrtx_tpu.parallel.tiles.build_shadow_map_sharded)."""
     theta = jnp.asarray(np.deg2rad(_theta_grid(n_coarse, n_fine)))[:, None]
-    phi = (2 * np.pi) * (jnp.arange(n_phi, dtype=jnp.float32)[None, :] + 0.5) / n_phi
+    phi = ((2 * np.pi) * (jnp.arange(n_phi, dtype=jnp.float32)[None, :]
+                          + phi0 + 0.5) / n_phi_total)
 
     st, ct = jnp.sin(theta), jnp.cos(theta)
     dirs = (sun_basis[2][None, None, :] * ct[..., None]
@@ -112,7 +116,15 @@ def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
     alpha = jnp.arctan2(m_max - m, dz)
     factor = jnp.clip(0.5 - alpha / (2.0 * sun_ang_radius), 0.0, 1.0)
     # subsolar cap: no blockers possible at theta ~ 0
-    factor = jnp.where(m_max < 0.0, 1.0, factor)
+    return jnp.where(m_max < 0.0, 1.0, factor)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
+                                             "n_phi"))
+def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
+           n_coarse: int, n_fine: int, n_phi: int):
+    factor = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
+                        n_coarse, n_fine, n_phi, 0, n_phi)
     # pad azimuth wrap columns for seam-free lookup
     return jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1)
 

@@ -1,0 +1,122 @@
+"""Image-tile sharded rendering over a device mesh.
+
+Each device renders a horizontal strip of the frame (shard_map over a 1-D
+mesh): ray generation, window extraction, marching and shading are local to
+the strip; the texture mips and frame parameters are replicated; the
+assembled frame comes back sharded by rows (XLA inserts the ICI all-gather
+only if the caller requests a replicated layout).
+
+The shadow scan is also sharded: its azimuth (phi) axis is embarrassingly
+parallel, so each device scans a phi wedge of the sun-frame grid and the
+wedges are concatenated (all-gather over ICI) into the replicated shadow
+map used by shading.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from moonrtx_tpu import constants as C
+from moonrtx_tpu.engine import blocked
+from moonrtx_tpu.engine.camera import CameraBasis, ray_directions
+from moonrtx_tpu.engine.render import FrameParams, sun_disk_hit
+from moonrtx_tpu.parallel.mesh import TILE_AXIS
+from moonrtx_tpu.ops import sampler
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
+                     "n_coarse"),
+)
+def render_frame_sharded(mesh: Mesh, mip, albedo_mip,
+                         basis: CameraBasis, fp: FrameParams, jitter,
+                         height: int, width: int, h: int, w: int,
+                         ah: int, aw: int, h_min: float,
+                         n_coarse: int = 24):
+    """One frame with rows sharded over the mesh. Returns (rgb, hitbuf)
+    sharded by rows; mips replicated.
+
+    The full blocked pipeline (geometry, window extraction, march, shade)
+    runs per-strip inside shard_map — one jit, no host round trips.
+    """
+    n_dev = mesh.shape[TILE_AXIS]
+    strip_h = height // n_dev
+    assert strip_h % blocked.BLOCK_H == 0, (
+        f"strip height {strip_h} must be a multiple of {blocked.BLOCK_H}")
+    mip_pad_w = mip.shape[1]
+    a_pad_w = albedo_mip.shape[1]
+
+    def strip(mip, albedo_mip, basis, fp, jitter):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        row_offset = idx * strip_h
+        geom = blocked.block_rays(basis, fp.rotation, jitter,
+                                  strip_h, width, h_min,
+                                  row_offset=row_offset, full_height=height)
+        org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w)
+        cache = blocked.extract_window_cache(mip, albedo_mip, org)
+        hit, t_hit, lat, lon, p = blocked.march_blocks(
+            cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
+        shadow = jnp.ones_like(t_hit)
+        rgb_b = blocked.shade_blocks(cache, org, h, w, ah, aw,
+                                     lat, lon, p, fp, shadow)
+        rgb = blocked.from_blocks(
+            jnp.where(hit[..., None], rgb_b, 0.0), strip_h, width)
+        hit_img = blocked.from_blocks(hit, strip_h, width)
+        disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
+        rgb = jnp.where(hit_img[..., None], rgb,
+                        jnp.where(disk[..., None], C.SUN_DISK_COLOR, 0.0))
+        from moonrtx_tpu.engine.geometry import mat3_apply
+        p_img = mat3_apply(fp.rotation, blocked.from_blocks(p, strip_h, width))
+        t_img = blocked.from_blocks(t_hit, strip_h, width)
+        hitbuf = jnp.concatenate(
+            [jnp.where(hit_img[..., None], p_img, 0.0),
+             jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+        return rgb, hitbuf
+
+    return shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=False,  # loop carries are device-varying by construction
+    )(mip, albedo_mip, basis, fp, jitter)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "h", "w", "n_coarse_rows", "n_fine", "n_phi"),
+)
+def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
+                             h: int, w: int, n_coarse_rows: int,
+                             n_fine: int, n_phi: int):
+    """Sun-frame shadow scan with the phi axis sharded over the mesh.
+
+    Each device scans its azimuth wedge (the running max along theta is
+    local to a meridian) and the replicated map is assembled with an ICI
+    all-gather.
+    """
+    from moonrtx_tpu.ops import shadow_scan
+
+    n_dev = mesh.shape[TILE_AXIS]
+    assert n_phi % n_dev == 0
+
+    def wedge(tex, sun_basis, sun_ang_radius):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        phi0 = idx * (n_phi // n_dev)
+        smap = shadow_scan.scan_wedge(
+            tex, sun_basis, sun_ang_radius, h, w,
+            n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev)
+        return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
+
+    return shard_map(
+        wedge, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(tex, sun_basis, sun_ang_radius)

@@ -1,0 +1,165 @@
+"""Interactive session controller: the full key map and runtime behaviors
+(reference moon_renderer.py:780-937 event layer), display-free."""
+
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pytest
+
+from moonrtx_tpu.app.session import Session
+from moonrtx_tpu.config import RenderConfig
+from moonrtx_tpu.data.features import load_moon_features
+from moonrtx_tpu.data.synth import synthesize_moon
+from moonrtx_tpu.engine.scene import MoonScene
+from moonrtx_tpu.types import Observer
+
+DT0 = datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def session():
+    elev, albedo = synthesize_moon(180, 360, seed=5, n_craters=60)
+    rs = float(elev.max())
+    cfg = RenderConfig(observer=Observer(50.06, 19.94, 219), dt_local=DT0,
+                       width=128, height=96).validate()
+    scene = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    scene.shadows_on = False
+    return Session(scene, load_moon_features(None))
+
+
+def test_time_keys(session):
+    session.handle_key("w")
+    assert session.scene.dt_local == DT0 + timedelta(minutes=15)
+    session.handle_key("q")
+    assert session.scene.dt_local == DT0
+    session.handle_key("m")
+    assert session.time_step_minutes == 16
+    session.handle_key("m", shift=True)
+    assert session.time_step_minutes == 76
+    session.handle_key("n", shift=True)
+    session.handle_key("n")
+    assert session.time_step_minutes == 15
+
+
+def test_brightness_gamma_keys(session):
+    b0 = session.scene.brightness
+    session.handle_key("a")
+    assert session.scene.brightness == b0 + 10
+    session.handle_key("z")
+    assert session.scene.brightness == b0
+    g0 = session.scene.gamma
+    session.handle_key("e")
+    assert session.scene.gamma == pytest.approx(g0 + 0.1)
+    for _ in range(60):
+        session.handle_key("d")
+    assert session.scene.gamma == pytest.approx(0.5)  # clamp
+
+
+def test_overlay_toggles(session):
+    assert not session.grid_visible
+    session.handle_key("g")
+    assert session.grid_visible and session._grid_graphs is not None
+    session.handle_key("l")
+    assert session.standard_labels_visible
+    session.handle_key("s")
+    assert session.spot_labels_visible
+    assert len(session.active_overlays()) >= 4
+    session.handle_key("g")
+    assert not session.grid_visible
+
+
+def test_orientation_keys_and_reset(session):
+    session.handle_key("F7")
+    assert session.scene.view_orientation == "SNEW"
+    session.handle_key("w")
+    session.handle_key("Left")
+    eye_moved = session.scene.camera.eye
+    session.handle_key("r")  # reset: time, camera, orientation restored
+    assert session.scene.view_orientation == "NSWE"
+    assert session.scene.dt_local == DT0
+    assert np.allclose(session.scene.camera.eye, session.initial_camera.eye)
+    assert not np.allclose(eye_moved, session.scene.camera.eye)
+
+
+def test_shadow_toggle(session):
+    assert not session.scene.shadows_on
+    session.handle_key("x")
+    assert session.scene.shadows_on
+    session.handle_key("x")
+    assert not session.scene.shadows_on
+
+
+def test_parallactic_toggle(session):
+    session.handle_key("F4")
+    assert session.scene.parallactic_mode
+    session.handle_key("F4")
+    assert not session.scene.parallactic_mode
+
+
+def test_pick_and_pin_at_center(session):
+    session.scene.render_accumulation_frame()
+    lat, lon = session.pick(64, 48)
+    assert lat is not None and abs(lat) < 30
+    session.handle_key("5", cursor=(64, 48))
+    assert 5 in session.pins
+    session.handle_key("5", cursor=(64, 48))
+    assert 5 not in session.pins
+
+
+def test_measurement_flow(session):
+    session.scene.render_accumulation_frame()
+    assert session.start_measurement(60, 48)
+    session.finish_measurement(70, 48)
+    assert session.measured_distance is not None
+    assert session.measured_distance > 10.0
+    assert session.measured_height_diff is not None
+
+
+def test_dialog_actions_are_delegated(session):
+    assert session.handle_key("F12") == "save_dialog"
+    assert session.handle_key("f") == "search_dialog"
+    assert session.handle_key("F1") == "help_dialog"
+    assert session.handle_key("t") == "datetime_dialog"
+
+
+def test_status_panels_complete(session):
+    session.scene.render_accumulation_frame()
+    panels = session.status_panels()
+    assert set(panels) == {"pins", "shadows", "brightness", "gamma", "feature",
+                           "coords", "measured", "time", "view", "parallactic"}
+    rows = session.info_panel()
+    assert len(rows) == 14
+    names = [r[0] for r in rows]
+    assert "Illumination" in names and "Colongitude" in names
+
+
+def test_frame_with_overlays(session):
+    session.handle_key("g")
+    img = session.frame(n_accum=1)
+    assert img.shape == (96, 128, 3)
+    assert img.sum() > 0
+
+
+def test_screenshot_name_round_trips(session):
+    from moonrtx_tpu.app.codec import parse_init_view
+    iv = parse_init_view(session.screenshot_name())
+    assert iv is not None
+    assert iv.lat == pytest.approx(50.06)
+    assert iv.view_orientation == session.scene.view_orientation
+
+
+def test_zoom_and_navigation_keys(session):
+    fov0 = session.scene.camera.fov
+    session.zoom(+240)
+    assert session.scene.camera.fov < fov0
+    session.handle_key("h")
+    session.handle_key("Left", ctrl=True)
+    session.handle_key("Up")
+    assert session.scene.camera is not None
+
+
+def test_feature_search(session):
+    matches = session.lookup.search("tycho")
+    assert matches and matches[0].name == "Tycho"
+    session.center_on_feature(matches[0])
+    assert not np.allclose(session.scene.camera.target, [0, 0, 0])
