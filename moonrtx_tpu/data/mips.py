@@ -38,22 +38,49 @@ def build_mips(base: np.ndarray, min_size: int = 64) -> list[np.ndarray]:
     return mips
 
 
+def coarse_max_map(base: np.ndarray, cells_h: int = 46,
+                   cells_w: int = 92) -> np.ndarray:
+    """Dilated coarse max-pool of the heightfield.
+
+    Used to tighten per-block march chords: a ray segment above
+    R * maxmap(region) cannot contain a surface hit. The 3x3 dilation makes
+    lookups conservative for positions up to one cell away.
+    """
+    h, w = base.shape
+    fh = max(h // cells_h, 1)
+    fw = max(w // cells_w, 1)
+    ch = h // fh
+    cw = w // fw
+    m = base[: ch * fh, : cw * fw].reshape(ch, fh, cw, fw).max(axis=(1, 3))
+    # 3x3 max dilation with longitude wrap, latitude clamp
+    mp = np.concatenate([m[:, -1:], m, m[:, :1]], axis=1)
+    mp = np.concatenate([mp[:1], mp, mp[-1:]], axis=0)
+    out = m.copy()
+    for dy in range(3):
+        for dx in range(3):
+            np.maximum(out, mp[dy:dy + ch, dx:dx + cw], out)
+    return out.astype(np.float32)
+
+
 def pad_lon_wrap(a: np.ndarray, pad: int) -> np.ndarray:
     """Append `pad` wrapped columns on the right so sampling windows crossing
     the +/-180 deg longitude seam need no modular indexing."""
     return np.concatenate([a, a[:, :pad]], axis=1)
 
 
-def select_level(mips_shapes: list[tuple[int, int]], texels_per_pixel: float) -> int:
+def select_level(mips_shapes: list[tuple[int, int]],
+                 texels_per_pixel: float, threshold: float = 1.4) -> int:
     """Pick the mip level whose texel footprint best matches one screen pixel.
 
     texels_per_pixel: how many level-0 texels one screen pixel spans at the
-    image center. Level L halves that by 2^L; choose the last level still
-    sampling at >= ~1 texel per pixel (avoid aliasing while maximizing detail).
+    image center. Level L halves that by 2^L; choose the last level with
+    >= ~1 texel per pixel. The threshold (default 1.4) also bounds a render
+    superblock's ground footprint so it fits its sampling window
+    (engine.blocked: 64 px * 1.4 + margins <= WIN_W).
     """
     level = 0
     t = texels_per_pixel
-    while t >= 2.0 and level + 1 < len(mips_shapes):
+    while t >= threshold and level + 1 < len(mips_shapes):
         t /= 2.0
         level += 1
     return level

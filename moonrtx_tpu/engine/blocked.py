@@ -45,22 +45,27 @@ from moonrtx_tpu.engine.render import (
 from moonrtx_tpu.ops import sampler
 from moonrtx_tpu.ops.sampler import latlon_to_rowcol, window_bilinear
 
+# Block layout: 8x16 pixels = 128 rays per block. Blocks are ordered
+# row-major; the fused Pallas kernel groups 8 horizontally-adjacent blocks
+# (an 8x128-pixel strip) into one program so per-ray tensors fill the VPU's
+# native (8, 128) registers with one window per sublane (batched MXU dots).
 BLOCK_H = 8
 BLOCK_W = 16
 BLOCK = BLOCK_H * BLOCK_W
+GROUP = 8             # blocks per Pallas program
 
-# Window geometry (texels). Width pad on mips must be >= WIN_W.
-WIN_H = 40
-WIN_W = 96
-ALB_DOWN = 2          # albedo windows come from a 4x coarser mip level
-AWIN_H = 16
-AWIN_W = 32
-SWIN_H = 24           # shadow-map window (scan-grid texels)
-SWIN_W = 40
+# Window geometry (texels). Width pad on mips must be >= WIN_W + slack.
+WIN_H = 32
+WIN_W = 48
+ALB_DOWN = 0          # albedo windows sample the same mip level as heights
+AWIN_H = 32
+AWIN_W = 48
+SWIN_H = 32           # shadow-map window (scan-grid texels)
+SWIN_W = 48
 
 
 def to_blocks(img):
-    """(H, W, ...) -> (NBLK, 128, ...) in block-major order."""
+    """(H, W, ...) -> (NBLK, 128, ...) in block-row-major order."""
     h, w = img.shape[0], img.shape[1]
     rest = img.shape[2:]
     x = img.reshape(h // BLOCK_H, BLOCK_H, w // BLOCK_W, BLOCK_W, *rest)
@@ -69,9 +74,10 @@ def to_blocks(img):
 
 
 def from_blocks(blocks, height: int, width: int):
-    """Inverse of to_blocks."""
+    """Inverse of to_blocks ((NBLK, 128, ...) -> (H, W, ...))."""
     rest = blocks.shape[2:]
-    x = blocks.reshape(height // BLOCK_H, width // BLOCK_W, BLOCK_H, BLOCK_W, *rest)
+    x = blocks.reshape(height // BLOCK_H, width // BLOCK_W, BLOCK_H, BLOCK_W,
+                       *rest)
     x = jnp.moveaxis(x, 1, 2)
     return x.reshape(height, width, *rest)
 
@@ -88,10 +94,13 @@ class RayGeom(NamedTuple):
 
 
 class WindowOrigins(NamedTuple):
-    r0: jnp.ndarray   # (NBLK,) int32 height-window row origin
+    r0: jnp.ndarray   # (NBLK,) int32 height-window row origin (strided coords)
     c0: jnp.ndarray
-    ar0: jnp.ndarray  # albedo-window origins (coarser mip)
+    ar0: jnp.ndarray  # albedo-window origins (coarser mip, strided coords)
     ac0: jnp.ndarray
+    q: jnp.ndarray    # (NBLK,) f32 per-block stride (1.0 or 2.0): blocks whose
+                      # limb-stretched footprint exceeds the window sample the
+                      # next-coarser mip level through the same machinery
 
 
 class WindowCache(NamedTuple):
@@ -104,13 +113,20 @@ class ShadowWindows(NamedTuple):
     swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W)
     sr0: jnp.ndarray
     sc0: jnp.ndarray
+    sq: jnp.ndarray        # per-block stride into the shadow grid (1. or 2.)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "full_height"))
 def block_rays(basis: CameraBasis, rotation, jitter,
                height: int, width: int, h_min: float,
-               row_offset=0, full_height: int = None) -> RayGeom:
-    """Jittered rays + shell-chord ranges (cheap; every frame).
+               maxmap=None, row_offset=0, full_height: int = None) -> RayGeom:
+    """Jittered rays + tightened shell-chord ranges (cheap; every frame).
+
+    maxmap: optional dilated coarse max-height map (data.mips.coarse_max_map).
+    Chords are clipped against the per-block local maximum surface radius:
+    grazing limb rays shrink from the full bounding-sphere chord to the short
+    segment that can actually contain hits — this both keeps window
+    footprints bounded and concentrates the fixed marching steps.
 
     row_offset/full_height select a horizontal strip of a larger frame for
     image-tile sharding over a device mesh."""
@@ -123,6 +139,36 @@ def block_rays(basis: CameraBasis, rotation, jitter,
     hit_in, t_in, _ = ray_sphere(ob, db, C.MOON_RADIUS * h_min * 0.999)
     t_enter = jnp.maximum(t_enter, 0.0)
     t_end = jnp.where(hit_in & (t_in > 0), t_in, t_exit_out)
+
+    if maxmap is not None:
+        # per-block local height bound from a sparse chord sampling (16 rays
+        # x 6 chord fractions per block on the dilated coarse map)
+        mh, mw = maxmap.shape
+        step = max(db.shape[1] // 16, 1)
+        db_s = db[:, ::step]
+        te_s = t_enter[:, ::step]
+        tn_s = t_end[:, ::step]
+        fr = jnp.linspace(0.0, 1.0, 6, dtype=jnp.float32)
+        t_s = te_s[..., None] + (tn_s - te_s)[..., None] * fr
+        p_s = ob + t_s[..., None] * db_s[..., None, :]
+        lat_s, lon_s = unit_to_latlon(p_s)
+        rows = jnp.clip(((90.0 - lat_s) / 180.0 * mh).astype(jnp.int32),
+                        0, mh - 1)
+        cols = jnp.clip((((lon_s + 180.0) % 360.0) / 360.0 * mw).astype(jnp.int32),
+                        0, mw - 1)
+        hs = jnp.take(maxmap.reshape(-1), rows * mw + cols)
+        h_bound = jnp.max(hs.reshape(hs.shape[0], -1), axis=-1) + 2e-4
+        r_bound = C.MOON_RADIUS * jnp.minimum(h_bound, 1.0)[:, None]
+        # clip the chord to the segment inside the local-max sphere
+        b = jnp.sum(ob * db, axis=-1)
+        cc = jnp.sum(ob * ob) - r_bound * r_bound
+        disc = b * b - cc
+        crosses = disc > 0.0
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_enter = jnp.maximum(t_enter, jnp.where(crosses, -b - s, t_enter))
+        t_end = jnp.minimum(t_end, jnp.where(crosses, -b + s, t_end))
+        hit_out = hit_out & crosses & (t_end > t_enter)
+
     # inactive rays collapse to the block's mean chord so windows stay tight
     t_enter_m = jnp.where(hit_out, t_enter, jnp.nan)
     mean_enter = jnp.nan_to_num(
@@ -133,19 +179,38 @@ def block_rays(basis: CameraBasis, rotation, jitter,
                    hit_outer=hit_out, dirs_scene=dirs_scene)
 
 
+def _footprint(rows, cols, wrap_w):
+    """(r_mid, c_mid, r_span, c_span) of per-block footprints; seam-aware.
+    wrap_w may be a scalar or a per-block (NBLK,) array (strided blocks)."""
+    ax = tuple(range(1, rows.ndim))
+    wrap_w = jnp.asarray(wrap_w, cols.dtype)
+    wrap_b = (wrap_w.reshape(wrap_w.shape + (1,) * (cols.ndim - 1))
+              if wrap_w.ndim else wrap_w)
+    c_min = jnp.min(cols, axis=ax)
+    c_max = jnp.max(cols, axis=ax)
+    spans_seam = (c_max - c_min) > (jnp.min(wrap_w) * 0.5)
+    exp = spans_seam.reshape(spans_seam.shape + (1,) * (cols.ndim - 1))
+    cols_adj = jnp.where(exp & (cols < wrap_b * 0.5), cols + wrap_b, cols)
+    c_min = jnp.min(cols_adj, axis=ax)
+    c_max = jnp.max(cols_adj, axis=ax)
+    r_min = jnp.min(rows, axis=ax)
+    r_max = jnp.max(rows, axis=ax)
+    return (0.5 * (r_min + r_max), 0.5 * (c_min + c_max),
+            r_max - r_min, c_max - c_min)
+
+
 def _origin_from_footprint(rows, cols, wrap_w, win_h: int, win_w: int,
-                           map_h: int, map_pad_w: int):
-    """Window origins covering per-ray (row, col) footprints; seam-aware."""
-    c_min = jnp.min(cols, axis=1)
-    c_max = jnp.max(cols, axis=1)
-    spans_seam = (c_max - c_min) > (wrap_w * 0.5)
-    cols_adj = jnp.where(spans_seam[:, None] & (cols < wrap_w * 0.5),
-                         cols + wrap_w, cols)
-    c_mid = 0.5 * (jnp.min(cols_adj, axis=1) + jnp.max(cols_adj, axis=1))
-    r_mid = 0.5 * (jnp.min(rows, axis=1) + jnp.max(rows, axis=1))
-    r0 = jnp.clip((r_mid - win_h * 0.5).astype(jnp.int32), 0, map_h - win_h)
-    c0 = jnp.clip((c_mid - win_w * 0.5).astype(jnp.int32), 0,
-                  map_pad_w - win_w)
+                           map_h, map_pad_w):
+    """Window origins covering per-ray (row, col) footprints; seam-aware.
+    rows/cols: (NBLK, ...) any trailing shape; map_h/map_pad_w may be
+    per-block arrays (strided blocks clamp against the coarser level)."""
+    r_mid, c_mid, _, _ = _footprint(rows, cols, wrap_w)
+    r0 = jnp.clip((r_mid - win_h * 0.5).astype(jnp.int32),
+                  0, (map_h - win_h).astype(jnp.int32)
+                  if hasattr(map_h, "astype") else map_h - win_h)
+    c0 = jnp.clip((c_mid - win_w * 0.5).astype(jnp.int32),
+                  0, (map_pad_w - win_w).astype(jnp.int32)
+                  if hasattr(map_pad_w, "astype") else map_pad_w - win_w)
     return r0, c0
 
 
@@ -159,17 +224,44 @@ def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
     rows_b, cols_b = latlon_to_rowcol(lat_b, lon_b, h, w)
     rows = jnp.concatenate([rows_a, rows_b], axis=1)
     cols = jnp.concatenate([cols_a, cols_b], axis=1)
-    r0, c0 = _origin_from_footprint(rows, cols, w, WIN_H, WIN_W, h, mip_pad_w)
-    scale = h / ah
-    ar0, ac0 = _origin_from_footprint(rows / scale, cols / scale, aw,
-                                      AWIN_H, AWIN_W, ah, a_pad_w)
-    return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0)
+
+    # per-block stride: footprints wider than the window (limb obliquity)
+    # drop to the next-coarser mip through the same window machinery
+    _, _, r_span, c_span = _footprint(rows, cols, w)
+    q = jnp.where((r_span > WIN_H - 6.0) | (c_span > WIN_W - 6.0), 2.0, 1.0)
+    rq = (rows + 0.5) / q[:, None] - 0.5
+    cq = (cols + 0.5) / q[:, None] - 0.5
+    r0, c0 = _origin_from_footprint(rq, cq, w / q, WIN_H, WIN_W,
+                                    h / q, mip_pad_w / q)
+    scale = (h / ah) * q
+    ar0, ac0 = _origin_from_footprint(
+        (rows + 0.5) / scale[:, None] - 0.5,
+        (cols + 0.5) / scale[:, None] - 0.5,
+        aw / q, AWIN_H, AWIN_W, ah / q, a_pad_w / q)
+    return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0, q=q)
 
 
 @jax.jit
-def extract_window_cache(mip, albedo_mip, org: WindowOrigins) -> WindowCache:
-    hwin = sampler.extract_windows(mip, org.r0, org.c0, WIN_H, WIN_W)
-    awin = sampler.extract_windows(albedo_mip, org.ar0, org.ac0, AWIN_H, AWIN_W)
+def extract_window_cache(mip, mip_next, albedo_mip, albedo_next,
+                         org: WindowOrigins) -> WindowCache:
+    """Extract per-block windows from the block's stride level.
+
+    mip_next/albedo_next: the next-coarser (half-size) mips; strided blocks'
+    origins are already in that level's coordinates."""
+    sel = (org.q > 1.5)[:, None, None]
+    hwin = jnp.where(
+        sel,
+        sampler.extract_windows(mip_next, org.r0, org.c0, WIN_H, WIN_W),
+        sampler.extract_windows(
+            mip, jnp.minimum(org.r0, mip.shape[0] - WIN_H),
+            jnp.minimum(org.c0, mip.shape[1] - WIN_W), WIN_H, WIN_W))
+    awin = jnp.where(
+        sel[..., None],
+        sampler.extract_windows(albedo_next, org.ar0, org.ac0, AWIN_H, AWIN_W),
+        sampler.extract_windows(
+            albedo_mip, jnp.minimum(org.ar0, albedo_mip.shape[0] - AWIN_H),
+            jnp.minimum(org.ac0, albedo_mip.shape[1] - AWIN_W),
+            AWIN_H, AWIN_W))
     # Mean-center each height window: bilinear one-hot weights sum to 1, so
     # sample(win) == sample(win - mean) + mean EXACTLY, and the centered
     # residuals (~1e-3 of radius) survive the MXU's bf16 operand precision
@@ -179,15 +271,20 @@ def extract_window_cache(mip, albedo_mip, org: WindowOrigins) -> WindowCache:
     return WindowCache(hwin=hwin - hmean[..., None], hmean=hmean, awin=awin)
 
 
-def _local_coords(lat, lon, h: int, w: int, r0, c0):
-    """Window-local fractional coords; seam-aware via padded columns."""
+def _local_coords(lat, lon, h: int, w: int, r0, c0, q):
+    """Window-local fractional coords in the block's stride level;
+    seam-aware via padded columns."""
     row, col = latlon_to_rowcol(lat, lon, h, w)
-    col = jnp.where(col < c0[:, None].astype(col.dtype) - 0.5, col + w, col)
+    qb = q[:, None]
+    row = (row + 0.5) / qb - 0.5
+    col = (col + 0.5) / qb - 0.5
+    col = jnp.where(col < c0[:, None].astype(col.dtype) - 0.5,
+                    col + w / qb, col)
     return row - r0[:, None], col - c0[:, None]
 
 
-def _sample_height(cache: WindowCache, lat, lon, h, w, r0, c0):
-    wy, wx = _local_coords(lat, lon, h, w, r0, c0)
+def _sample_height(cache: WindowCache, lat, lon, h, w, org):
+    wy, wx = _local_coords(lat, lon, h, w, org.r0, org.c0, org.q)
     return window_bilinear(cache.hwin, wy, wx) + cache.hmean
 
 
@@ -203,7 +300,7 @@ def march_blocks(cache: WindowCache, org: WindowOrigins, geom: RayGeom,
     def field(t):
         p = ob + t[..., None] * db
         lat, lon = unit_to_latlon(p)
-        hs = _sample_height(cache, lat, lon, h, w, org.r0, org.c0)
+        hs = _sample_height(cache, lat, lon, h, w, org)
         return jnp.linalg.norm(p, axis=-1) - C.MOON_RADIUS * hs
 
     def coarse(k, carry):
@@ -238,13 +335,13 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
                  h: int, w: int, ah: int, aw: int,
                  lat, lon, p, fp: FrameParams, shadow):
     """Normals from height windows, albedo from coarse windows, Lambert."""
-    hs = _sample_height(cache, lat, lon, h, w, org.r0, org.c0)
-    dlat = 0.5 * 180.0 / h
+    hs = _sample_height(cache, lat, lon, h, w, org)
+    dlat = (0.5 * 180.0 / h) * org.q[:, None]
     coslat = jnp.maximum(jnp.cos(jnp.deg2rad(lat)), 0.05)
     dlon = dlat / coslat
 
     def spoint(la, lo):
-        hv = _sample_height(cache, la, lo, h, w, org.r0, org.c0)
+        hv = _sample_height(cache, la, lo, h, w, org)
         return C.MOON_RADIUS * hv[..., None] * latlon_to_unit(la, lo)
 
     p_c = C.MOON_RADIUS * hs[..., None] * latlon_to_unit(lat, lon)
@@ -253,7 +350,7 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
     n = normalize(n)
     n = jnp.where(jnp.sum(n * p_c, axis=-1, keepdims=True) < 0.0, -n, n)
 
-    awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0)
+    awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0, org.q)
     albedo = window_bilinear(cache.awin, awy, awx)
     return shade_lambert(albedo, n, p, fp, shadow)
 
@@ -262,7 +359,9 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
 
 def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindows:
     """Per-block windows into the sun-frame shadow map (rebuilt on time or
-    camera change). Footprints from the chord endpoints."""
+    camera change). Footprints from the chord endpoints; blocks spanning
+    more than a window sample a 2x-decimated copy of the map (the penumbra
+    is smooth, so decimation is benign)."""
     from moonrtx_tpu.ops import shadow_scan
 
     n_phi = shadow_map.shape[1] - shadow_scan.PHI_PAD
@@ -272,19 +371,37 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindow
     rows_b, cols_b = shadow_scan.rowcol_of_points(smap_params, n_phi, p_b)
     rows = jnp.concatenate([rows_a, rows_b], axis=1)
     cols = jnp.concatenate([cols_a, cols_b], axis=1)
-    sr0, sc0 = _origin_from_footprint(rows, cols, n_phi, SWIN_H, SWIN_W,
-                                      shadow_map.shape[0], shadow_map.shape[1])
-    swin = sampler.extract_windows(shadow_map, sr0, sc0, SWIN_H, SWIN_W)
-    return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0)
+
+    _, _, r_span, c_span = _footprint(rows, cols, n_phi)
+    sq = jnp.where((r_span > SWIN_H - 4.0) | (c_span > SWIN_W - 4.0), 2.0, 1.0)
+    rq = (rows + 0.5) / sq[:, None] - 0.5
+    cq = (cols + 0.5) / sq[:, None] - 0.5
+    half = shadow_map[: shadow_map.shape[0] // 2 * 2,
+                      : shadow_map.shape[1] // 2 * 2]
+    half = 0.25 * (half[::2, ::2] + half[1::2, ::2]
+                   + half[::2, 1::2] + half[1::2, 1::2])
+    sr0, sc0 = _origin_from_footprint(
+        rq, cq, n_phi / sq, SWIN_H, SWIN_W,
+        shadow_map.shape[0] / sq, shadow_map.shape[1] / sq)
+    swin = jnp.where(
+        (sq > 1.5)[:, None, None],
+        sampler.extract_windows(half, sr0, sc0, SWIN_H, SWIN_W),
+        sampler.extract_windows(
+            shadow_map, jnp.minimum(sr0, shadow_map.shape[0] - SWIN_H),
+            jnp.minimum(sc0, shadow_map.shape[1] - SWIN_W), SWIN_H, SWIN_W))
+    return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)
 
 
 def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
     from moonrtx_tpu.ops import shadow_scan
 
     rows, cols = shadow_scan.rowcol_of_points(smap_params, n_phi, p)
+    qb = sw.sq[:, None]
+    rows = (rows + 0.5) / qb - 0.5
+    cols = (cols + 0.5) / qb - 0.5
     cols = jnp.where(cols < sw.sc0[:, None].astype(cols.dtype) - 0.5,
-                     cols + n_phi, cols)
-    theta_ok = rows < shadow_scan_total_rows(smap_params) - 1.001
+                     cols + n_phi / qb, cols)
+    theta_ok = (rows * qb) < shadow_scan_total_rows(smap_params) - 1.001
     val = window_bilinear(sw.swin, rows - sw.sr0[:, None], cols - sw.sc0[:, None])
     return jnp.where(theta_ok, val, 0.0)
 

@@ -21,7 +21,7 @@ import numpy as np
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.astro import calculate_ephemeris
 from moonrtx_tpu.config import RenderConfig
-from moonrtx_tpu.data.mips import build_mips, pad_lon_wrap, select_level
+from moonrtx_tpu.data.mips import build_mips, coarse_max_map, pad_lon_wrap, select_level
 from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
@@ -32,7 +32,7 @@ from moonrtx_tpu.types import Camera, MoonEphemeris
 
 # Wrapped longitude columns appended to every mip: must cover the widest
 # sampling window of the blocked backend plus slack.
-PAD_COLS = 128
+PAD_COLS = 192
 
 
 def default_camera() -> Camera:
@@ -77,6 +77,7 @@ class MoonScene:
 
         self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
                      for m in build_mips(elevation)]
+        self.maxmap = jnp.asarray(coarse_max_map(elevation))
         self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS) for m in self.mips]
         albedo_mips = build_mips(albedo)
         # albedo pyramid aligned level-for-level with the heightfield pyramid
@@ -230,8 +231,12 @@ class MoonScene:
             self._origins = blocked.window_origins(
                 geom, h, w, self.mips[level].shape[1], ah, aw,
                 self.albedo_mips[alevel].shape[1])
+            nlevel = min(level + 1, len(self.mips) - 1)
+            nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
             self._wincache = blocked.extract_window_cache(
-                self.mips[level], self.albedo_mips[alevel], self._origins)
+                self.mips[level], self.mips[nlevel],
+                self.albedo_mips[alevel], self.albedo_mips[nalevel],
+                self._origins)
             self._cache_level = level
             self._shadowwin = None
         if self.shadows_on and self._shadowwin is None:
@@ -254,7 +259,8 @@ class MoonScene:
 
         if self.backend == "blocked" and self.displaced:
             geom = blocked.block_rays(self.basis(), self._fp.rotation, jitter,
-                                      self.height, self.width, self.h_min)
+                                      self.height, self.width, self.h_min,
+                                      maxmap=self.maxmap)
             alevel = self._ensure_blocked_caches(level, geom)
             ah, aw = self.mip_shapes[alevel]
             if self.shadows_on:

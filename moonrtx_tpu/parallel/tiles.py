@@ -35,7 +35,8 @@ from moonrtx_tpu.ops import sampler
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse"),
 )
-def render_frame_sharded(mesh: Mesh, mip, albedo_mip,
+def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
+                         albedo_next, maxmap,
                          basis: CameraBasis, fp: FrameParams, jitter,
                          height: int, width: int, h: int, w: int,
                          ah: int, aw: int, h_min: float,
@@ -53,14 +54,16 @@ def render_frame_sharded(mesh: Mesh, mip, albedo_mip,
     mip_pad_w = mip.shape[1]
     a_pad_w = albedo_mip.shape[1]
 
-    def strip(mip, albedo_mip, basis, fp, jitter):
+    def strip(mip, mip_next, albedo_mip, albedo_next, maxmap, basis,
+              fp, jitter):
         idx = jax.lax.axis_index(TILE_AXIS)
         row_offset = idx * strip_h
         geom = blocked.block_rays(basis, fp.rotation, jitter,
-                                  strip_h, width, h_min,
+                                  strip_h, width, h_min, maxmap=maxmap,
                                   row_offset=row_offset, full_height=height)
         org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w)
-        cache = blocked.extract_window_cache(mip, albedo_mip, org)
+        cache = blocked.extract_window_cache(mip, mip_next, albedo_mip,
+                                             albedo_next, org)
         hit, t_hit, lat, lon, p = blocked.march_blocks(
             cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
         shadow = jnp.ones_like(t_hit)
@@ -82,10 +85,10 @@ def render_frame_sharded(mesh: Mesh, mip, albedo_mip,
 
     return shard_map(
         strip, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,  # loop carries are device-varying by construction
-    )(mip, albedo_mip, basis, fp, jitter)
+    )(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp, jitter)
 
 
 @functools.partial(

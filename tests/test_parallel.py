@@ -47,8 +47,11 @@ def test_sharded_frame_matches_single_device(setup):
     h, w = scene.mip_shapes[level]
     alevel = min(level + blocked.ALB_DOWN, len(scene.albedo_mips) - 1)
     ah, aw = scene.mip_shapes[alevel]
+    nlevel = min(level + 1, len(scene.mips) - 1)
+    nalevel = min(alevel + 1, len(scene.albedo_mips) - 1)
     rgb, hitbuf = render_frame_sharded(
-        mesh, scene.mips[level], scene.albedo_mips[alevel],
+        mesh, scene.mips[level], scene.mips[nlevel],
+        scene.albedo_mips[alevel], scene.albedo_mips[nalevel], scene.maxmap,
         scene.basis(), scene._fp, jnp.zeros(2, jnp.float32),
         scene.height, scene.width, h, w, ah, aw, scene.h_min)
     rgb = np.asarray(rgb)
