@@ -45,7 +45,7 @@ def main():
     cfg = RenderConfig(
         observer=Observer(50.06, 19.94, 219),
         dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
-        width=1920, height=1080, shadow_accuracy=10,
+        width=1920, height=1080, shadow_accuracy=10, backend="pallas",
     ).validate()
     scene = MoonScene(cfg, elevation, radius_scale, albedo, None)
     scene.shadows_on = True
@@ -58,29 +58,32 @@ def main():
         scene.get_hit_at(scene.width // 2, scene.height // 2)
 
     # warm up / compile
-    t0 = time.time()
-    scene.render_accumulation_frame()
-    sync()
-    print(f"# first frame (compile+caches) {time.time()-t0:.0f}s", file=sys.stderr)
-
-    # steady-state accumulation frames (device work only)
     n = 8
     t0 = time.time()
-    for _ in range(n):
-        scene.render_accumulation_frame()
+    scene.render(n)
     sync()
-    dt_shadows = (time.time() - t0) / n
+    print(f"# first burst (compile+caches) {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # steady-state: n accumulation samples per device program
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        scene.reset_accumulation()
+        scene.render(n)
+    sync()
+    dt_shadows = (time.time() - t0) / (n * reps)
 
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
-    scene.render_accumulation_frame()
+    scene.render(n)
     sync()
     t0 = time.time()
-    for _ in range(n):
-        scene.render_accumulation_frame()
+    for _ in range(reps):
+        scene.reset_accumulation()
+        scene.render(n)
     sync()
-    dt_fast = (time.time() - t0) / n
+    dt_fast = (time.time() - t0) / (n * reps)
 
     rays = scene.width * scene.height
     baseline_ms = 1000.0 / 30.0

@@ -119,7 +119,8 @@ class ShadowWindows(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("height", "width", "full_height"))
 def block_rays(basis: CameraBasis, rotation, jitter,
                height: int, width: int, h_min: float,
-               maxmap=None, row_offset=0, full_height: int = None) -> RayGeom:
+               maxmap=None, h_bound=None, row_offset=0,
+               full_height: int = None) -> RayGeom:
     """Jittered rays + tightened shell-chord ranges (cheap; every frame).
 
     maxmap: optional dilated coarse max-height map (data.mips.coarse_max_map).
@@ -140,7 +141,7 @@ def block_rays(basis: CameraBasis, rotation, jitter,
     t_enter = jnp.maximum(t_enter, 0.0)
     t_end = jnp.where(hit_in & (t_in > 0), t_in, t_exit_out)
 
-    if maxmap is not None:
+    if maxmap is not None and h_bound is None:
         # per-block local height bound from a sparse chord sampling (16 rays
         # x 6 chord fractions per block on the dilated coarse map)
         mh, mw = maxmap.shape
@@ -158,6 +159,7 @@ def block_rays(basis: CameraBasis, rotation, jitter,
                         0, mw - 1)
         hs = jnp.take(maxmap.reshape(-1), rows * mw + cols)
         h_bound = jnp.max(hs.reshape(hs.shape[0], -1), axis=-1) + 2e-4
+    if h_bound is not None:
         r_bound = C.MOON_RADIUS * jnp.minimum(h_bound, 1.0)[:, None]
         # clip the chord to the segment inside the local-max sphere
         b = jnp.sum(ob * db, axis=-1)
@@ -448,3 +450,232 @@ def render_frame_blocked(cache: WindowCache, org: WindowOrigins,
         [jnp.where(hit_img[..., None], p_scene, 0.0),
          jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
     return RenderOutput(rgb=rgb, hitbuf=hitbuf)
+
+
+# ---- fused Pallas path ------------------------------------------------------
+
+class PackedWindows(NamedTuple):
+    """Kernel-layout window tensors (cached per pose alongside WindowCache)."""
+
+    hwin: jnp.ndarray     # (NS, G*WIN_H, WIN_W)
+    awin: jnp.ndarray     # (NS, G*AWIN_H, 3*AWIN_W) channel-major
+    swin: jnp.ndarray     # (NS, G*SWIN_H, SWIN_W)
+    scal: jnp.ndarray     # (NS, 9, G, B) lane-broadcast per-block scalars
+
+
+@jax.jit
+def pack_windows(cache: WindowCache, org: WindowOrigins,
+                 shadow_windows: Optional[ShadowWindows]) -> PackedWindows:
+    """Repack the blocked-backend caches into the fused kernel's layout.
+
+    Run once per pose/time change (it moves ~0.5 GB); the per-frame path
+    must not repack."""
+    nblk = cache.hwin.shape[0]
+    ns = nblk // GROUP
+    if shadow_windows is not None:
+        sr0 = shadow_windows.sr0
+        sc0 = shadow_windows.sc0
+        sq = shadow_windows.sq
+        swin = shadow_windows.swin
+    else:
+        sr0 = jnp.zeros((nblk,), jnp.int32)
+        sc0 = jnp.zeros((nblk,), jnp.int32)
+        sq = jnp.ones((nblk,), jnp.float32)
+        swin = jnp.zeros((nblk, SWIN_H, SWIN_W), jnp.float32)
+    scal = jnp.stack([
+        org.r0.astype(jnp.float32), org.c0.astype(jnp.float32),
+        cache.hmean[:, 0], org.q,
+        org.ar0.astype(jnp.float32), org.ac0.astype(jnp.float32),
+        sr0.astype(jnp.float32), sc0.astype(jnp.float32),
+        sq.astype(jnp.float32),
+    ])
+    scal = scal.reshape(9, ns, GROUP).transpose(1, 0, 2)
+    scal = jnp.broadcast_to(scal[..., None], (ns, 9, GROUP, BLOCK))
+    hwin = cache.hwin.reshape(ns, GROUP * WIN_H, WIN_W)
+    awin = jnp.moveaxis(cache.awin, 3, 2).reshape(nblk, AWIN_H, 3 * AWIN_W)
+    awin = awin.reshape(ns, GROUP * AWIN_H, 3 * AWIN_W)
+    swin = swin.reshape(ns, GROUP * SWIN_H, SWIN_W)
+    return PackedWindows(hwin=hwin, awin=awin, swin=swin,
+                         scal=scal + 0.0)
+
+
+def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool):
+    from moonrtx_tpu.ops import pallas_march as pk
+
+    light_body = mat3t_apply(fp.rotation, fp.light_pos)
+    if use_shadow and smap_params is not None:
+        params_list = [ob[0], ob[1], ob[2],
+                       light_body[0], light_body[1], light_body[2],
+                       fp.irradiance,
+                       smap_params.n_coarse, smap_params.n_fine,
+                       smap_params.n_phi,
+                       smap_params.axis_z[0], smap_params.axis_z[1],
+                       smap_params.axis_z[2],
+                       smap_params.axis_x[0], smap_params.axis_x[1],
+                       smap_params.axis_x[2]]
+    else:
+        z = jnp.float32(0.0)
+        params_list = [ob[0], ob[1], ob[2],
+                       light_body[0], light_body[1], light_body[2],
+                       fp.irradiance, z, z, jnp.float32(1.0),
+                       z, z, jnp.float32(1.0), jnp.float32(1.0), z, z]
+    return jnp.broadcast_to(
+        jnp.stack([jnp.asarray(v, jnp.float32)
+                   for v in params_list])[:, None, None],
+        (pk.N_PARAMS, GROUP, BLOCK))
+
+
+def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
+                  background, basis: CameraBasis, fp: FrameParams,
+                  height: int, width: int, h: int, w: int,
+                  n_coarse: int, use_shadow: bool,
+                  interpret: bool = False) -> RenderOutput:
+    from moonrtx_tpu.ops import pallas_march as pk
+
+    nblk = geom.db.shape[0]
+    ns = nblk // GROUP
+    dbx = geom.db[..., 0].reshape(ns, GROUP, BLOCK)
+    dby = geom.db[..., 1].reshape(ns, GROUP, BLOCK)
+    dbz = geom.db[..., 2].reshape(ns, GROUP, BLOCK)
+    t0 = geom.t_enter.reshape(ns, GROUP, BLOCK)
+    t1 = geom.t_end.reshape(ns, GROUP, BLOCK)
+    act = geom.hit_outer.astype(jnp.float32).reshape(ns, GROUP, BLOCK)
+
+    r, g, b, hitf, t_hit, px, py, pz = pk.march_shade_pallas(
+        params, dbx, dby, dbz, t0, t1, act, packed.scal,
+        packed.hwin, packed.awin, packed.swin,
+        h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
+        interpret=interpret)
+
+    rgb_b = jnp.stack([r, g, b], axis=-1).reshape(nblk, BLOCK, 3)
+    hit_b = hitf.reshape(nblk, BLOCK) > 0.5
+    t_b = t_hit.reshape(nblk, BLOCK)
+    p_b = jnp.stack([px, py, pz], axis=-1).reshape(nblk, BLOCK, 3)
+
+    rgb = from_blocks(rgb_b, height, width)
+    hit_img = from_blocks(hit_b, height, width)
+
+    disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
+    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
+                if background is None else background)
+    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
+    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
+
+    p_scene = mat3_apply(fp.rotation, from_blocks(p_b, height, width))
+    t_img = from_blocks(t_b, height, width)
+    hitbuf = jnp.concatenate(
+        [jnp.where(hit_img[..., None], p_scene, 0.0),
+         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    return RenderOutput(rgb=rgb, hitbuf=hitbuf)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "n_coarse", "use_shadow", "interpret"))
+def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
+                        geom: RayGeom,
+                        shadow_windows: Optional[ShadowWindows],
+                        smap_params, background,
+                        basis: CameraBasis, fp: FrameParams,
+                        height: int, width: int, h: int, w: int,
+                        n_coarse: int = 16, use_shadow: bool = True,
+                        interpret: bool = False) -> RenderOutput:
+    """Single frame through the fused kernel (packs windows; for repeated
+    samples use render_accumulate_pallas which packs once)."""
+    packed = pack_windows(cache, org,
+                          shadow_windows if use_shadow else None)
+    params = _kernel_params(geom.ob, fp, smap_params, use_shadow)
+    return _pallas_frame(packed, geom, params, background, basis, fp,
+                         height, width, h, w, n_coarse, use_shadow,
+                         interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "n_samples", "n_coarse", "use_shadow"))
+def render_accumulate_pallas(packed: PackedWindows,
+                             smap_params, background, maxmap,
+                             basis: CameraBasis, fp: FrameParams,
+                             jitters, height: int, width: int,
+                             h: int, w: int, h_min: float,
+                             n_samples: int = 8, n_coarse: int = 16,
+                             use_shadow: bool = True):
+    """N jittered accumulation samples in ONE device program: per sample,
+    jittered ray generation -> fused Pallas march+shade -> running mean.
+    Returns (rgb_mean, hitbuf of sample 0).
+
+    One dispatch per accumulation burst (one dispatch costs ~30 ms over the
+    axon tunnel). Per-sample work is pared to ray generation + the fused
+    kernel: the chord height bound is computed once (sub-pixel jitter moves
+    chords far less than the bound's dilation margin), samples accumulate in
+    block layout, and background/sun-disk/hit-buffer compositing runs once
+    at the end."""
+    from moonrtx_tpu.ops import pallas_march as pk
+
+    ob = mat3t_apply(fp.rotation, basis.eye)
+    params = _kernel_params(ob, fp, smap_params, use_shadow)
+
+    geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
+                       h_min, maxmap=maxmap)
+    nblk = geom0.db.shape[0]
+    ns = nblk // GROUP
+    # recover the per-block bound from geom0's tightened chords is not
+    # possible; recompute it once here for reuse across samples
+    h_bound = None
+    if maxmap is not None:
+        mh, mw = maxmap.shape
+        step = max(geom0.db.shape[1] // 16, 1)
+        fr = jnp.linspace(0.0, 1.0, 6, dtype=jnp.float32)
+        t_s = (geom0.t_enter[:, ::step][..., None]
+               + (geom0.t_end - geom0.t_enter)[:, ::step][..., None] * fr)
+        p_s = geom0.ob + t_s[..., None] * geom0.db[:, ::step][..., None, :]
+        lat_s, lon_s = unit_to_latlon(p_s)
+        rows = jnp.clip(((90.0 - lat_s) / 180.0 * mh).astype(jnp.int32),
+                        0, mh - 1)
+        cols = jnp.clip((((lon_s + 180.0) % 360.0) / 360.0 * mw
+                         ).astype(jnp.int32), 0, mw - 1)
+        hs = jnp.take(maxmap.reshape(-1), rows * mw + cols)
+        h_bound = jnp.max(hs.reshape(nblk, -1), axis=-1) + 3e-4
+
+    def run_kernel(geom):
+        dbx = geom.db[..., 0].reshape(ns, GROUP, BLOCK)
+        dby = geom.db[..., 1].reshape(ns, GROUP, BLOCK)
+        dbz = geom.db[..., 2].reshape(ns, GROUP, BLOCK)
+        t0 = geom.t_enter.reshape(ns, GROUP, BLOCK)
+        t1 = geom.t_end.reshape(ns, GROUP, BLOCK)
+        act = geom.hit_outer.astype(jnp.float32).reshape(ns, GROUP, BLOCK)
+        return pk.march_shade_pallas(
+            params, dbx, dby, dbz, t0, t1, act, packed.scal,
+            packed.hwin, packed.awin, packed.swin,
+            h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow)
+
+    out0 = run_kernel(geom0)
+    r0, g0, b0, hit0, t0_, px0, py0, pz0 = out0
+
+    def sample(i, carry):
+        ar, ag, ab = carry
+        geom = block_rays(basis, fp.rotation, jitters[i], height, width,
+                          h_min, h_bound=h_bound)
+        r, g, b, *_ = run_kernel(geom)
+        k = i + 1.0
+        return (ar + (r - ar) / k, ag + (g - ag) / k, ab + (b - ab) / k)
+
+    ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample, (r0, g0, b0))
+
+    # composite once
+    rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk, BLOCK, 3)
+    hit_b = hit0.reshape(nblk, BLOCK) > 0.5
+    p_b = jnp.stack([px0, py0, pz0], axis=-1).reshape(nblk, BLOCK, 3)
+    t_b = t0_.reshape(nblk, BLOCK)
+
+    rgb = from_blocks(rgb_b, height, width)
+    hit_img = from_blocks(hit_b, height, width)
+    disk = sun_disk_hit(basis.eye, geom0.dirs_scene, fp)
+    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
+                if background is None else background)
+    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
+    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
+    p_scene = mat3_apply(fp.rotation, from_blocks(p_b, height, width))
+    t_img = from_blocks(t_b, height, width)
+    hitbuf = jnp.concatenate(
+        [jnp.where(hit_img[..., None], p_scene, 0.0),
+         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    return rgb, hitbuf

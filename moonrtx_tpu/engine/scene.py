@@ -92,7 +92,8 @@ class MoonScene:
         # (display crops back to the requested size)
         self.out_width = config.width
         self.out_height = config.height
-        self.width = -(-config.width // blocked.BLOCK_W) * blocked.BLOCK_W
+        w_mult = blocked.BLOCK_W * blocked.GROUP  # pallas groups 8 blocks
+        self.width = -(-config.width // w_mult) * w_mult
         self.height = -(-config.height // blocked.BLOCK_H) * blocked.BLOCK_H
         self.dt_local: Optional[datetime] = config.dt_local
         self.brightness = config.brightness
@@ -107,6 +108,10 @@ class MoonScene:
         self.backend = config.backend
         if self.backend in ("auto", "mxu"):
             self.backend = "blocked"
+        if self.backend == "pallas" and jax.default_backend() not in ("tpu",):
+            # the fused kernel requires the Mosaic TPU compiler; CPU runs
+            # fall back to the XLA blocked path (same math)
+            self.backend = "blocked"
 
         self.ephem: Optional[MoonEphemeris] = None
         self._fp: Optional[FrameParams] = None
@@ -118,6 +123,7 @@ class MoonScene:
         self._origins = None         # WindowOrigins (per pose+level+rotation)
         self._wincache = None        # WindowCache
         self._shadowwin = None       # ShadowWindows
+        self._packed = None          # PackedWindows (pallas kernel layout)
         self._cache_level = None
         self._accum = None
         self._accum_n = 0
@@ -239,9 +245,15 @@ class MoonScene:
                 self._origins)
             self._cache_level = level
             self._shadowwin = None
+            self._packed = None
         if self.shadows_on and self._shadowwin is None:
             smap, sparams = self.shadow_args()
             self._shadowwin = blocked.build_shadow_windows(smap, sparams, geom)
+            self._packed = None
+        if self.backend == "pallas" and self._packed is None:
+            self._packed = blocked.pack_windows(
+                self._wincache, self._origins,
+                self._shadowwin if self.shadows_on else None)
         return alevel
 
     def render_accumulation_frame(self):
@@ -257,7 +269,7 @@ class MoonScene:
         else:
             jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
 
-        if self.backend == "blocked" and self.displaced:
+        if self.backend in ("blocked", "pallas") and self.displaced:
             geom = blocked.block_rays(self.basis(), self._fp.rotation, jitter,
                                       self.height, self.width, self.h_min,
                                       maxmap=self.maxmap)
@@ -271,10 +283,18 @@ class MoonScene:
                 sparams, n_phi, shadow_windows = None, 0, None
             jitter_t = (jnp.float32(0.5) if self._accum_n == 0
                         else jnp.asarray(self._rng.random(), jnp.float32))
-            out = blocked.render_frame_blocked(
-                self._wincache, self._origins, geom, shadow_windows, sparams,
-                self.background(), self.basis(), self._fp, jitter_t,
-                self.height, self.width, h, w, ah, aw, n_phi=n_phi)
+            if self.backend == "pallas":
+                out = blocked.render_frame_pallas(
+                    self._wincache, self._origins, geom, shadow_windows,
+                    sparams, self.background(), self.basis(), self._fp,
+                    self.height, self.width, h, w,
+                    use_shadow=self.shadows_on)
+            else:
+                out = blocked.render_frame_blocked(
+                    self._wincache, self._origins, geom, shadow_windows,
+                    sparams, self.background(), self.basis(), self._fp,
+                    jitter_t, self.height, self.width, h, w, ah, aw,
+                    n_phi=n_phi)
         else:
             out = render_mod.render_frame(
                 tex, alb, self.background(), self.shadow_args(),
@@ -295,9 +315,42 @@ class MoonScene:
         """Accumulate up to n_frames samples and return the display image
         (uint8 RGB)."""
         n = n_frames if n_frames is not None else self.config.accumulation_frames
+        if (self.backend == "pallas" and self.displaced
+                and self._accum_n == 0 and n > 0):
+            self.render_accumulation_burst(n)
+            return self.display()
         while self._accum_n < n:
             self.render_accumulation_frame()
         return self.display()
+
+    def render_accumulation_burst(self, n_samples: int) -> None:
+        """All accumulation samples in one device program (pallas backend)."""
+        if self.ephem is None:
+            self.update_view(self.dt_local)
+        level = self.mip_level()
+        h, w = self.mip_shapes[level]
+        geom = blocked.block_rays(self.basis(), self._fp.rotation,
+                                  jnp.zeros(2, jnp.float32),
+                                  self.height, self.width, self.h_min,
+                                  maxmap=self.maxmap)
+        self._ensure_blocked_caches(level, geom)
+        if self.shadows_on:
+            smap, sparams = self.shadow_args()
+            shadow_windows = self._shadowwin
+        else:
+            sparams, shadow_windows = None, None
+        jitters = jnp.concatenate([
+            jnp.zeros((1, 2), jnp.float32),
+            jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
+                        jnp.float32)])
+        accum, hitbuf = blocked.render_accumulate_pallas(
+            self._packed, sparams,
+            self.background(), self.maxmap, self.basis(), self._fp,
+            jitters, self.height, self.width, h, w, self.h_min,
+            n_samples=n_samples, use_shadow=self.shadows_on)
+        self._accum = accum
+        self._hitbuf = hitbuf
+        self._accum_n = n_samples
 
     def display(self) -> np.ndarray:
         if self._accum_n == 0:

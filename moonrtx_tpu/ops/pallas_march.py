@@ -1,17 +1,22 @@
 """Fused Pallas march+shade kernel — the production render path.
 
-One program per 128-ray block. The block's height/albedo/shadow windows are
-staged into VMEM by the Pallas pipeline; the entire intersection march,
-bisection refinement, normal estimation, albedo lookup, shadow lookup and
-Lambert shading run in VMEM with zero HBM intermediates. The XLA blocked
-backend materializes ~2.4 GB of one-hot weights and row-mixes in HBM per
-field evaluation (measured 141 ms/frame at 1080p); this kernel keeps them
-in registers/VMEM.
+One program per GROUP of 8 horizontally-adjacent 8x16-pixel blocks
+(an 8x128-pixel strip): every per-ray tensor is a native (8, 128) VPU
+register tile, with one sampling window per sublane-block contracted by a
+batched MXU dot. The entire intersection march, bisection, normal
+estimation, albedo lookup, shadow lookup and Lambert shading run in VMEM
+with zero HBM intermediates — the XLA blocked backend materializes the
+one-hot weight and row-mix tensors in HBM every field evaluation.
 
-Bilinear sampling = hat-function weights (relu(1 - |iota - x|), exactly the
-bilinear kernel) contracted on the MXU in bfloat16 against mean-centered
-windows (see engine.blocked.extract_window_cache for why centering makes
-bf16 exact to ~1e-5).
+Bilinear sampling = hat-function weights relu(1 - |iota - x|) (exactly the
+bilinear kernel) against mean-centered windows in bfloat16 (see
+engine.blocked.extract_window_cache for the exactness argument).
+
+Mosaic notes (this environment's compiler, determined empirically):
+* iota must be integer dtype, cast after;
+* dynamic ref slicing with computed scalars crashes the compiler — all
+  per-block values stream in as lane-broadcast (8, 128) vectors instead;
+* batched dot_general (8,128,K)@(8,K,N) and 3D elementwise are supported.
 """
 
 from __future__ import annotations
@@ -27,275 +32,299 @@ from jax.experimental.pallas import tpu as pltpu
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.engine import blocked
 
-B = blocked.BLOCK            # 128 rays
-WIN_H = blocked.WIN_H
-WIN_W = blocked.WIN_W
-AWIN_H = blocked.AWIN_H
-AWIN_W = blocked.AWIN_W
-SWIN_H = blocked.SWIN_H
-SWIN_W = blocked.SWIN_W
+G = blocked.GROUP            # 8 blocks per program
+B = blocked.BLOCK            # 128 rays per block
+WH = blocked.WIN_H
+WW = blocked.WIN_W
+AH = blocked.AWIN_H
+AW = blocked.AWIN_W
+SH = blocked.SWIN_H
+SW = blocked.SWIN_W
 
 RAD2DEG = 180.0 / math.pi
+DEG2RAD = math.pi / 180.0
+
+# params vector layout (16, 128) broadcast rows:
+#  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
+#  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
+N_PARAMS = 16
 
 
-def _hat_weights(x, n: int):
-    """Bilinear hat weights: (B, n) with w[i, j] = max(0, 1 - |j - x_i|)."""
-    cols = jax.lax.broadcasted_iota(jnp.float32, (B, n), 1)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - x[:, None]))
+def _atan2(y, x):
+    """Vector atan2 (Mosaic has no atan2 lowering): octant reduction plus a
+    degree-11 odd minimax polynomial, ~1e-6 rad max error — far below a
+    texel (~1e-3 rad) at any supported mip level."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    s = a * a
+    r = a * (0.99997726 + s * (-0.33262347 + s * (0.19354346 + s * (
+        -0.11643287 + s * (0.05265332 + s * (-0.01172120))))))
+    r = jnp.where(ay > ax, 0.5 * math.pi - r, r)
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
 
 
-def _bilinear(win_c, mean, wy, wx, n_h: int, n_w: int):
-    """Sample a mean-centered (n_h, n_w) window at (B,) fractional coords."""
+def _hat_t(x, n: int):
+    """(G, n, B) bilinear hat weights from (G, B) coords.
+
+    The window dimension sits on SUBLANES and rays on LANES so every
+    elementwise op runs at full 128-lane width (putting the window dim on
+    lanes measured ~4x slower on v5e)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, n, B), 1).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(rows - x[:, None, :]))
+
+
+def _bsample(win8, wy, wx, n_h: int, n_w: int):
+    """Batched bilinear: win8 (G, n_h, n_w) bf16, coords (G, B) -> (G, B).
+
+    mix[g, c, b] = sum_r win[g, r, c] * wr[g, r, b] keeps rays on lanes for
+    both the MXU contraction (N = 128) and the final masked reduction."""
     wy = jnp.clip(wy, 0.0, n_h - 1.001)
     wx = jnp.clip(wx, 0.0, n_w - 1.001)
-    wr = _hat_weights(wy, n_h).astype(jnp.bfloat16)
-    rowmix = jax.lax.dot_general(
-        wr, win_c, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (B, n_w)
-    wc = _hat_weights(wx, n_w)
-    return jnp.sum(rowmix * wc, axis=1) + mean
+    wr = _hat_t(wy, n_h).astype(jnp.bfloat16)          # (G, n_h, B)
+    mix = jax.lax.dot_general(win8, wr, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)  # (G,n_w,B)
+    wc = _hat_t(wx, n_w)                                # (G, n_w, B)
+    return jnp.sum(mix * wc, axis=1)
 
 
-def _kernel(params_ref,                      # SMEM (1, 16)
-            scal_ref,                        # SMEM (1, 8) per-block scalars
-            db_ref, t0_ref, t1_ref, act_ref,  # VMEM ray blocks
-            hwin_ref, awin_ref, swin_ref,     # VMEM windows
-            rgb_ref, hit_ref, thit_ref, px_ref, py_ref, pz_ref,
-            *, h: int, w: int, n_coarse: int, n_bisect: int,
-            use_shadow: bool):
-    obx = params_ref[0, 0]
-    oby = params_ref[0, 1]
-    obz = params_ref[0, 2]
-    lx = params_ref[0, 3]
-    ly = params_ref[0, 4]
-    lz = params_ref[0, 5]
-    irradiance = params_ref[0, 6]
-    smap_rows_c = params_ref[0, 7]   # shadow grid: n_coarse rows
-    smap_rows_f = params_ref[0, 8]   # n_fine rows
-    smap_nphi = params_ref[0, 9]
-    sax = (params_ref[0, 10], params_ref[0, 11], params_ref[0, 12])  # unused slot
-    r0 = scal_ref[0, 0]
-    c0 = scal_ref[0, 1]
-    ar0 = scal_ref[0, 2]
-    ac0 = scal_ref[0, 3]
-    sr0 = scal_ref[0, 4]
-    sc0 = scal_ref[0, 5]
-    hmean = scal_ref[0, 6]
+def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
+                 use_shadow: bool):
+    def kernel(params_ref, dbx_ref, dby_ref, dbz_ref, t0_ref, t1_ref,
+               act_ref, scal_ref, hwin_ref, awin_ref, swin_ref,
+               r_ref, g_ref, b_ref, hit_ref, thit_ref,
+               px_ref, py_ref, pz_ref):
+        def P(i):
+            # params arrive as lane/sublane-broadcast (8, 128) planes:
+            # scalar VMEM reads lower to slow gather+broadcast chains
+            return params_ref[i]
 
-    dbx = db_ref[0, :, 0]
-    dby = db_ref[0, :, 1]
-    dbz = db_ref[0, :, 2]
-    t_enter = t0_ref[0, :]
-    t_end = t1_ref[0, :]
-    active = act_ref[0, :] > 0.5
-    span = t_end - t_enter
+        obx, oby, obz = P(0), P(1), P(2)
+        lxp, lyp, lzp = P(3), P(4), P(5)
+        irradiance = P(6)
 
-    hwin = hwin_ref[0].astype(jnp.bfloat16)
+        # per-block lane-broadcast scalars (G, B):
+        # 0 r0 | 1 c0 | 2 hmean | 3 q | 4 ar0 | 5 ac0 | 6 sr0 | 7 sc0 | 8 sq
+        r0 = scal_ref[0, 0]
+        c0 = scal_ref[0, 1]
+        hmean = scal_ref[0, 2]
+        q = scal_ref[0, 3]
+        ar0 = scal_ref[0, 4]
+        ac0 = scal_ref[0, 5]
+        sr0 = scal_ref[0, 6]
+        sc0 = scal_ref[0, 7]
+        sq = scal_ref[0, 8]
 
-    def height_at(px, py, pz):
-        r = jnp.sqrt(px * px + py * py + pz * pz)
-        lat = jnp.arctan2(pz, jnp.sqrt(jnp.maximum(px * px + py * py, 1e-20)))
-        lon = jnp.arctan2(px, -py)
-        row = (90.0 - lat * RAD2DEG) * (h / 180.0) - 0.5
-        col = ((lon * RAD2DEG + 180.0) % 360.0) * (w / 360.0) - 0.5
-        col = jnp.where(col < 0.0, col + w, col)
-        col = jnp.where(col < c0 - 0.5, col + w, col)
-        hs = _bilinear(hwin, hmean, row - r0, col - c0, WIN_H, WIN_W)
-        return hs, r, lat, lon
+        dbx = dbx_ref[0]
+        dby = dby_ref[0]
+        dbz = dbz_ref[0]
+        t_enter = t0_ref[0]
+        t_end = t1_ref[0]
+        active = act_ref[0] > 0.5
+        span = t_end - t_enter
 
-    def field(t):
-        px = obx + t * dbx
-        py = oby + t * dby
-        pz = obz + t * dbz
-        hs, r, _, _ = height_at(px, py, pz)
-        return r - C.MOON_RADIUS * hs
+        hwin = hwin_ref[0].reshape(G, WH, WW).astype(jnp.bfloat16)
 
-    def coarse(k, carry):
-        found, t_lo, t_hi = carry
-        frac = (k + 0.5) / n_coarse
-        t_k = t_enter + span * frac
-        f_k = field(t_k)
-        newly = jnp.logical_and(jnp.logical_not(found),
-                                jnp.logical_and(f_k < 0.0, active))
-        t_prev = t_enter + span * jnp.maximum(frac - 1.0 / n_coarse, 0.0)
-        t_lo = jnp.where(newly, t_prev, t_lo)
-        t_hi = jnp.where(newly, t_k, t_hi)
-        return jnp.logical_or(found, newly), t_lo, t_hi
+        def latlon(px, py, pz):
+            lat = _atan2(pz, jnp.sqrt(jnp.maximum(px * px + py * py, 1e-20)))
+            lon = _atan2(px, -py)
+            return lat, lon
 
-    found0 = jnp.zeros((B,), jnp.bool_)
-    found, t_lo, t_hi = jax.lax.fori_loop(
-        0, n_coarse + 1, coarse, (found0, t_enter, t_end))
+        def hcoords(lat, lon):
+            row = (90.0 - lat * RAD2DEG) * (h / 180.0) - 0.5
+            lon_w = lon * RAD2DEG + 180.0
+            lon_w = lon_w - 360.0 * jnp.floor(lon_w / 360.0)
+            col = lon_w * (w / 360.0) - 0.5
+            col = jnp.where(col < 0.0, col + w, col)
+            row = (row + 0.5) / q - 0.5
+            col = (col + 0.5) / q - 0.5
+            col = jnp.where(col < c0 - 0.5, col + w / q, col)
+            return row - r0, col - c0
 
-    def bisect(_, carry):
-        t_lo, t_hi = carry
-        t_mid = 0.5 * (t_lo + t_hi)
-        outside = field(t_mid) > 0.0
-        return (jnp.where(outside, t_mid, t_lo),
-                jnp.where(outside, t_hi, t_mid))
+        def height_at(lat, lon):
+            wy, wx = hcoords(lat, lon)
+            return _bsample(hwin, wy, wx, WH, WW) + hmean
 
-    t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect, (t_lo, t_hi))
-    t_hit = 0.5 * (t_lo + t_hi)
+        def field(t):
+            px = obx + t * dbx
+            py = oby + t * dby
+            pz = obz + t * dbz
+            lat, lon = latlon(px, py, pz)
+            r = jnp.sqrt(px * px + py * py + pz * pz)
+            return r - C.MOON_RADIUS * height_at(lat, lon)
 
-    px = obx + t_hit * dbx
-    py = oby + t_hit * dby
-    pz = obz + t_hit * dbz
-    hs, r, lat, lon = height_at(px, py, pz)
+        activef = jnp.where(active, 1.0, 0.0)
 
-    # --- normal from central differences on the height window -------------
-    dlat = 0.5 * math.pi / h
-    coslat = jnp.maximum(jnp.cos(lat), 0.05)
-    dlon = dlat / coslat
+        def coarse(k, carry):
+            found, t_lo, t_hi = carry  # found is a f32 mask (bool vector
+            # loop carriers fail to legalize in this Mosaic build)
+            frac = (k + 0.5) / n_coarse
+            t_k = t_enter + span * frac
+            f_k = field(t_k)
+            newly = (1.0 - found) * jnp.where(f_k < 0.0, 1.0, 0.0) * activef
+            t_prev = t_enter + span * jnp.maximum(frac - 1.0 / n_coarse, 0.0)
+            return (jnp.maximum(found, newly),
+                    jnp.where(newly > 0.5, t_prev, t_lo),
+                    jnp.where(newly > 0.5, t_k, t_hi))
 
-    def spoint(la, lo):
-        row = (90.0 - la * RAD2DEG) * (h / 180.0) - 0.5
-        col = ((lo * RAD2DEG + 180.0) % 360.0) * (w / 360.0) - 0.5
-        col = jnp.where(col < 0.0, col + w, col)
-        col = jnp.where(col < c0 - 0.5, col + w, col)
-        hv = _bilinear(hwin, hmean, row - r0, col - c0, WIN_H, WIN_W)
-        rr = C.MOON_RADIUS * hv
-        cl = jnp.cos(la)
-        return rr * cl * jnp.sin(lo), -rr * cl * jnp.cos(lo), rr * jnp.sin(la)
+        found0 = jnp.zeros((G, B), jnp.float32)
+        foundf, t_lo, t_hi = jax.lax.fori_loop(
+            0, n_coarse + 1, coarse, (found0, t_enter, t_end))
+        found = foundf > 0.5
 
-    ex, ey, ez = spoint(lat, lon + dlon)
-    wx_, wy_, wz_ = spoint(lat, lon - dlon)
-    nx_, ny_, nz_ = spoint(lat + dlat, lon)
-    sx_, sy_, sz_ = spoint(lat - dlat, lon)
-    ax, ay, az = ex - wx_, ey - wy_, ez - wz_
-    bx, by, bz = nx_ - sx_, ny_ - sy_, nz_ - sz_
-    nX = ay * bz - az * by
-    nY = az * bx - ax * bz
-    nZ = ax * by - ay * bx
-    nn = jax.lax.rsqrt(jnp.maximum(nX * nX + nY * nY + nZ * nZ, 1e-20))
-    nX, nY, nZ = nX * nn, nY * nn, nZ * nn
-    outward = nX * px + nY * py + nZ * pz
-    sgn = jnp.where(outward < 0.0, -1.0, 1.0)
-    nX, nY, nZ = nX * sgn, nY * sgn, nZ * sgn
+        def bisect(_, carry):
+            t_lo, t_hi = carry
+            t_mid = 0.5 * (t_lo + t_hi)
+            outside = field(t_mid) > 0.0
+            return (jnp.where(outside, t_mid, t_lo),
+                    jnp.where(outside, t_hi, t_mid))
 
-    # --- albedo from the coarse window (channel-major columns R|G|B) ------
-    ah2 = h // (2 ** blocked.ALB_DOWN)
-    aw2 = w // (2 ** blocked.ALB_DOWN)
-    arow = (90.0 - lat * RAD2DEG) * (ah2 / 180.0) - 0.5
-    acol = ((lon * RAD2DEG + 180.0) % 360.0) * (aw2 / 360.0) - 0.5
-    acol = jnp.where(acol < 0.0, acol + aw2, acol)
-    acol = jnp.where(acol < ac0 - 0.5, acol + aw2, acol)
-    awy = jnp.clip(arow - ar0, 0.0, AWIN_H - 1.001)
-    awx = jnp.clip(acol - ac0, 0.0, AWIN_W - 1.001)
-    awr = _hat_weights(awy, AWIN_H).astype(jnp.bfloat16)
-    amix = jax.lax.dot_general(
-        awr, awin_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (B, 3*AWIN_W)
-    awc = _hat_weights(awx, AWIN_W)
-    alb_r = jnp.sum(amix[:, 0 * AWIN_W:1 * AWIN_W] * awc, axis=1)
-    alb_g = jnp.sum(amix[:, 1 * AWIN_W:2 * AWIN_W] * awc, axis=1)
-    alb_b = jnp.sum(amix[:, 2 * AWIN_W:3 * AWIN_W] * awc, axis=1)
+        t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect, (t_lo, t_hi))
+        t_hit = 0.5 * (t_lo + t_hi)
 
-    # --- shadow lookup ------------------------------------------------------
-    if use_shadow:
-        szx = params_ref[0, 10]
-        szy = params_ref[0, 11]
-        szz = params_ref[0, 12]
-        sxx = params_ref[0, 13]
-        sxy = params_ref[0, 14]
-        sxz = params_ref[0, 15]
-        # y axis = z cross x
-        syx = szy * sxz - szz * sxy
-        syy = szz * sxx - szx * sxz
-        syz = szx * sxy - szy * sxx
-        zc = px * szx + py * szy + pz * szz
-        xc = px * sxx + py * sxy + pz * sxz
-        yc = px * syx + py * syy + pz * syz
-        rho = jnp.sqrt(jnp.maximum(xc * xc + yc * yc, 1e-20))
-        theta = jnp.arctan2(rho, zc) * RAD2DEG
-        phi = jnp.arctan2(yc, xc)
-        phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
-        in_coarse = theta < 75.0
-        srow = jnp.where(
-            in_coarse,
-            theta * (smap_rows_c / 75.0),
-            smap_rows_c + (theta - 75.0) * ((smap_rows_f - 1.0) / 30.0))
-        srow = jnp.minimum(srow, smap_rows_c + smap_rows_f - 1.001)
-        scol = phi * (smap_nphi / (2.0 * math.pi)) - 0.5
-        scol = jnp.where(scol < 0.0, scol + smap_nphi, scol)
-        scol = jnp.where(scol < sc0 - 0.5, scol + smap_nphi, scol)
-        shadow = _bilinear(swin_ref[0].astype(jnp.bfloat16), 0.0,
-                           srow - sr0, scol - sc0, SWIN_H, SWIN_W)
-        shadow = jnp.clip(shadow, 0.0, 1.0)
-        shadow = jnp.where(theta >= 105.0, 0.0, shadow)
-    else:
-        shadow = jnp.ones((B,), jnp.float32)
+        px = obx + t_hit * dbx
+        py = oby + t_hit * dby
+        pz = obz + t_hit * dbz
+        lat, lon = latlon(px, py, pz)
+        hs = height_at(lat, lon)
 
-    # --- Lambert ------------------------------------------------------------
-    tlx = lx - px
-    tly = ly - py
-    tlz = lz - pz
-    inv = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20))
-    ndotl = jnp.maximum((nX * tlx + nY * tly + nZ * tlz) * inv, 0.0)
-    lum = irradiance * ndotl * shadow
-    hitf = jnp.logical_and(found, active)
-    lum = jnp.where(hitf, lum, 0.0)
+        # normal: central differences at half-texel (stride-scaled) spacing
+        dlat = (0.5 * math.pi / h) * q
+        coslat = jnp.maximum(jnp.cos(lat), 0.05)
+        dlon = dlat / coslat
 
-    rgb_ref[0, :, 0] = alb_r * lum
-    rgb_ref[0, :, 1] = alb_g * lum
-    rgb_ref[0, :, 2] = alb_b * lum
-    hit_ref[0, :] = hitf.astype(jnp.float32)
-    thit_ref[0, :] = jnp.where(hitf, t_hit, 0.0)
-    px_ref[0, :] = jnp.where(hitf, px, 0.0)
-    py_ref[0, :] = jnp.where(hitf, py, 0.0)
-    pz_ref[0, :] = jnp.where(hitf, pz, 0.0)
+        def spoint(la, lo):
+            hv = height_at(la, lo)
+            rr = C.MOON_RADIUS * hv
+            cl = jnp.cos(la)
+            return rr * cl * jnp.sin(lo), -rr * cl * jnp.cos(lo), rr * jnp.sin(la)
+
+        e = spoint(lat, lon + dlon)
+        w_ = spoint(lat, lon - dlon)
+        n_ = spoint(lat + dlat, lon)
+        s_ = spoint(lat - dlat, lon)
+        ax, ay, az = e[0] - w_[0], e[1] - w_[1], e[2] - w_[2]
+        bx, by, bz = n_[0] - s_[0], n_[1] - s_[1], n_[2] - s_[2]
+        nX = ay * bz - az * by
+        nY = az * bx - ax * bz
+        nZ = ax * by - ay * bx
+        inv = jax.lax.rsqrt(jnp.maximum(nX * nX + nY * nY + nZ * nZ, 1e-20))
+        nX, nY, nZ = nX * inv, nY * inv, nZ * inv
+        sgn = jnp.where(nX * px + nY * py + nZ * pz < 0.0, -1.0, 1.0)
+        nX, nY, nZ = nX * sgn, nY * sgn, nZ * sgn
+
+        # albedo (channel-major window columns R|G|B)
+        ah2 = h  # albedo mip == height mip level (blocked.ALB_DOWN == 0)
+        aw2 = w
+        arow = (90.0 - lat * RAD2DEG) * (ah2 / 180.0) - 0.5
+        lon_w = lon * RAD2DEG + 180.0
+        lon_w = lon_w - 360.0 * jnp.floor(lon_w / 360.0)
+        acol = lon_w * (aw2 / 360.0) - 0.5
+        acol = jnp.where(acol < 0.0, acol + aw2, acol)
+        arow = (arow + 0.5) / q - 0.5
+        acol = (acol + 0.5) / q - 0.5
+        acol = jnp.where(acol < ac0 - 0.5, acol + aw2 / q, acol)
+        awy = jnp.clip(arow - ar0, 0.0, AH - 1.001)
+        awx = jnp.clip(acol - ac0, 0.0, AW - 1.001)
+        awin = awin_ref[0].reshape(G, AH, 3 * AW).astype(jnp.bfloat16)
+        awr = _hat_t(awy, AH).astype(jnp.bfloat16)     # (G, AH, B)
+        amix = jax.lax.dot_general(awin, awr, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        # amix: (G, 3*AW, B); channel-major column groups R|G|B
+        awc = _hat_t(awx, AW)                           # (G, AW, B)
+        alb_r = jnp.sum(amix[:, 0 * AW:1 * AW] * awc, axis=1)
+        alb_g = jnp.sum(amix[:, 1 * AW:2 * AW] * awc, axis=1)
+        alb_b = jnp.sum(amix[:, 2 * AW:3 * AW] * awc, axis=1)
+
+        # shadow factor
+        if use_shadow:
+            rows_c, rows_f, n_phi = P(7), P(8), P(9)
+            szx, szy, szz = P(10), P(11), P(12)
+            sxx, sxy, sxz = P(13), P(14), P(15)
+            syx = szy * sxz - szz * sxy
+            syy = szz * sxx - szx * sxz
+            syz = szx * sxy - szy * sxx
+            zc = px * szx + py * szy + pz * szz
+            xc = px * sxx + py * sxy + pz * sxz
+            yc = px * syx + py * syy + pz * syz
+            rho = jnp.sqrt(jnp.maximum(xc * xc + yc * yc, 1e-20))
+            theta = _atan2(rho, zc) * RAD2DEG
+            phi = _atan2(yc, xc)
+            phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+            srow = jnp.where(theta < 75.0,
+                             theta * (rows_c / 75.0),
+                             rows_c + (theta - 75.0) * ((rows_f - 1.0) / 30.0))
+            srow = jnp.minimum(srow, rows_c + rows_f - 1.001)
+            scol = phi * (n_phi / (2.0 * math.pi)) - 0.5
+            scol = jnp.where(scol < 0.0, scol + n_phi, scol)
+            srow = (srow + 0.5) / sq - 0.5
+            scol = (scol + 0.5) / sq - 0.5
+            scol = jnp.where(scol < sc0 - 0.5, scol + n_phi / sq, scol)
+            swin = swin_ref[0].reshape(G, SH, SW).astype(jnp.bfloat16)
+            shadow = _bsample(swin, srow - sr0, scol - sc0, SH, SW)
+            shadow = jnp.clip(shadow, 0.0, 1.0)
+            shadow = jnp.where(theta * 1.0 >= 105.0, 0.0, shadow)
+        else:
+            shadow = jnp.ones((G, B), jnp.float32)
+
+        # Lambert with the area-light irradiance calibration
+        tlx = lxp - px
+        tly = lyp - py
+        tlz = lzp - pz
+        inv_l = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz,
+                                          1e-20))
+        ndotl = jnp.maximum((nX * tlx + nY * tly + nZ * tlz) * inv_l, 0.0)
+        hitf = jnp.logical_and(found, active)
+        lum = jnp.where(hitf, irradiance * ndotl * shadow, 0.0)
+
+        r_ref[0] = alb_r * lum
+        g_ref[0] = alb_g * lum
+        b_ref[0] = alb_b * lum
+        hit_ref[0] = hitf.astype(jnp.float32)
+        thit_ref[0] = jnp.where(hitf, t_hit, 0.0)
+        px_ref[0] = jnp.where(hitf, px, 0.0)
+        py_ref[0] = jnp.where(hitf, py, 0.0)
+        pz_ref[0] = jnp.where(hitf, pz, 0.0)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_bisect",
-                                             "use_shadow"))
-def march_shade_pallas(params, scal, db, t_enter, t_end, active,
+                                             "use_shadow", "interpret"))
+def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
                        hwin, awin_cm, swin,
-                       h: int, w: int, n_coarse: int = 24,
-                       n_bisect: int = 8, use_shadow: bool = True):
-    """Fused march+shade over all blocks.
+                       h: int, w: int, n_coarse: int = 16,
+                       n_bisect: int = 8, use_shadow: bool = True,
+                       interpret: bool = False):
+    """Fused march+shade over all block groups.
 
-    params: (1, 16) f32 [ob xyz, light_body xyz, irradiance, smap rows
-    coarse/fine, n_phi, sun axis z xyz, sun axis x xyz]
-    scal: (NBLK, 8) f32 per-block [r0, c0, ar0, ac0, sr0, sc0, hmean, pad]
-    db: (NBLK, B, 3); t_enter/t_end/active: (NBLK, B)
-    hwin: (NBLK, WIN_H, WIN_W) mean-centered; awin_cm: (NBLK, AWIN_H,
-    3*AWIN_W) channel-major; swin: (NBLK, SWIN_H, SWIN_W).
-    Returns (rgb (NBLK,B,3), hit, t_hit, px, py, pz).
+    params: (N_PARAMS, G, B) f32, planes broadcast (see layout above)
+    dbx/dby/dbz, t_enter, t_end, active: (NSUPER, G, B)
+    scal: (NSUPER, 9, G, B) lane-broadcast per-block scalars
+    hwin: (NSUPER, G*WH, WW); awin_cm: (NSUPER, G*AH, 3*AW) channel-major;
+    swin: (NSUPER, G*SH, SW)
+    Returns (r, g, b, hit, t_hit, px, py, pz) each (NSUPER, G, B).
     """
-    nblk = db.shape[0]
-    kernel = functools.partial(_kernel, h=h, w=w, n_coarse=n_coarse,
-                               n_bisect=n_bisect, use_shadow=use_shadow)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, WIN_H, WIN_W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, AWIN_H, 3 * AWIN_W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, SWIN_H, SWIN_W), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-            pl.BlockSpec((1, B), lambda i: (i, 0)),
-        ],
-    )
-    out_shapes = [
-        jax.ShapeDtypeStruct((nblk, B, 3), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, B), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, B), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, B), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, B), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, B), jnp.float32),
-    ]
+    nsuper = dbx.shape[0]
+    kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow)
+
+    ray_spec = pl.BlockSpec((1, G, B), lambda i: (i, 0, 0))
+    out_shapes = [jax.ShapeDtypeStruct((nsuper, G, B), jnp.float32)] * 8
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(nsuper,),
+        in_specs=[
+            pl.BlockSpec((N_PARAMS, G, B), lambda i: (0, 0, 0)),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec((1, 9, G, B), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, G * WH, WW), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, G * AH, 3 * AW), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, G * SH, SW), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[ray_spec] * 8,
         out_shape=out_shapes,
-    )(params, scal, db, t_enter, t_end, active, hwin, awin_cm, swin)
+        interpret=interpret,
+    )(params, dbx, dby, dbz, t_enter, t_end, active, scal, hwin, awin_cm, swin)

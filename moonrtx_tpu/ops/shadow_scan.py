@@ -45,6 +45,7 @@ class ShadowMapParams(NamedTuple):
     axis_z: jnp.ndarray   # (3,) unit sun direction (body frame)
     n_coarse: jnp.ndarray  # rows in [0, 75) deg
     n_fine: jnp.ndarray    # rows in [75, 105] deg
+    n_phi: jnp.ndarray     # azimuth columns (unpadded)
     sun_ang_radius: jnp.ndarray  # radians
 
 
@@ -150,7 +151,7 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
     params = ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,
         n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
-        sun_ang_radius=jnp.float32(sun_ang_radius))
+        n_phi=jnp.float32(n_phi), sun_ang_radius=jnp.float32(sun_ang_radius))
     return smap, params
 
 
