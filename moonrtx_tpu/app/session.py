@@ -35,6 +35,7 @@ from moonrtx_tpu.overlays import (
     draw_overlays,
 )
 from moonrtx_tpu.types import Camera, MoonFeature
+from moonrtx_tpu.utils.profiling import FrameStats
 
 
 class Session:
@@ -70,6 +71,7 @@ class Session:
         self.measured_height_diff: Optional[float] = None
 
         # status
+        self.stats = FrameStats()
         self.status_feature: Optional[MoonFeature] = None
         self.cursor_lat: Optional[float] = None
         self.cursor_lon: Optional[float] = None
@@ -284,6 +286,7 @@ class Session:
         """Accumulated frame + composited overlays (uint8 RGB)."""
         # copy: device arrays come back read-only and cv2 draws in place
         img = self.scene.render(n_accum if n_accum is not None else 1).copy()
+        self.stats.tick()
         graphs = self.active_overlays()
         if graphs:
             from moonrtx_tpu.engine.light import calculate_light_pos
@@ -313,6 +316,7 @@ class Session:
             "view": f"View: {s.view_orientation}",
             "parallactic": ("Parallactic: ON" if s.parallactic_mode
                             else "Parallactic: OFF"),
+            "fps": self.stats.status_text(s.width * s.height),
         }
 
     def info_panel(self) -> list:

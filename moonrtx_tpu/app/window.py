@@ -61,7 +61,7 @@ def run_window(config: RenderConfig) -> None:
     status = tk.Frame(root)
     status.pack(fill=tk.X, side=tk.BOTTOM)
     panel_keys = ["pins", "shadows", "brightness", "gamma", "feature",
-                  "coords", "measured", "time", "view", "parallactic"]
+                  "coords", "measured", "time", "view", "parallactic", "fps"]
     panel_vars = {}
     for key in panel_keys:
         var = tk.StringVar()

@@ -259,3 +259,48 @@ def test_tonemap_reference_curve():
     assert out[0, 0, 0] == 0
     assert out[0, 0, 1] == int((0.45 ** (1 / 2.2)) * 255 + 0.5)
     assert out[0, 0, 2] == 255  # clipped
+
+
+def test_shadow_tip_position_accuracy():
+    """Quantitative spec (reference moon_renderer.py:62-76 / BASELINE.md):
+    the shadow TIP must sit at its physical position. A wall of height H
+    under sun altitude a casts a shadow of ground length ~H/tan(a); the
+    scan must place the lit/shadow transition within a few percent."""
+    h, w = 720, 1440
+    base = 0.99
+    wall_h = 0.004            # 0.04 scene units ~ 7 km
+    tex = np.full((h, w), base, np.float32)
+    la = np.linspace(90, -90, h, endpoint=False)[:, None] - 90 / h
+    lo = np.linspace(-180, 180, w, endpoint=False)[None, :] + 180 / w
+    # steep ridge along lon=0 (1 texel wide at lat in [-5, 5])
+    ridge = (np.abs(lo) < 0.26) & (np.abs(la) < 5.0)
+    tex[ridge] += wall_h
+    texj = jnp.asarray(pad_lon_wrap(tex, 8))
+
+    sun = np.asarray(latlon_to_unit(0.0, -80.0))  # altitude 10 deg at lon 0
+    smap, params = shadow_scan.build_shadow_map(
+        texj, h, w, jnp.asarray(sun, jnp.float32), 0.00465, accuracy=10)
+
+    R = C.MOON_RADIUS
+    # exact spherical shadow tip: the wall top (radius base+wall_h at
+    # colatitude 80 deg from the subsolar point) shadows every point whose
+    # cylindrical radius r*sin(theta) is below the wall top's:
+    #   sin(theta_tip) = (base + wall_h)/base * sin(80 deg)
+    theta_wall = 80.0
+    s_tip = (base + wall_h) / base * math.sin(math.radians(theta_wall))
+    expected_tip_deg = math.degrees(math.asin(min(s_tip, 1.0))) - theta_wall
+
+    # sample the shadow factor along the equator behind the ridge
+    dlons = np.linspace(0.3, expected_tip_deg * 1.8, 120)
+    pts = (R * base) * np.stack([np.asarray(latlon_to_unit(0.0, d))
+                                 for d in dlons])
+    vals = np.asarray(shadow_scan.shadow_lookup(
+        smap, params, jnp.asarray(pts, jnp.float32)))
+    # measured tip = where the penumbra crosses 0.5
+    crossing = np.where(vals > 0.5)[0]
+    assert crossing.size, "no lit region found beyond the shadow"
+    measured_tip = dlons[crossing[0]]
+    # within ~1 texel (0.25 deg = 7.6 km) of smear for a 1-texel-wide wall;
+    # the tip position itself is exact spherical geometry (the reference's
+    # fast mode errs by 5-7 km systematically and its accurate mode ~0.5 km)
+    assert abs(measured_tip - expected_tip_deg) < 0.27

@@ -1,0 +1,65 @@
+"""Fused Pallas kernel vs the XLA blocked backend (interpret mode on CPU:
+same kernel semantics as the Mosaic-compiled TPU path)."""
+
+from datetime import datetime, timezone
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonrtx_tpu.config import RenderConfig
+from moonrtx_tpu.data.synth import synthesize_moon
+from moonrtx_tpu.engine import blocked
+from moonrtx_tpu.engine.render import tonemap
+from moonrtx_tpu.engine.scene import MoonScene
+from moonrtx_tpu.types import Observer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    elev, albedo = synthesize_moon(360, 720, seed=5, n_craters=150)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=256, height=144, shadow_accuracy=4,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    s.backend = "blocked"
+    s.shadows_on = True
+    s.update_view()
+    return s
+
+
+def test_pallas_kernel_matches_blocked(scene):
+    img_b = scene.render(1).astype(int)
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    _, sparams = scene.shadow_args()
+    out = blocked.render_frame_pallas(
+        scene._wincache, scene._origins, geom, scene._shadowwin, sparams,
+        None, scene.basis(), scene._fp, scene.height, scene.width, h, w,
+        n_coarse=24, use_shadow=True, interpret=True)
+    img_p = np.asarray(tonemap(out.rgb, 0.9, scene.gamma))[
+        :scene.out_height, :scene.out_width].astype(int)
+    d = np.abs(img_p - img_b).max(axis=-1)
+    assert np.percentile(d, 99) <= 2.0
+    assert d.mean() < 0.2
+    hit_p = np.asarray(out.hitbuf)[..., 3] > 0
+    hit_b = np.asarray(scene._hitbuf)[..., 3] > 0
+    assert (hit_p == hit_b).mean() > 0.999
+
+
+def test_pallas_atan2_accuracy():
+    from moonrtx_tpu.ops.pallas_march import _atan2
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((64,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((64,)).astype(np.float32))
+    got = np.asarray(_atan2(y, x))
+    want = np.arctan2(np.asarray(y), np.asarray(x))
+    assert np.abs(got - want).max() < 3e-6

@@ -126,7 +126,8 @@ def test_status_panels_complete(session):
     session.scene.render_accumulation_frame()
     panels = session.status_panels()
     assert set(panels) == {"pins", "shadows", "brightness", "gamma", "feature",
-                           "coords", "measured", "time", "view", "parallactic"}
+                           "coords", "measured", "time", "view", "parallactic",
+                           "fps"}
     rows = session.info_panel()
     assert len(rows) == 14
     names = [r[0] for r in rows]
