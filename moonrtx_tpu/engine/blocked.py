@@ -386,6 +386,7 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
 
 # ---- shadow windows ---------------------------------------------------------
 
+@jax.jit
 def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindows:
     """Per-block windows into the sun-frame shadow map (rebuilt on time or
     camera change). Footprints from the chord endpoints; blocks spanning

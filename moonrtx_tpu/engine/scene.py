@@ -136,6 +136,8 @@ class MoonScene:
         """Recompute ephemeris-driven state (reference moon_renderer.py:638-664)."""
         if dt_local is not None:
             self.dt_local = dt_local
+        prev_rotation = (None if self.ephem is None
+                         else np.asarray(self.ephem.rotation_matrix))
         self.ephem = calculate_ephemeris(
             self.dt_local, self.config.observer, self.parallactic_mode)
         e = self.ephem
@@ -152,7 +154,23 @@ class MoonScene:
                 math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
         )
         self._shadow_dirty = True
-        self._origins = None   # body-frame footprints move with the rotation
+        # Body-frame footprints move with the rotation; sampling windows
+        # carry a margin of several texels, so small drifts (successive
+        # time steps rotate the Moon ~0.14 deg / 15 min) reuse the cached
+        # windows and only the shadow map/windows rebuild.
+        if prev_rotation is None or self._origins is None:
+            self._origins = None
+        else:
+            cosang = (np.trace(np.asarray(e.rotation_matrix)
+                               @ prev_rotation.T) - 1.0) / 2.0
+            drift_deg = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            self._window_drift = getattr(self, "_window_drift", 0.0) + drift_deg
+            h_lvl = self.mip_shapes[self._cache_level or 0][0]
+            if self._window_drift > 4.0 * (180.0 / h_lvl):
+                self._origins = None
+        if self._origins is None:
+            self._window_drift = 0.0
+        self._shadowwin = None  # sun-frame coordinates always move
         self.reset_accumulation()
         return e
 

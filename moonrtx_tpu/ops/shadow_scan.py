@@ -83,9 +83,47 @@ def _argmax_combine(a, b):
     return jnp.where(take_b, bm, am), jnp.where(take_b, bz, az)
 
 
+def _resample_heights_blocked(tex, h: int, w: int, row, col):
+    """Resample heights at the scan-grid positions through per-block
+    windows (one-hot MXU sampling) instead of an XLA gather: ~10x faster
+    on TPU for the multi-megatexel fine band.
+
+    row/col: (n_theta, n_phi) fractional source coordinates. Blocks of
+    8x64 scan cells share one (40, 184) window; blocks whose footprint
+    exceeds the window (near the subsolar pole, where azimuth circles
+    collapse and the shadow factor is ~1 anyway) clamp."""
+    BH, BW, WH_, WW_ = 8, 64, 40, 184
+    n_theta, n_phi = row.shape
+    nb = (n_theta // BH) * (n_phi // BW)
+
+    def to_b(x):
+        v = x.reshape(n_theta // BH, BH, n_phi // BW, BW)
+        return jnp.moveaxis(v, 2, 1).reshape(nb, BH * BW)
+
+    rb = to_b(row)
+    cb = to_b(col)
+    # seam-aware origins (cols may wrap through the padded region)
+    c_min = jnp.min(cb, axis=1)
+    c_max = jnp.max(cb, axis=1)
+    spans = (c_max - c_min) > (w * 0.5)
+    cb = jnp.where(spans[:, None] & (cb < w * 0.5), cb + w, cb)
+    c_mid = 0.5 * (jnp.min(cb, axis=1) + jnp.max(cb, axis=1))
+    r_mid = 0.5 * (jnp.min(rb, axis=1) + jnp.max(rb, axis=1))
+    r0 = jnp.clip((r_mid - WH_ * 0.5).astype(jnp.int32), 0, h - WH_)
+    c0 = jnp.clip((c_mid - WW_ * 0.5).astype(jnp.int32), 0,
+                  tex.shape[1] - WW_)
+    wins = sampler.extract_windows(tex, r0, c0, WH_, WW_)
+    mean = jnp.mean(wins, axis=(1, 2))[:, None]
+    vals = sampler.window_bilinear(wins - mean[..., None],
+                                   rb - r0[:, None].astype(rb.dtype),
+                                   cb - c0[:, None].astype(cb.dtype)) + mean
+    v = vals.reshape(n_theta // BH, n_phi // BW, BH, BW)
+    return jnp.moveaxis(v, 1, 2).reshape(n_theta, n_phi)
+
+
 def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
                n_coarse: int, n_fine: int, n_phi_total: int,
-               phi0, n_phi: int):
+               phi0, n_phi: int, blocked_resample: bool = False):
     """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
 
     The running max along theta is local to each meridian, so wedges are
@@ -101,7 +139,10 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
             + sun_basis[1][None, None, :] * (st * jnp.sin(phi))[..., None])
     lat, lon = unit_to_latlon(dirs)
     row, col = sampler.latlon_to_rowcol(lat, lon, h, w)
-    hs = sampler.gather_bilinear(tex, row, col)       # (n_theta, n_phi)
+    if blocked_resample:
+        hs = _resample_heights_blocked(tex, h, w, row, col)
+    else:
+        hs = sampler.gather_bilinear(tex, row, col)   # (n_theta, n_phi)
     r = C.MOON_RADIUS * hs
     m = r * st
     z = r * ct
@@ -121,11 +162,13 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
-                                             "n_phi"))
+                                             "n_phi", "blocked_resample"))
 def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
-           n_coarse: int, n_fine: int, n_phi: int):
+           n_coarse: int, n_fine: int, n_phi: int,
+           blocked_resample: bool = True):
     factor = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
-                        n_coarse, n_fine, n_phi, 0, n_phi)
+                        n_coarse, n_fine, n_phi, 0, n_phi,
+                        blocked_resample=blocked_resample)
     # pad azimuth wrap columns for seam-free lookup
     return jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1)
 
