@@ -114,7 +114,8 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
         phi0 = idx * (n_phi // n_dev)
         smap = shadow_scan.scan_wedge(
             tex, sun_basis, sun_ang_radius, h, w,
-            n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev)
+            n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev,
+            blocked_resample=True)
         return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
 
     return shard_map(
