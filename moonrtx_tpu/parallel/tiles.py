@@ -40,6 +40,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          basis: CameraBasis, fp: FrameParams, jitter,
                          height: int, width: int, h: int, w: int,
                          ah: int, aw: int, h_min: float,
+                         shadow_map=None, smap_params=None,
                          n_coarse: int = 24):
     """One frame with rows sharded over the mesh. Returns (rgb, hitbuf)
     sharded by rows; mips replicated.
@@ -66,7 +67,12 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                              albedo_next, org)
         hit, t_hit, lat, lon, p = blocked.march_blocks(
             cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
-        shadow = jnp.ones_like(t_hit)
+        if shadow_map is not None:
+            sw = blocked.build_shadow_windows(shadow_map, smap_params, geom)
+            shadow = blocked.lookup_shadow_windows(
+                sw, smap_params, shadow_map.shape[1] - 2, p)
+        else:
+            shadow = jnp.ones_like(t_hit)
         rgb_b = blocked.shade_blocks(cache, org, h, w, ah, aw,
                                      lat, lon, p, fp, shadow)
         rgb = blocked.from_blocks(
