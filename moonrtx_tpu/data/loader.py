@@ -71,7 +71,7 @@ def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.nda
         elev, _ = synth.synthesize_moon(hh, ww)
         return elev
 
-    elevation = _synth_cache(f"synth_elev_{h}x{w}_s7", make, h, w)
+    elevation = _synth_cache(f"synth_elev_{h}x{w}_s7v2", make, h, w)
     if downscale > 1:
         elevation = block_mean(elevation, downscale)
     radius_scale = float(elevation.max())
@@ -149,7 +149,7 @@ def load_color_data(filepath: Optional[str], downscale: int = 1) -> np.ndarray:
         _, albedo = synth.synthesize_moon(hh, ww)
         return albedo
 
-    albedo = _synth_cache(f"synth_color_{h}x{w}_s7", make, h, w)
+    albedo = _synth_cache(f"synth_color_{h}x{w}_s7v2", make, h, w)
     if downscale > 1:
         albedo = block_mean(albedo, downscale)
     return albedo

@@ -47,10 +47,12 @@ def _crater_field(h: int, w: int, rng: np.random.Generator,
                   n_craters: int) -> np.ndarray:
     """Sum of crater bowls + rims stamped into an equirectangular grid (km)."""
     elev = np.zeros((h, w), np.float32)
-    # power-law radii (km): many small, few large
+    # power-law radii (km): many small, few large. The minimum is held a
+    # few texels above the default grid scale (~1.9 km/texel at 2880x5760)
+    # so craters stay resolvable rather than vanishing into bilinear blur.
     u = rng.random(n_craters)
-    radii_km = 3.0 * (1.0 - u) ** (-0.8)          # 3 .. ~200 km
-    radii_km = np.clip(radii_km, 2.0, 250.0)
+    radii_km = 6.0 * (1.0 - u) ** (-0.7)          # 6 .. ~250 km
+    radii_km = np.clip(radii_km, 5.0, 250.0)
     order = np.argsort(-radii_km)                  # large first (small overprint)
     # uniform positions on the sphere
     lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n_craters)))
@@ -109,7 +111,7 @@ def _maria(h: int, w: int, rng: np.random.Generator,
 
 
 def synthesize_moon(height: int = 2880, width: int = 5760, seed: int = 7,
-                    n_craters: int = 2500) -> tuple[np.ndarray, np.ndarray]:
+                    n_craters: int = 4000) -> tuple[np.ndarray, np.ndarray]:
     """Synthesize (elevation_factor, albedo_rgb).
 
     elevation_factor: float32 (H, W), surface radius as a factor of the

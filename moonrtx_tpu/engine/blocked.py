@@ -707,3 +707,39 @@ def render_accumulate_pallas(packed: PackedWindows,
         [jnp.where(hit_img[..., None], p_scene, 0.0),
          jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
     return rgb, hitbuf
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse_rows",
+                                             "n_fine", "n_phi"))
+def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
+                         geom: RayGeom, cache: WindowCache,
+                         org: WindowOrigins,
+                         h: int, w: int, n_coarse_rows: int, n_fine: int,
+                         n_phi: int):
+    """One device program for everything a time step must rebuild:
+    sun-frame shadow scan -> per-block shadow windows -> kernel repack.
+
+    Returns (shadow_map, ShadowMapParams, ShadowWindows, PackedWindows).
+    Fusing these (each was a separate dispatch) matters on dispatch-heavy
+    transports and removes intermediate HBM round trips everywhere."""
+    from moonrtx_tpu.ops import shadow_scan
+
+    z = sun_dir_body / jnp.linalg.norm(sun_dir_body)
+    helper = jnp.where(jnp.abs(z[2]) < 0.9,
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    x = jnp.cross(helper, z)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    basis = jnp.stack([x, y, z])
+    factor = shadow_scan.scan_wedge(tex, basis, sun_ang_radius, h, w,
+                                    n_coarse_rows, n_fine, n_phi, 0, n_phi,
+                                    blocked_resample=True)
+    smap = jnp.concatenate([factor, factor[:, :shadow_scan.PHI_PAD]], axis=1)
+    params = shadow_scan.ShadowMapParams(
+        axis_x=x, axis_y=y, axis_z=z,
+        n_coarse=jnp.float32(n_coarse_rows), n_fine=jnp.float32(n_fine),
+        n_phi=jnp.float32(n_phi), sun_ang_radius=sun_ang_radius)
+    sw = build_shadow_windows(smap, params, geom)
+    packed = pack_windows(cache, org, sw)
+    return smap, params, sw, packed

@@ -265,9 +265,33 @@ class MoonScene:
             self._shadowwin = None
             self._packed = None
         if self.shadows_on and self._shadowwin is None:
-            smap, sparams = self.shadow_args()
-            self._shadowwin = blocked.build_shadow_windows(smap, sparams, geom)
-            self._packed = None
+            if self.backend == "pallas":
+                # one fused device program: shadow scan + shadow windows
+                # + kernel repack (each was a separate dispatch)
+                from moonrtx_tpu.ops import shadow_scan
+                import math as _math
+                nc, nf, nphi = shadow_scan._resolution(
+                    self.shadow_accuracy if self.shadows_on else 1)
+                e = self.ephem
+                sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
+                    light_mod.calculate_light_pos(e))
+                sun_body = sun_body / np.linalg.norm(sun_body)
+                lvl = self.mip_level()
+                th, tw = self.mip_shapes[lvl]
+                smap, sparams, sw, packed = blocked.rebuild_shadow_state(
+                    self.mips[lvl], jnp.asarray(sun_body, jnp.float32),
+                    jnp.float32(_math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
+                    geom, self._wincache, self._origins,
+                    th, tw, nc, nf, nphi)
+                self._shadow = (smap, sparams)
+                self._shadow_dirty = False
+                self._shadowwin = sw
+                self._packed = packed
+            else:
+                smap, sparams = self.shadow_args()
+                self._shadowwin = blocked.build_shadow_windows(
+                    smap, sparams, geom)
+                self._packed = None
         if self.backend == "pallas" and self._packed is None:
             self._packed = blocked.pack_windows(
                 self._wincache, self._origins,

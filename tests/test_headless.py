@@ -1,0 +1,62 @@
+"""End-to-end headless render path: CLI args -> scene -> image file ->
+init-view restore (the reference's screenshot round trip, SURVEY.md sec. 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from moonrtx_tpu.app.cli import config_from_args, parse_args
+from moonrtx_tpu.app.codec import parse_init_view
+from moonrtx_tpu.app.headless import (
+    default_screenshot_name,
+    render_headless,
+    save_image,
+)
+from moonrtx_tpu.data.loader import SYNTH_ELEVATION_SHAPE
+
+
+@pytest.fixture(autouse=True)
+def small_synth(monkeypatch, tmp_path):
+    # tiny procedural maps + isolated cache so the test is fast
+    monkeypatch.setattr("moonrtx_tpu.data.loader.SYNTH_ELEVATION_SHAPE",
+                        (180, 360))
+    monkeypatch.setattr("moonrtx_tpu.data.loader.SYNTH_CACHE_DIR",
+                        str(tmp_path / "cache"))
+
+
+def test_render_headless_and_restore(tmp_path):
+    out = str(tmp_path / "moon.png")
+    cfg = config_from_args(parse_args([
+        "--lat", "50.0614", "--lon", "19.9365",
+        "--time", "2024-04-15T21:00:00Z", "--no-download",
+        "--width", "160", "--height", "120", "--shadow-accuracy", "2",
+    ]))
+    path = render_headless(cfg, save_path=out, n_frames=2)
+    assert path == out and os.path.isfile(out)
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (120, 160, 3)
+    assert img.mean() > 2.0  # a moon was rendered
+
+    # screenshot-name round trip: default name must parse back
+    from moonrtx_tpu.app.headless import build_scene
+
+    scene = build_scene(cfg, with_starmap=False)
+    scene.update_view()
+    name = default_screenshot_name(scene)
+    iv = parse_init_view(name)
+    assert iv is not None
+    assert iv.lat == pytest.approx(50.0614)
+
+    # 16-bit TIFF save path (reference Bps16, renderer_dialogs.py:167-170)
+    tiff = str(tmp_path / "moon.tiff")
+    hdr = np.asarray(scene._accum if scene._accum is not None
+                     else np.zeros((120, 160, 3), np.float32))
+    save_image(img, tiff, linear_hdr=np.zeros((120, 160, 3), np.float32))
+    assert os.path.isfile(tiff)
+    import cv2
+
+    t16 = cv2.imread(tiff, cv2.IMREAD_UNCHANGED)
+    assert t16.dtype == np.uint16
