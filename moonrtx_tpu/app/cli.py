@@ -238,9 +238,30 @@ def print_startup(cfg: RenderConfig) -> None:
     print()
 
 
+def check_accelerator() -> bool:
+    """Report the JAX backend (the reference's RTX architecture check,
+    main.py:154-160, maps to a TPU/accelerator presence check). A CPU-only
+    environment still runs (all backends have CPU paths) but is warned."""
+    try:
+        import jax
+
+        backend = jax.default_backend()
+        devices = jax.devices()
+        print(f"Accelerator: {backend} ({devices[0].device_kind}"
+              f" x{len(devices)})")
+        if backend == "cpu":
+            print("WARNING: no TPU found; rendering on CPU will be slow.")
+        return True
+    except Exception as e:
+        print(f"Error initializing JAX: {e}")
+        return False
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = config_from_args(args)
+    if not check_accelerator():
+        sys.exit(1)
     print_startup(cfg)
 
     if args.headless:

@@ -51,7 +51,13 @@ def run_window(config: RenderConfig) -> None:
     session = Session(scene, scene.features)
 
     root = tk.Tk()
-    root.title(f"{APP_NAME} - ray-traced Moon observatory")
+
+    def refresh_title():
+        o = config.observer
+        root.title(f"{APP_NAME} - lat {o.lat:.4f} lon {o.lon:.4f} - "
+                   f"{scene.dt_local:%Y-%m-%d %H:%M %Z}")
+
+    refresh_title()
     w, h = scene.out_width, scene.out_height
     canvas = tk.Canvas(root, width=w, height=h, bg="black",
                        highlightthickness=0)
@@ -119,6 +125,7 @@ def run_window(config: RenderConfig) -> None:
         canvas.delete("frame")
         canvas.create_image(0, 0, image=state["photo"], anchor="nw",
                             tags="frame")
+        refresh_title()
         refresh_status()
         # keep accumulating in idle time until the budget is reached
         if session.scene._accum_n < state["accum_target"]:

@@ -57,6 +57,28 @@ def _synth_cache(name: str, maker, *shape_args) -> np.ndarray:
     return arr
 
 
+def _synth_moon_cached(h: int, w: int, want: str) -> np.ndarray:
+    """Fetch the synthesized elevation or albedo, generating BOTH in one
+    pass (synthesize_moon produces the pair; caching them together halves
+    the expensive first run)."""
+    os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
+    paths = {
+        "elev": os.path.join(SYNTH_CACHE_DIR, f"synth_elev_{h}x{w}_s7v2.npy"),
+        "color": os.path.join(SYNTH_CACHE_DIR, f"synth_color_{h}x{w}_s7v2.npy"),
+    }
+    try:
+        return np.load(paths[want])
+    except Exception:
+        pass
+    elev, albedo = synth.synthesize_moon(h, w)
+    for key, arr in (("elev", elev), ("color", albedo)):
+        try:
+            np.save(paths[key], arr)
+        except Exception as e:
+            print(f"Warning: could not cache {paths[key]}: {e}")
+    return elev if want == "elev" else albedo
+
+
 def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.ndarray, float]:
     """(elevation displacement factors with max exactly 1.0, radius_scale)."""
     if filepath and os.path.isfile(filepath):
@@ -66,12 +88,7 @@ def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.nda
     else:
         print("No elevation file configured — using procedural synthesis.")
     h, w = SYNTH_ELEVATION_SHAPE
-
-    def make(hh, ww):
-        elev, _ = synth.synthesize_moon(hh, ww)
-        return elev
-
-    elevation = _synth_cache(f"synth_elev_{h}x{w}_s7v2", make, h, w)
+    elevation = _synth_moon_cached(h, w, "elev")
     if downscale > 1:
         elevation = block_mean(elevation, downscale)
     radius_scale = float(elevation.max())
@@ -144,12 +161,7 @@ def load_color_data(filepath: Optional[str], downscale: int = 1) -> np.ndarray:
     if filepath:
         print(f"Color file not found: {filepath} — using procedural synthesis.")
     h, w = SYNTH_ELEVATION_SHAPE
-
-    def make(hh, ww):
-        _, albedo = synth.synthesize_moon(hh, ww)
-        return albedo
-
-    albedo = _synth_cache(f"synth_color_{h}x{w}_s7v2", make, h, w)
+    albedo = _synth_moon_cached(h, w, "color")
     if downscale > 1:
         albedo = block_mean(albedo, downscale)
     return albedo

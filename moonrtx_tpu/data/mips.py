@@ -62,6 +62,36 @@ def coarse_max_map(base: np.ndarray, cells_h: int = 46,
     return out.astype(np.float32)
 
 
+def slope_sq_maps(mips: list[np.ndarray], cells_h: int = 46,
+                  cells_w: int = 92) -> np.ndarray:
+    """(K, cells_h, cells_w) mean squared surface slope per mip level.
+
+    Entry k holds the per-cell mean of the per-axis squared slope
+    (d height / d arc, dimensionless tilt) measured ON level k. The slope
+    power LOST by rendering a block at level L+j instead of L is
+    map[L] - map[L+j]; the renderer turns that into the normal-tilt
+    standard deviation for roughness-compensated (softened) Lambert
+    shading, which removes the brightness seam at per-block mip-stride
+    (LOD) transitions near the limb.
+    """
+    out = []
+    for m in mips:
+        hk, wk = m.shape
+        dth = np.pi / hk
+        s_lat = np.gradient(m, dth, axis=0)
+        lat = np.cos(np.linspace(np.pi / 2, -np.pi / 2, hk,
+                                 endpoint=False) - np.pi / (2 * hk))
+        coslat = np.maximum(np.abs(lat), 0.2)[:, None]
+        s_lon = np.gradient(m, 2 * np.pi / wk, axis=1) / coslat
+        s2 = 0.5 * (s_lat ** 2 + s_lon ** 2)
+        fh = max(hk // cells_h, 1)
+        fw = max(wk // cells_w, 1)
+        cell = s2[: cells_h * fh, : cells_w * fw].reshape(
+            cells_h, fh, cells_w, fw).mean(axis=(1, 3))
+        out.append(cell)
+    return np.stack(out).astype(np.float32)
+
+
 def pad_lon_wrap(a: np.ndarray, pad: int) -> np.ndarray:
     """Append `pad` wrapped columns on the right so sampling windows crossing
     the +/-180 deg longitude seam need no modular indexing."""

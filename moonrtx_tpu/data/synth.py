@@ -63,7 +63,9 @@ def _crater_field(h: int, w: int, rng: np.random.Generator,
 
     for i in order:
         R_km = float(radii_km[i])
-        depth_km = 0.18 * R_km ** 0.8              # depth/diameter ~ 0.1 for small
+        # depth/diameter ~ 0.1 for small (simple) craters; complex craters
+        # saturate near 4 km depth like the real Moon
+        depth_km = min(0.18 * R_km ** 0.8, 4.0)
         rim_km = 0.5 * depth_km
         R_deg = R_km / km_per_deg
         la, lo = float(lat[i]), float(lon[i])
@@ -74,7 +76,7 @@ def _crater_field(h: int, w: int, rng: np.random.Generator,
         r1 = min(int((90.0 - la + half_deg) / deg_per_row) + 1, h)
         if r1 <= r0:
             continue
-        half_cols = int(half_deg / cos_la / (360.0 / w)) + 1
+        half_cols = min(int(half_deg / cos_la / (360.0 / w)) + 1, w // 2 - 1)
         c_center = int((lo + 180.0) / 360.0 * w)
         cols = (np.arange(c_center - half_cols, c_center + half_cols + 1)) % w
         lat_px = 90.0 - (np.arange(r0, r1) + 0.5) * deg_per_row
@@ -85,7 +87,9 @@ def _crater_field(h: int, w: int, rng: np.random.Generator,
         d = d_deg / R_deg
         bowl = np.where(d < 1.0, depth_km * (d * d - 1.0), 0.0)
         rim = rim_km * np.exp(-((d - 1.0) / 0.35) ** 2)
-        elev[r0:r1, cols[None, :].repeat(r1 - r0, 0)] += (bowl + rim).astype(np.float32)
+        # NB: scatter-add through a row view; a combined slice+2-D-index
+        # write would collapse every window row to the patch's last row.
+        elev[r0:r1][:, cols] += (bowl + rim).astype(np.float32)
     return elev
 
 

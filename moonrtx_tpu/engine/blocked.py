@@ -55,11 +55,11 @@ BLOCK = BLOCK_H * BLOCK_W
 GROUP = 8             # blocks per Pallas program
 
 # Window geometry (texels). Width pad on mips must be >= WIN_W + slack.
-WIN_H = 32
-WIN_W = 48
+WIN_H = 40
+WIN_W = 64
 ALB_DOWN = 0          # albedo windows sample the same mip level as heights
-AWIN_H = 32
-AWIN_W = 48
+AWIN_H = 40
+AWIN_W = 64
 SWIN_H = 32           # shadow-map window (scan-grid texels)
 SWIN_W = 48
 
@@ -98,9 +98,13 @@ class WindowOrigins(NamedTuple):
     c0: jnp.ndarray
     ar0: jnp.ndarray  # albedo-window origins (coarser mip, strided coords)
     ac0: jnp.ndarray
-    q: jnp.ndarray    # (NBLK,) f32 per-block stride (1.0 or 2.0): blocks whose
-                      # limb-stretched footprint exceeds the window sample the
-                      # next-coarser mip level through the same machinery
+    q: jnp.ndarray    # (NBLK,) f32 per-block stride (1/2/4): blocks whose
+                      # limb-stretched footprint exceeds the window sample a
+                      # 2^k-coarser mip level through the same machinery
+    sigma: jnp.ndarray  # (NBLK,) f32 normal-tilt stddev LOST at the block's
+                        # stride level vs the render level; drives softened
+                        # Lambert so mip-stride (LOD) seams carry no
+                        # brightness step (zero for q == 1 blocks)
 
 
 class WindowCache(NamedTuple):
@@ -113,7 +117,7 @@ class ShadowWindows(NamedTuple):
     swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W)
     sr0: jnp.ndarray
     sc0: jnp.ndarray
-    sq: jnp.ndarray        # per-block stride into the shadow grid (1. or 2.)
+    sq: jnp.ndarray        # per-block stride into the shadow grid (1/2/4)
 
 
 def _block_ray_dirs(basis: CameraBasis, height: int, width: int, jitter,
@@ -244,20 +248,32 @@ def _origin_from_footprint(rows, cols, wrap_w, win_h: int, win_w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "mip_pad_w",
-                                             "ah", "aw", "a_pad_w"))
+                                             "ah", "aw", "a_pad_w",
+                                             "max_qexp"))
 def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
-                   ah: int, aw: int, a_pad_w: int) -> WindowOrigins:
-    lat_a, lon_a = unit_to_latlon(geom.ob + geom.t_enter[..., None] * geom.db)
-    lat_b, lon_b = unit_to_latlon(geom.ob + geom.t_end[..., None] * geom.db)
-    rows_a, cols_a = latlon_to_rowcol(lat_a, lon_a, h, w)
-    rows_b, cols_b = latlon_to_rowcol(lat_b, lon_b, h, w)
-    rows = jnp.concatenate([rows_a, rows_b], axis=1)
-    cols = jnp.concatenate([cols_a, cols_b], axis=1)
+                   ah: int, aw: int, a_pad_w: int,
+                   max_qexp: int = 2,
+                   slope_maps=None) -> WindowOrigins:
+    # Footprint from chord endpoints PLUS midpoint: the lat/lon track of a
+    # grazing (limb) ray is an arc, and its mid-chord point can swing well
+    # outside the endpoints' bounding box — without it, limb windows clamp
+    # and whole 8x16 blocks shade from repeated edge texels.
+    t_mid = 0.5 * (geom.t_enter + geom.t_end)
+    rcs = []
+    for t in (geom.t_enter, t_mid, geom.t_end):
+        lat_t, lon_t = unit_to_latlon(geom.ob + t[..., None] * geom.db)
+        rcs.append(latlon_to_rowcol(lat_t, lon_t, h, w))
+    rows = jnp.concatenate([rc[0] for rc in rcs], axis=1)
+    cols = jnp.concatenate([rc[1] for rc in rcs], axis=1)
 
     # per-block stride: footprints wider than the window (limb obliquity)
-    # drop to the next-coarser mip through the same window machinery
+    # drop to the 2^k-coarser mip through the same window machinery; q is
+    # the smallest power of two that fits the footprint (capped at
+    # 2^max_qexp by pyramid depth)
     _, _, r_span, c_span = _footprint(rows, cols, w)
-    q = jnp.where((r_span > WIN_H - 6.0) | (c_span > WIN_W - 6.0), 2.0, 1.0)
+    ratio = jnp.maximum(jnp.maximum(r_span / (WIN_H - 6.0),
+                                    c_span / (WIN_W - 6.0)), 1.0)
+    q = jnp.exp2(jnp.clip(jnp.ceil(jnp.log2(ratio)), 0.0, float(max_qexp)))
     rq = (rows + 0.5) / q[:, None] - 0.5
     cq = (cols + 0.5) / q[:, None] - 0.5
     r0, c0 = _origin_from_footprint(rq, cq, w / q, WIN_H, WIN_W,
@@ -267,30 +283,50 @@ def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
         (rows + 0.5) / scale[:, None] - 0.5,
         (cols + 0.5) / scale[:, None] - 0.5,
         aw / q, AWIN_H, AWIN_W, ah / q, a_pad_w / q)
-    return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0, q=q)
+
+    if slope_maps is not None:
+        # roughness lost by sampling level+qexp instead of the render level:
+        # slope_maps (K, ch, cw) mean-squared-slope per level on a coarse
+        # cell grid (data.mips.slope_sq_maps), K >= max_qexp + 1
+        r_mid, c_mid, _, _ = _footprint(rows, cols, w)
+        ch, cw = slope_maps.shape[1], slope_maps.shape[2]
+        cr = jnp.clip((r_mid / h * ch).astype(jnp.int32), 0, ch - 1)
+        cc = jnp.clip(((c_mid % w) / w * cw).astype(jnp.int32), 0, cw - 1)
+        qexp = jnp.round(jnp.log2(q)).astype(jnp.int32)
+        lost = slope_maps[0, cr, cc] - slope_maps[qexp, cr, cc]
+        sigma = jnp.sqrt(jnp.maximum(lost, 0.0))
+    else:
+        sigma = jnp.zeros_like(q)
+    return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0, q=q, sigma=sigma)
+
+
+def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
+    """Extract a window per block from levels[qexp[blk]] (q = 2^qexp);
+    origins are already in the block's own stride-level coordinates."""
+    out = None
+    for k, lvl in enumerate(levels):
+        rk = jnp.minimum(r0, lvl.shape[0] - wh)
+        ck = jnp.minimum(c0, lvl.shape[1] - ww)
+        wink = sampler.extract_windows(lvl, rk, ck, wh, ww)
+        if out is None:
+            out = wink
+        else:
+            sel = (qexp >= k).reshape((-1,) + (1,) * (wink.ndim - 1))
+            out = jnp.where(sel, wink, out)
+    return out
 
 
 @jax.jit
-def extract_window_cache(mip, mip_next, albedo_mip, albedo_next,
+def extract_window_cache(mips, albedo_mips,
                          org: WindowOrigins) -> WindowCache:
     """Extract per-block windows from the block's stride level.
 
-    mip_next/albedo_next: the next-coarser (half-size) mips; strided blocks'
-    origins are already in that level's coordinates."""
-    sel = (org.q > 1.5)[:, None, None]
-    hwin = jnp.where(
-        sel,
-        sampler.extract_windows(mip_next, org.r0, org.c0, WIN_H, WIN_W),
-        sampler.extract_windows(
-            mip, jnp.minimum(org.r0, mip.shape[0] - WIN_H),
-            jnp.minimum(org.c0, mip.shape[1] - WIN_W), WIN_H, WIN_W))
-    awin = jnp.where(
-        sel[..., None],
-        sampler.extract_windows(albedo_next, org.ar0, org.ac0, AWIN_H, AWIN_W),
-        sampler.extract_windows(
-            albedo_mip, jnp.minimum(org.ar0, albedo_mip.shape[0] - AWIN_H),
-            jnp.minimum(org.ac0, albedo_mip.shape[1] - AWIN_W),
-            AWIN_H, AWIN_W))
+    mips/albedo_mips: tuples of successively-coarser pyramid levels starting
+    at the render level; a block with stride q = 2^k reads level index k."""
+    qexp = jnp.round(jnp.log2(org.q)).astype(jnp.int32)
+    hwin = _pick_level_windows(mips, qexp, org.r0, org.c0, WIN_H, WIN_W)
+    awin = _pick_level_windows(albedo_mips, qexp, org.ar0, org.ac0,
+                               AWIN_H, AWIN_W)
     # Mean-center each height window: bilinear one-hot weights sum to 1, so
     # sample(win) == sample(win - mean) + mean EXACTLY, and the centered
     # residuals (~1e-3 of radius) survive the MXU's bf16 operand precision
@@ -360,12 +396,35 @@ def march_blocks(cache: WindowCache, org: WindowOrigins, geom: RayGeom,
     return found, t_hit, lat, lon, p
 
 
+def normal_step_texels(p, db, t_hit, pix_ang, q, h: int):
+    """Per-ray central-difference step in the block's stride-level texels.
+
+    The step follows the ray's actual ground footprint (anisotropic
+    filtering): step = half the arc one pixel spans on the surface. This is
+    CONTINUOUS across per-block stride (q) boundaries — a fixed half-texel
+    step at each block's own level produced a visible ~3% brightness seam
+    between q levels at oblique view, because the stencil width (and with
+    it the normal smoothing) jumped discretely."""
+    p_unit = normalize(p)
+    cosv = jnp.maximum(jnp.abs(jnp.sum(p_unit * db, axis=-1)), 0.05)
+    arc = t_hit * pix_ang / (C.MOON_RADIUS * cosv)   # radians per pixel
+    ft = arc * (h / jnp.pi)                          # level-0 lat texels
+    return jnp.clip(0.5 * ft / q, 0.5, 3.0)
+
+
 def shade_blocks(cache: WindowCache, org: WindowOrigins,
                  h: int, w: int, ah: int, aw: int,
-                 lat, lon, p, fp: FrameParams, shadow):
+                 lat, lon, p, fp: FrameParams, shadow,
+                 geom: Optional[RayGeom] = None, t_hit=None,
+                 pix_ang=None):
     """Normals from height windows, albedo from coarse windows, Lambert."""
     hs = _sample_height(cache, lat, lon, h, w, org)
-    dlat = (0.5 * 180.0 / h) * org.q[:, None]
+    if pix_ang is not None and geom is not None and t_hit is not None:
+        step = normal_step_texels(p, geom.db, t_hit, pix_ang,
+                                  org.q[:, None], h)
+    else:
+        step = 0.5
+    dlat = (180.0 / h) * org.q[:, None] * step
     coslat = jnp.maximum(jnp.cos(jnp.deg2rad(lat)), 0.05)
     dlon = dlat / coslat
 
@@ -381,7 +440,8 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
 
     awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0, org.q)
     albedo = window_bilinear(cache.awin, awy, awx)
-    return shade_lambert(albedo, n, p, fp, shadow)
+    return shade_lambert(albedo, n, p, fp, shadow,
+                         sigma=org.sigma[:, None])
 
 
 # ---- shadow windows ---------------------------------------------------------
@@ -389,36 +449,40 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
 @jax.jit
 def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindows:
     """Per-block windows into the sun-frame shadow map (rebuilt on time or
-    camera change). Footprints from the chord endpoints; blocks spanning
+    camera change). Footprints from the chord endpoints + midpoint; blocks spanning
     more than a window sample a 2x-decimated copy of the map (the penumbra
     is smooth, so decimation is benign)."""
     from moonrtx_tpu.ops import shadow_scan
 
     n_phi = shadow_map.shape[1] - shadow_scan.PHI_PAD
-    p_a = geom.ob + geom.t_enter[..., None] * geom.db
-    p_b = geom.ob + geom.t_end[..., None] * geom.db
-    rows_a, cols_a = shadow_scan.rowcol_of_points(smap_params, n_phi, p_a)
-    rows_b, cols_b = shadow_scan.rowcol_of_points(smap_params, n_phi, p_b)
-    rows = jnp.concatenate([rows_a, rows_b], axis=1)
-    cols = jnp.concatenate([cols_a, cols_b], axis=1)
+    t_mid = 0.5 * (geom.t_enter + geom.t_end)
+    rcs = []
+    for t in (geom.t_enter, t_mid, geom.t_end):
+        p_t = geom.ob + t[..., None] * geom.db
+        rcs.append(shadow_scan.rowcol_of_points(smap_params, n_phi, p_t))
+    rows = jnp.concatenate([rc[0] for rc in rcs], axis=1)
+    cols = jnp.concatenate([rc[1] for rc in rcs], axis=1)
 
     _, _, r_span, c_span = _footprint(rows, cols, n_phi)
-    sq = jnp.where((r_span > SWIN_H - 4.0) | (c_span > SWIN_W - 4.0), 2.0, 1.0)
+    ratio = jnp.maximum(jnp.maximum(r_span / (SWIN_H - 4.0),
+                                    c_span / (SWIN_W - 4.0)), 1.0)
+    sq = jnp.exp2(jnp.clip(jnp.ceil(jnp.log2(ratio)), 0.0, 2.0))
     rq = (rows + 0.5) / sq[:, None] - 0.5
     cq = (cols + 0.5) / sq[:, None] - 0.5
-    half = shadow_map[: shadow_map.shape[0] // 2 * 2,
-                      : shadow_map.shape[1] // 2 * 2]
-    half = 0.25 * (half[::2, ::2] + half[1::2, ::2]
-                   + half[::2, 1::2] + half[1::2, 1::2])
+
+    def _decimate(m):
+        m = m[: m.shape[0] // 2 * 2, : m.shape[1] // 2 * 2]
+        return 0.25 * (m[::2, ::2] + m[1::2, ::2]
+                       + m[::2, 1::2] + m[1::2, 1::2])
+
+    half = _decimate(shadow_map)
+    quarter = _decimate(half)
     sr0, sc0 = _origin_from_footprint(
         rq, cq, n_phi / sq, SWIN_H, SWIN_W,
         shadow_map.shape[0] / sq, shadow_map.shape[1] / sq)
-    swin = jnp.where(
-        (sq > 1.5)[:, None, None],
-        sampler.extract_windows(half, sr0, sc0, SWIN_H, SWIN_W),
-        sampler.extract_windows(
-            shadow_map, jnp.minimum(sr0, shadow_map.shape[0] - SWIN_H),
-            jnp.minimum(sc0, shadow_map.shape[1] - SWIN_W), SWIN_H, SWIN_W))
+    sqexp = jnp.round(jnp.log2(sq)).astype(jnp.int32)
+    swin = _pick_level_windows((shadow_map, half, quarter), sqexp,
+                               sr0, sc0, SWIN_H, SWIN_W)
     return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)
 
 
@@ -462,7 +526,9 @@ def render_frame_blocked(cache: WindowCache, org: WindowOrigins,
     else:
         shadow = jnp.ones_like(t_hit)
 
-    rgb_b = shade_blocks(cache, org, h, w, ah, aw, lat, lon, p, fp, shadow)
+    pix_ang = 2.0 * basis.tan_half_fov / height
+    rgb_b = shade_blocks(cache, org, h, w, ah, aw, lat, lon, p, fp, shadow,
+                         geom=geom, t_hit=t_hit, pix_ang=pix_ang)
     rgb = from_blocks(jnp.where(hit[..., None], rgb_b, 0.0), height, width)
     hit_img = from_blocks(hit, height, width)
 
@@ -488,7 +554,7 @@ class PackedWindows(NamedTuple):
     hwin: jnp.ndarray     # (NS, G*WIN_H, WIN_W)
     awin: jnp.ndarray     # (NS, G*AWIN_H, 3*AWIN_W) channel-major
     swin: jnp.ndarray     # (NS, G*SWIN_H, SWIN_W)
-    scal: jnp.ndarray     # (NS, 9, G, B) lane-broadcast per-block scalars
+    scal: jnp.ndarray     # (NS, N_SCAL, G, B) lane-broadcast per-block scalars
 
 
 @jax.jit
@@ -515,10 +581,11 @@ def pack_windows(cache: WindowCache, org: WindowOrigins,
         cache.hmean[:, 0], org.q,
         org.ar0.astype(jnp.float32), org.ac0.astype(jnp.float32),
         sr0.astype(jnp.float32), sc0.astype(jnp.float32),
-        sq.astype(jnp.float32),
+        sq.astype(jnp.float32), org.sigma,
     ])
-    scal = scal.reshape(9, ns, GROUP).transpose(1, 0, 2)
-    scal = jnp.broadcast_to(scal[..., None], (ns, 9, GROUP, BLOCK))
+    n_scal = scal.shape[0]
+    scal = scal.reshape(n_scal, ns, GROUP).transpose(1, 0, 2)
+    scal = jnp.broadcast_to(scal[..., None], (ns, n_scal, GROUP, BLOCK))
     hwin = cache.hwin.reshape(ns, GROUP * WIN_H, WIN_W)
     awin = jnp.moveaxis(cache.awin, 3, 2).reshape(nblk, AWIN_H, 3 * AWIN_W)
     awin = awin.reshape(ns, GROUP * AWIN_H, 3 * AWIN_W)
@@ -527,7 +594,8 @@ def pack_windows(cache: WindowCache, org: WindowOrigins,
                          scal=scal + 0.0)
 
 
-def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool):
+def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
+                   pix_ang):
     from moonrtx_tpu.ops import pallas_march as pk
 
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
@@ -540,13 +608,14 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool):
                        smap_params.axis_z[0], smap_params.axis_z[1],
                        smap_params.axis_z[2],
                        smap_params.axis_x[0], smap_params.axis_x[1],
-                       smap_params.axis_x[2]]
+                       smap_params.axis_x[2], pix_ang]
     else:
         z = jnp.float32(0.0)
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
                        fp.irradiance, z, z, jnp.float32(1.0),
-                       z, z, jnp.float32(1.0), jnp.float32(1.0), z, z]
+                       z, z, jnp.float32(1.0), jnp.float32(1.0), z, z,
+                       pix_ang]
     return jnp.broadcast_to(
         jnp.stack([jnp.asarray(v, jnp.float32)
                    for v in params_list])[:, None, None],
@@ -611,7 +680,8 @@ def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
     samples use render_accumulate_pallas which packs once)."""
     packed = pack_windows(cache, org,
                           shadow_windows if use_shadow else None)
-    params = _kernel_params(geom.ob, fp, smap_params, use_shadow)
+    params = _kernel_params(geom.ob, fp, smap_params, use_shadow,
+                            2.0 * basis.tan_half_fov / height)
     return _pallas_frame(packed, geom, params, background, basis, fp,
                          height, width, h, w, n_coarse, use_shadow,
                          interpret)
@@ -639,7 +709,8 @@ def render_accumulate_pallas(packed: PackedWindows,
     from moonrtx_tpu.ops import pallas_march as pk
 
     ob = mat3t_apply(fp.rotation, basis.eye)
-    params = _kernel_params(ob, fp, smap_params, use_shadow)
+    params = _kernel_params(ob, fp, smap_params, use_shadow,
+                            2.0 * basis.tan_half_fov / height)
 
     geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
                        h_min, maxmap=maxmap)

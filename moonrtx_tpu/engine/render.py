@@ -142,11 +142,37 @@ def surface_normal(tex, h: int, w: int, lat, lon, hs):
     return jnp.where(outward < 0.0, -n, n)
 
 
-def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow):
-    """Diffuse shading with the area light's irradiance calibration."""
+def soft_ndotl(mu, sigma):
+    """E[max(0, n.l)] under a Gaussian normal-tilt perturbation of stddev
+    sigma: mu*CDF(mu/s) + s*pdf(mu/s) with s = sigma*sin(incidence).
+
+    Used for roughness-compensated shading where a coarser mip level has
+    smoothed away sub-texel slopes (per-block LOD strides near the limb) —
+    restores the mean brightness the lost facets would have contributed,
+    so LOD seams carry no brightness step. CDF via the logistic
+    approximation (max err ~1e-2, well below the seam step it removes).
+    Exactly max(mu, 0) as sigma -> 0."""
+    s = sigma * jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) + 1e-6
+    x = mu / s
+    cdf = 1.0 / (1.0 + jnp.exp(jnp.clip(-1.702 * x, -60.0, 60.0)))
+    pdf = 0.39894228 * jnp.exp(-0.5 * jnp.minimum(x * x, 120.0))
+    return jnp.maximum(mu * cdf + s * pdf, 0.0)
+
+
+def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
+                  sigma=None):
+    """Diffuse shading with the area light's irradiance calibration.
+
+    sigma: optional per-pixel normal-tilt stddev for roughness-compensated
+    shading (see soft_ndotl)."""
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
     to_light = normalize(light_body - p_body)
-    ndotl = jnp.maximum(jnp.sum(n_body * to_light, axis=-1), 0.0)
+    mu = jnp.sum(n_body * to_light, axis=-1)
+    if sigma is None:
+        ndotl = jnp.maximum(mu, 0.0)
+    else:
+        ndotl = jnp.where(sigma > 1e-6, soft_ndotl(mu, sigma),
+                          jnp.maximum(mu, 0.0))
     return albedo * (fp.irradiance * ndotl * shadow)[..., None]
 
 

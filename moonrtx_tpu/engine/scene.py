@@ -21,7 +21,13 @@ import numpy as np
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.astro import calculate_ephemeris
 from moonrtx_tpu.config import RenderConfig
-from moonrtx_tpu.data.mips import build_mips, coarse_max_map, pad_lon_wrap, select_level
+from moonrtx_tpu.data.mips import (
+    build_mips,
+    coarse_max_map,
+    pad_lon_wrap,
+    select_level,
+    slope_sq_maps,
+)
 from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
@@ -75,9 +81,12 @@ class MoonScene:
         self.radius_scale = float(radius_scale)
         self.h_min = float(elevation.min())
 
-        self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
-                     for m in build_mips(elevation)]
+        mips_np = build_mips(elevation)
+        self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS)) for m in mips_np]
         self.maxmap = jnp.asarray(coarse_max_map(elevation))
+        # mean squared slope per level (coarse cells) for LOD roughness
+        # compensation at per-block mip-stride seams
+        self.slope_maps = jnp.asarray(slope_sq_maps(mips_np))
         self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS) for m in self.mips]
         albedo_mips = build_mips(albedo)
         # albedo pyramid aligned level-for-level with the heightfield pyramid
@@ -252,14 +261,16 @@ class MoonScene:
         alevel = min(level + blocked.ALB_DOWN, len(self.albedo_mips) - 1)
         ah, aw = self.mip_shapes[alevel]
         if self._origins is None or self._cache_level != level:
+            # stride levels available above the render level (q up to 4)
+            max_qexp = min(2, len(self.mips) - 1 - level,
+                           len(self.albedo_mips) - 1 - alevel)
             self._origins = blocked.window_origins(
                 geom, h, w, self.mips[level].shape[1], ah, aw,
-                self.albedo_mips[alevel].shape[1])
-            nlevel = min(level + 1, len(self.mips) - 1)
-            nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+                self.albedo_mips[alevel].shape[1], max_qexp=max_qexp,
+                slope_maps=self.slope_maps[level:level + max_qexp + 1])
             self._wincache = blocked.extract_window_cache(
-                self.mips[level], self.mips[nlevel],
-                self.albedo_mips[alevel], self.albedo_mips[nalevel],
+                tuple(self.mips[level:level + max_qexp + 1]),
+                tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
                 self._origins)
             self._cache_level = level
             self._shadowwin = None

@@ -44,10 +44,11 @@ SW = blocked.SWIN_W
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
 
-# params vector layout (16, 128) broadcast rows:
+# params vector layout (17, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
 #  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
-N_PARAMS = 16
+#  16 pixel angular size (for the footprint-matched normal stencil)
+N_PARAMS = 17
 
 
 def _atan2(y, x):
@@ -106,8 +107,9 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         lxp, lyp, lzp = P(3), P(4), P(5)
         irradiance = P(6)
 
-        # per-block lane-broadcast scalars (G, B):
-        # 0 r0 | 1 c0 | 2 hmean | 3 q | 4 ar0 | 5 ac0 | 6 sr0 | 7 sc0 | 8 sq
+        # per-block lane-broadcast scalars (G, B): 0 r0 | 1 c0 | 2 hmean
+        # | 3 q | 4 ar0 | 5 ac0 | 6 sr0 | 7 sc0 | 8 sq | 9 sigma (LOD
+        # roughness compensation, engine.render.soft_ndotl)
         r0 = scal_ref[0, 0]
         c0 = scal_ref[0, 1]
         hmean = scal_ref[0, 2]
@@ -117,6 +119,7 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         sr0 = scal_ref[0, 6]
         sc0 = scal_ref[0, 7]
         sq = scal_ref[0, 8]
+        sigma = scal_ref[0, 9]
 
         dbx = dbx_ref[0]
         dby = dby_ref[0]
@@ -191,8 +194,16 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         lat, lon = latlon(px, py, pz)
         hs = height_at(lat, lon)
 
-        # normal: central differences at half-texel (stride-scaled) spacing
-        dlat = (0.5 * math.pi / h) * q
+        # normal: central differences with a footprint-matched per-ray step
+        # (engine.blocked.normal_step_texels) — continuous across per-block
+        # stride (q) seams, unlike a fixed half-texel at each block's level
+        pix_ang = P(16)
+        inv_p = jax.lax.rsqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-20))
+        cosv = jnp.maximum(jnp.abs((px * dbx + py * dby + pz * dbz) * inv_p),
+                           0.05)
+        arc = t_hit * pix_ang / (C.MOON_RADIUS * cosv)
+        step = jnp.clip(0.5 * arc * (h / math.pi) / q, 0.5, 3.0)
+        dlat = (math.pi / h) * q * step
         coslat = jnp.maximum(jnp.cos(lat), 0.05)
         dlon = dlat / coslat
 
@@ -270,13 +281,22 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         else:
             shadow = jnp.ones((G, B), jnp.float32)
 
-        # Lambert with the area-light irradiance calibration
+        # Lambert with the area-light irradiance calibration, softened by
+        # the block's lost-roughness sigma (engine.render.soft_ndotl): a
+        # coarser-LOD block shades as E[max(0, mu + tilt)] so per-block
+        # mip-stride transitions carry no brightness seam
         tlx = lxp - px
         tly = lyp - py
         tlz = lzp - pz
         inv_l = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz,
                                           1e-20))
-        ndotl = jnp.maximum((nX * tlx + nY * tly + nZ * tlz) * inv_l, 0.0)
+        mu = (nX * tlx + nY * tly + nZ * tlz) * inv_l
+        s_eff = sigma * jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) + 1e-6
+        xs = mu / s_eff
+        cdf = 1.0 / (1.0 + jnp.exp(jnp.clip(-1.702 * xs, -60.0, 60.0)))
+        pdf = 0.39894228 * jnp.exp(-0.5 * jnp.minimum(xs * xs, 120.0))
+        soft = jnp.maximum(mu * cdf + s_eff * pdf, 0.0)
+        ndotl = jnp.where(sigma > 1e-6, soft, jnp.maximum(mu, 0.0))
         hitf = jnp.logical_and(found, active)
         lum = jnp.where(hitf, irradiance * ndotl * shadow, 0.0)
 
@@ -303,7 +323,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
 
     params: (N_PARAMS, G, B) f32, planes broadcast (see layout above)
     dbx/dby/dbz, t_enter, t_end, active: (NSUPER, G, B)
-    scal: (NSUPER, 9, G, B) lane-broadcast per-block scalars
+    scal: (NSUPER, N_SCAL=10, G, B) lane-broadcast per-block scalars
     hwin: (NSUPER, G*WH, WW); awin_cm: (NSUPER, G*AH, 3*AW) channel-major;
     swin: (NSUPER, G*SH, SW)
     Returns (r, g, b, hit, t_hit, px, py, pz) each (NSUPER, G, B).
@@ -319,7 +339,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
         in_specs=[
             pl.BlockSpec((N_PARAMS, G, B), lambda i: (0, 0, 0)),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((1, 9, G, B), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, scal.shape[1], G, B), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, G * WH, WW), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, G * AH, 3 * AW), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, G * SH, SW), lambda i: (i, 0, 0)),

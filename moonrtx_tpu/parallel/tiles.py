@@ -62,9 +62,10 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
         geom = blocked.block_rays(basis, fp.rotation, jitter,
                                   strip_h, width, h_min, maxmap=maxmap,
                                   row_offset=row_offset, full_height=height)
-        org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w)
-        cache = blocked.extract_window_cache(mip, mip_next, albedo_mip,
-                                             albedo_next, org)
+        org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w,
+                                     max_qexp=1)
+        cache = blocked.extract_window_cache((mip, mip_next),
+                                             (albedo_mip, albedo_next), org)
         hit, t_hit, lat, lon, p = blocked.march_blocks(
             cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
         if shadow_map is not None:
@@ -74,7 +75,9 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
         else:
             shadow = jnp.ones_like(t_hit)
         rgb_b = blocked.shade_blocks(cache, org, h, w, ah, aw,
-                                     lat, lon, p, fp, shadow)
+                                     lat, lon, p, fp, shadow,
+                                     geom=geom, t_hit=t_hit,
+                                     pix_ang=2.0 * basis.tan_half_fov / height)
         rgb = blocked.from_blocks(
             jnp.where(hit[..., None], rgb_b, 0.0), strip_h, width)
         hit_img = blocked.from_blocks(hit, strip_h, width)
