@@ -178,3 +178,42 @@ def test_timescales_delta_t_modern():
     assert 68.0 < ts.delta_t < 71.0
     ts = timescales(datetime(1950, 6, 1, tzinfo=timezone.utc))
     assert 27.0 < ts.delta_t < 32.0
+
+
+def test_perigee_2016_supermoon():
+    """2016-11-14 11:23 UTC: closest perigee 1948-2034, geocentric
+    356,509 km (widely published). The truncated series should land within
+    ~100 km; MoonEphemeris.distance itself is TOPOCENTRIC (differs by up
+    to an Earth radius, like the reference's Skyfield observer)."""
+    ts = timescales(datetime(2016, 11, 14, 11, 23, tzinfo=timezone.utc))
+    _, _, dist = moon_geometric(ts.T)
+    assert dist == pytest.approx(356509.0, abs=100.0)
+    # and it is a minimum
+    for dh in (-6.0, 6.0):
+        ts2 = timescales(datetime(2016, 11, 14, 11, 23, tzinfo=timezone.utc)
+                         + timedelta(hours=dh))
+        assert moon_geometric(ts2.T)[2] > dist
+    # topocentric distance exceeds geocentric by up to one Earth radius
+    e = calculate_ephemeris(datetime(2016, 11, 14, 11, 23, tzinfo=timezone.utc),
+                            Observer(0.0, 0.0, 0))
+    assert 0.0 < e.distance - dist < 6500.0
+
+
+def test_partial_lunar_eclipse_2024sep():
+    """2024-09-18 02:44 UTC partial lunar eclipse maximum (partial -> the
+    Moon passes OFF the shadow axis; topocentric elongation ~178.4)."""
+    e = calculate_ephemeris(datetime(2024, 9, 18, 2, 44, tzinfo=timezone.utc),
+                            Observer(40.4, -3.7, 650))
+    assert e.elongation > 178.0
+    assert e.phase_name == "Full Moon"
+
+
+def test_major_lunar_standstill_2025():
+    """2024-2025 is a major lunar standstill: monthly declination extremes
+    reach ~ +/-28.5 deg (obliquity + inclination)."""
+    obs = Observer(0.0, 0.0, 0)
+    decs = [calculate_ephemeris(
+        datetime(2025, 3, 1, tzinfo=timezone.utc) + timedelta(hours=13 * i),
+        obs).dec for i in range(60)]
+    assert max(decs) > 28.0
+    assert min(decs) < -28.0
