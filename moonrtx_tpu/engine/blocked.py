@@ -557,13 +557,10 @@ class PackedWindows(NamedTuple):
     scal: jnp.ndarray     # (NS, N_SCAL, G, B) lane-broadcast per-block scalars
 
 
-@jax.jit
-def pack_windows(cache: WindowCache, org: WindowOrigins,
-                 shadow_windows: Optional[ShadowWindows]) -> PackedWindows:
-    """Repack the blocked-backend caches into the fused kernel's layout.
-
-    Run once per pose/time change (it moves ~0.5 GB); the per-frame path
-    must not repack."""
+def _pack_sun_parts(cache: WindowCache, org: WindowOrigins,
+                    shadow_windows: Optional[ShadowWindows]):
+    """(swin_packed, scal) — the sun-dependent (per time step) kernel
+    tensors. Cheap relative to the pose pack (~1/7 of the bytes)."""
     nblk = cache.hwin.shape[0]
     ns = nblk // GROUP
     if shadow_windows is not None:
@@ -586,12 +583,34 @@ def pack_windows(cache: WindowCache, org: WindowOrigins,
     n_scal = scal.shape[0]
     scal = scal.reshape(n_scal, ns, GROUP).transpose(1, 0, 2)
     scal = jnp.broadcast_to(scal[..., None], (ns, n_scal, GROUP, BLOCK))
+    swin = swin.reshape(ns, GROUP * SWIN_H, SWIN_W)
+    return swin, scal + 0.0
+
+
+@jax.jit
+def pack_pose_windows(cache: WindowCache):
+    """(hwin_packed, awin_packed) — the pose-dependent (camera/level) kernel
+    tensors; the heavy part of the repack (~0.7 GB at 1080p). Reused across
+    time steps (a time step only moves the sun)."""
+    nblk = cache.hwin.shape[0]
+    ns = nblk // GROUP
     hwin = cache.hwin.reshape(ns, GROUP * WIN_H, WIN_W)
     awin = jnp.moveaxis(cache.awin, 3, 2).reshape(nblk, AWIN_H, 3 * AWIN_W)
     awin = awin.reshape(ns, GROUP * AWIN_H, 3 * AWIN_W)
-    swin = swin.reshape(ns, GROUP * SWIN_H, SWIN_W)
-    return PackedWindows(hwin=hwin, awin=awin, swin=swin,
-                         scal=scal + 0.0)
+    return hwin + 0.0, awin + 0.0
+
+
+@jax.jit
+def pack_windows(cache: WindowCache, org: WindowOrigins,
+                 shadow_windows: Optional[ShadowWindows]) -> PackedWindows:
+    """Repack the blocked-backend caches into the fused kernel's layout.
+
+    Run once per pose change; the per-frame path must not repack, and a
+    time-only change should rebuild just the sun parts (_pack_sun_parts via
+    rebuild_shadow_state) and reuse the pose tensors."""
+    hwin, awin = pack_pose_windows(cache)
+    swin, scal = _pack_sun_parts(cache, org, shadow_windows)
+    return PackedWindows(hwin=hwin, awin=awin, swin=swin, scal=scal)
 
 
 def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
@@ -788,9 +807,11 @@ def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
                          h: int, w: int, n_coarse_rows: int, n_fine: int,
                          n_phi: int):
     """One device program for everything a time step must rebuild:
-    sun-frame shadow scan -> per-block shadow windows -> kernel repack.
+    sun-frame shadow scan -> per-block shadow windows -> sun-part repack.
 
-    Returns (shadow_map, ShadowMapParams, ShadowWindows, PackedWindows).
+    Returns (shadow_map, ShadowMapParams, ShadowWindows, swin_packed, scal);
+    the caller combines swin/scal with its cached pose-packed hwin/awin
+    (pack_pose_windows) — a time step never re-moves those ~0.7 GB.
     Fusing these (each was a separate dispatch) matters on dispatch-heavy
     transports and removes intermediate HBM round trips everywhere."""
     from moonrtx_tpu.ops import shadow_scan
@@ -812,5 +833,5 @@ def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
         n_coarse=jnp.float32(n_coarse_rows), n_fine=jnp.float32(n_fine),
         n_phi=jnp.float32(n_phi), sun_ang_radius=sun_ang_radius)
     sw = build_shadow_windows(smap, params, geom)
-    packed = pack_windows(cache, org, sw)
-    return smap, params, sw, packed
+    swin_packed, scal = _pack_sun_parts(cache, org, sw)
+    return smap, params, sw, swin_packed, scal

@@ -289,7 +289,7 @@ class MoonScene:
                 sun_body = sun_body / np.linalg.norm(sun_body)
                 lvl = self.mip_level()
                 th, tw = self.mip_shapes[lvl]
-                smap, sparams, sw, packed = blocked.rebuild_shadow_state(
+                smap, sparams, sw, swin_p, scal = blocked.rebuild_shadow_state(
                     self.mips[lvl], jnp.asarray(sun_body, jnp.float32),
                     jnp.float32(_math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
                     geom, self._wincache, self._origins,
@@ -297,7 +297,13 @@ class MoonScene:
                 self._shadow = (smap, sparams)
                 self._shadow_dirty = False
                 self._shadowwin = sw
-                self._packed = packed
+                if self._packed is None:
+                    # pose changed too: repack the heavy pose tensors
+                    hwin_p, awin_p = blocked.pack_pose_windows(self._wincache)
+                else:
+                    hwin_p, awin_p = self._packed.hwin, self._packed.awin
+                self._packed = blocked.PackedWindows(
+                    hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
             else:
                 smap, sparams = self.shadow_args()
                 self._shadowwin = blocked.build_shadow_windows(
