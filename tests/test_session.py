@@ -135,10 +135,21 @@ def test_status_panels_complete(session):
 
 
 def test_frame_with_overlays(session):
-    session.handle_key("g")
+    bare = session.frame(n_accum=1).copy()
+    session.handle_key("g")           # grid
+    session.handle_key("l")           # standard labels
+    session.toggle_pin_at(1, 64, 48)  # pin at frame center
     img = session.frame(n_accum=1)
     assert img.shape == (96, 128, 3)
     assert img.sum() > 0
+    # the composited overlays must actually change pixels
+    assert (np.abs(img.astype(int) - bare.astype(int)) > 0).any()
+    # and toggling everything back off restores the bare frame
+    session.handle_key("g")
+    session.handle_key("l")
+    session.toggle_pin_at(1, 64, 48)
+    again = session.frame(n_accum=1)
+    assert np.array_equal(again, bare)
 
 
 def test_screenshot_name_round_trips(session):
