@@ -106,6 +106,10 @@ def parse_args(argv=None):
     parser.add_argument("--no-download", action="store_true",
                         help="Never attempt data downloads; use local files "
                              "or procedural synthesis")
+    parser.add_argument("--no-indirect-light", action="store_true",
+                        help="Disable one-bounce terrain interreflection "
+                             "(the analog of the reference's path-traced "
+                             "indirect segments)")
     return parser.parse_args(argv)
 
 
@@ -206,6 +210,7 @@ def config_from_args(args) -> RenderConfig:
         height=args.height,
         backend=args.backend,
         accumulation_frames=args.accumulation_frames,
+        indirect_light=not args.no_indirect_light,
     )
     try:
         cfg.validate()

@@ -44,6 +44,9 @@ class RenderConfig:
     height: int = 1080
     backend: str = "auto"          # auto | reference | mxu | pallas
     accumulation_frames: int = C.MAX_ACCUMULATION_FRAMES
+    # one-bounce terrain interreflection (the stand-in for the reference's
+    # path-traced indirect segments, moon_renderer.py:441-445)
+    indirect_light: bool = True
 
     def validate(self) -> "RenderConfig":
         """Range-check every field (reference main.py:298-332)."""

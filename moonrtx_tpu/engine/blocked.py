@@ -114,7 +114,10 @@ class WindowCache(NamedTuple):
 
 
 class ShadowWindows(NamedTuple):
-    swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W)
+    swin: jnp.ndarray      # (NBLK, SWIN_H, 2*SWIN_W): columns [0, SWIN_W)
+                           # hold the shadow factor, [SWIN_W, 2*SWIN_W) the
+                           # one-bounce irradiance map (zeros if disabled) —
+                           # same grid, origins and stride for both
     sr0: jnp.ndarray
     sc0: jnp.ndarray
     sq: jnp.ndarray        # per-block stride into the shadow grid (1/2/4)
@@ -416,7 +419,7 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
                  h: int, w: int, ah: int, aw: int,
                  lat, lon, p, fp: FrameParams, shadow,
                  geom: Optional[RayGeom] = None, t_hit=None,
-                 pix_ang=None):
+                 pix_ang=None, bounce=None):
     """Normals from height windows, albedo from coarse windows, Lambert."""
     hs = _sample_height(cache, lat, lon, h, w, org)
     if pix_ang is not None and geom is not None and t_hit is not None:
@@ -441,17 +444,19 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
     awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0, org.q)
     albedo = window_bilinear(cache.awin, awy, awx)
     return shade_lambert(albedo, n, p, fp, shadow,
-                         sigma=org.sigma[:, None])
+                         sigma=org.sigma[:, None], bounce=bounce)
 
 
 # ---- shadow windows ---------------------------------------------------------
 
 @jax.jit
-def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindows:
+def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
+                         bounce_map=None) -> ShadowWindows:
     """Per-block windows into the sun-frame shadow map (rebuilt on time or
     camera change). Footprints from the chord endpoints + midpoint; blocks spanning
     more than a window sample a 2x-decimated copy of the map (the penumbra
-    is smooth, so decimation is benign)."""
+    is smooth, so decimation is benign). bounce_map (same grid) shares the
+    origins/stride; its windows sit in columns [SWIN_W, 2*SWIN_W)."""
     from moonrtx_tpu.ops import shadow_scan
 
     n_phi = shadow_map.shape[1] - shadow_scan.PHI_PAD
@@ -483,10 +488,19 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom) -> ShadowWindow
     sqexp = jnp.round(jnp.log2(sq)).astype(jnp.int32)
     swin = _pick_level_windows((shadow_map, half, quarter), sqexp,
                                sr0, sc0, SWIN_H, SWIN_W)
-    return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)
+    if bounce_map is None:
+        bwin = jnp.zeros_like(swin)
+    else:
+        bhalf = _decimate(bounce_map)
+        bwin = _pick_level_windows((bounce_map, bhalf, _decimate(bhalf)),
+                                   sqexp, sr0, sc0, SWIN_H, SWIN_W)
+    return ShadowWindows(swin=jnp.concatenate([swin, bwin], axis=2),
+                         sr0=sr0, sc0=sc0, sq=sq)
 
 
 def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
+    """Sample (shadow, bounce) at body-frame points through the per-block
+    windows (bounce is zeros when disabled)."""
     from moonrtx_tpu.ops import shadow_scan
 
     rows, cols = shadow_scan.rowcol_of_points(smap_params, n_phi, p)
@@ -496,8 +510,12 @@ def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
     cols = jnp.where(cols < sw.sc0[:, None].astype(cols.dtype) - 0.5,
                      cols + n_phi / qb, cols)
     theta_ok = (rows * qb) < shadow_scan_total_rows(smap_params) - 1.001
-    val = window_bilinear(sw.swin, rows - sw.sr0[:, None], cols - sw.sc0[:, None])
-    return jnp.where(theta_ok, val, 0.0)
+    wy = rows - sw.sr0[:, None]
+    wx = cols - sw.sc0[:, None]
+    val = window_bilinear(sw.swin[:, :, :SWIN_W], wy, wx)
+    bval = window_bilinear(sw.swin[:, :, SWIN_W:], wy, wx)
+    return (jnp.where(theta_ok, val, 0.0),
+            jnp.where(theta_ok, bval, 0.0))
 
 
 def shadow_scan_total_rows(smap_params):
@@ -522,13 +540,16 @@ def render_frame_blocked(cache: WindowCache, org: WindowOrigins,
         cache, org, geom, h, w, jitter_t, n_coarse=n_coarse)
 
     if shadow_windows is not None:
-        shadow = lookup_shadow_windows(shadow_windows, smap_params, n_phi, p)
+        shadow, bounce = lookup_shadow_windows(shadow_windows, smap_params,
+                                               n_phi, p)
     else:
         shadow = jnp.ones_like(t_hit)
+        bounce = None
 
     pix_ang = 2.0 * basis.tan_half_fov / height
     rgb_b = shade_blocks(cache, org, h, w, ah, aw, lat, lon, p, fp, shadow,
-                         geom=geom, t_hit=t_hit, pix_ang=pix_ang)
+                         geom=geom, t_hit=t_hit, pix_ang=pix_ang,
+                         bounce=bounce)
     rgb = from_blocks(jnp.where(hit[..., None], rgb_b, 0.0), height, width)
     hit_img = from_blocks(hit, height, width)
 
@@ -553,7 +574,7 @@ class PackedWindows(NamedTuple):
 
     hwin: jnp.ndarray     # (NS, G*WIN_H, WIN_W)
     awin: jnp.ndarray     # (NS, G*AWIN_H, 3*AWIN_W) channel-major
-    swin: jnp.ndarray     # (NS, G*SWIN_H, SWIN_W)
+    swin: jnp.ndarray     # (NS, G*SWIN_H, 2*SWIN_W) shadow | bounce halves
     scal: jnp.ndarray     # (NS, N_SCAL, G, B) lane-broadcast per-block scalars
 
 
@@ -572,7 +593,7 @@ def _pack_sun_parts(cache: WindowCache, org: WindowOrigins,
         sr0 = jnp.zeros((nblk,), jnp.int32)
         sc0 = jnp.zeros((nblk,), jnp.int32)
         sq = jnp.ones((nblk,), jnp.float32)
-        swin = jnp.zeros((nblk, SWIN_H, SWIN_W), jnp.float32)
+        swin = jnp.zeros((nblk, SWIN_H, 2 * SWIN_W), jnp.float32)
     scal = jnp.stack([
         org.r0.astype(jnp.float32), org.c0.astype(jnp.float32),
         cache.hmean[:, 0], org.q,
@@ -583,7 +604,7 @@ def _pack_sun_parts(cache: WindowCache, org: WindowOrigins,
     n_scal = scal.shape[0]
     scal = scal.reshape(n_scal, ns, GROUP).transpose(1, 0, 2)
     scal = jnp.broadcast_to(scal[..., None], (ns, n_scal, GROUP, BLOCK))
-    swin = swin.reshape(ns, GROUP * SWIN_H, SWIN_W)
+    swin = swin.reshape(ns, GROUP * SWIN_H, 2 * SWIN_W)
     return swin, scal + 0.0
 
 
@@ -805,33 +826,40 @@ def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
                          geom: RayGeom, cache: WindowCache,
                          org: WindowOrigins,
                          h: int, w: int, n_coarse_rows: int, n_fine: int,
-                         n_phi: int):
+                         n_phi: int, alb_lum=None):
     """One device program for everything a time step must rebuild:
-    sun-frame shadow scan -> per-block shadow windows -> sun-part repack.
+    sun-frame shadow scan (+ one-bounce irradiance map when alb_lum is
+    given) -> per-block shadow windows -> sun-part repack.
 
-    Returns (shadow_map, ShadowMapParams, ShadowWindows, swin_packed, scal);
-    the caller combines swin/scal with its cached pose-packed hwin/awin
-    (pack_pose_windows) — a time step never re-moves those ~0.7 GB.
+    Returns (shadow_map, ShadowMapParams, ShadowWindows, swin_packed, scal,
+    bounce_map-or-None); the caller combines swin/scal with its cached
+    pose-packed hwin/awin (pack_pose_windows) — a time step never re-moves
+    those ~0.7 GB.
     Fusing these (each was a separate dispatch) matters on dispatch-heavy
     transports and removes intermediate HBM round trips everywhere."""
     from moonrtx_tpu.ops import shadow_scan
 
-    z = sun_dir_body / jnp.linalg.norm(sun_dir_body)
-    helper = jnp.where(jnp.abs(z[2]) < 0.9,
-                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-    x = jnp.cross(helper, z)
-    x = x / jnp.linalg.norm(x)
-    y = jnp.cross(z, x)
+    x, y, z = shadow_scan.sun_frame_basis(sun_dir_body)
     basis = jnp.stack([x, y, z])
-    factor = shadow_scan.scan_wedge(tex, basis, sun_ang_radius, h, w,
-                                    n_coarse_rows, n_fine, n_phi, 0, n_phi,
-                                    blocked_resample=True)
+    if alb_lum is None:
+        factor = shadow_scan.scan_wedge(
+            tex, basis, sun_ang_radius, h, w,
+            n_coarse_rows, n_fine, n_phi, 0, n_phi, blocked_resample=True)
+        bmap = None
+    else:
+        factor, hs, alb_s = shadow_scan.scan_wedge(
+            tex, basis, sun_ang_radius, h, w,
+            n_coarse_rows, n_fine, n_phi, 0, n_phi, blocked_resample=True,
+            alb_lum=alb_lum)
+        bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
+                                               n_coarse_rows, n_fine, n_phi)
+        bmap = jnp.concatenate([bounce, bounce[:, :shadow_scan.PHI_PAD]],
+                               axis=1)
     smap = jnp.concatenate([factor, factor[:, :shadow_scan.PHI_PAD]], axis=1)
     params = shadow_scan.ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,
         n_coarse=jnp.float32(n_coarse_rows), n_fine=jnp.float32(n_fine),
         n_phi=jnp.float32(n_phi), sun_ang_radius=sun_ang_radius)
-    sw = build_shadow_windows(smap, params, geom)
+    sw = build_shadow_windows(smap, params, geom, bounce_map=bmap)
     swin_packed, scal = _pack_sun_parts(cache, org, sw)
-    return smap, params, sw, swin_packed, scal
+    return smap, params, sw, swin_packed, scal, bmap

@@ -160,11 +160,14 @@ def soft_ndotl(mu, sigma):
 
 
 def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
-                  sigma=None):
+                  sigma=None, bounce=None):
     """Diffuse shading with the area light's irradiance calibration.
 
     sigma: optional per-pixel normal-tilt stddev for roughness-compensated
-    shading (see soft_ndotl)."""
+    shading (see soft_ndotl). bounce: optional one-bounce terrain
+    irradiance (ops.shadow_scan.bounce_from_parts units: adds to
+    n.l * shadow before the irradiance scale — the stand-in for the
+    reference's path-traced indirect segments, moon_renderer.py:441-445)."""
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
     to_light = normalize(light_body - p_body)
     mu = jnp.sum(n_body * to_light, axis=-1)
@@ -173,7 +176,10 @@ def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
     else:
         ndotl = jnp.where(sigma > 1e-6, soft_ndotl(mu, sigma),
                           jnp.maximum(mu, 0.0))
-    return albedo * (fp.irradiance * ndotl * shadow)[..., None]
+    term = ndotl * shadow
+    if bounce is not None:
+        term = term + bounce
+    return albedo * (fp.irradiance * term)[..., None]
 
 
 def sun_disk_hit(eye, dirs_scene, fp: FrameParams):
@@ -193,13 +199,15 @@ def render_frame(tex, albedo_tex, background, shadow_fn_args,
                  basis: CameraBasis, fp: FrameParams, jitter,
                  height: int, width: int, h: int, w: int,
                  h_min: float, h_mean: float = 1.0, displaced: bool = True,
-                 n_coarse: int = 48) -> RenderOutput:
+                 n_coarse: int = 48, bounce_map=None) -> RenderOutput:
     """One full linear-HDR frame + hit buffer.
 
     background: (H, W, 3) pre-composited star background for this camera
     pose (host-resampled on camera change), or None for black.
     shadow_fn_args: optional (shadow_map, smap_params) from
     moonrtx_tpu.ops.shadow_scan; None disables cast shadows.
+    bounce_map: optional one-bounce irradiance map on the same scan grid
+    (shadow_scan.build_shadow_and_bounce); requires shadow_fn_args.
     """
     dirs_scene = ray_directions(basis, height, width, jitter)
     ob = mat3t_apply(fp.rotation, basis.eye)
@@ -220,14 +228,18 @@ def render_frame(tex, albedo_tex, background, shadow_fn_args,
 
     albedo = sampler.sample_latlon(albedo_tex, lat, lon, h, w)
 
+    bounce = None
     if shadow_fn_args is not None:
         from moonrtx_tpu.ops.shadow_scan import shadow_lookup
         shadow_map, smap_params = shadow_fn_args
         shadow = shadow_lookup(shadow_map, smap_params, p)
+        if bounce_map is not None:
+            # same grid parametrization + night-side clamp as the shadow
+            bounce = shadow_lookup(bounce_map, smap_params, p)
     else:
         shadow = jnp.ones_like(t_hit)
 
-    rgb = shade_lambert(albedo, n_body, p, fp, shadow)
+    rgb = shade_lambert(albedo, n_body, p, fp, shadow, bounce=bounce)
 
     disk = sun_disk_hit(basis.eye, dirs_scene, fp)
     if background is None:

@@ -127,7 +127,10 @@ class MoonScene:
         self._basis: Optional[CameraBasis] = None
         self._background = None
         self._shadow = None          # (shadow_map, params) or None
+        self._bounce = None          # one-bounce irradiance map or None
         self._shadow_dirty = True
+        self.indirect_light = bool(getattr(config, "indirect_light", True))
+        self._alb_lum = {}           # level -> albedo-luminance map (cached)
         # blocked-backend caches
         self._origins = None         # WindowOrigins (per pose+level+rotation)
         self._wincache = None        # WindowCache
@@ -234,8 +237,16 @@ class MoonScene:
                 jnp.zeros((self.height, self.width), jnp.uint8))
         return self._background
 
+    def alb_lum(self, level: int):
+        """Albedo-luminance map for a mip level (bounce emitter strength),
+        computed lazily on device and cached."""
+        if level not in self._alb_lum:
+            self._alb_lum[level] = jnp.mean(self.albedo_mips[level], axis=2)
+        return self._alb_lum[level]
+
     def shadow_args(self):
-        """Current (shadow_map, params), rebuilt lazily on time change."""
+        """Current (shadow_map, params), rebuilt lazily on time change
+        (with the one-bounce irradiance map into self._bounce)."""
         if not self.shadows_on or not self.displaced:
             return None
         if self._shadow is None or self._shadow_dirty:
@@ -245,11 +256,18 @@ class MoonScene:
             h, w = self.mip_shapes[level]
             sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
                 light_mod.calculate_light_pos(self.ephem))
-            self._shadow = shadow_scan.build_shadow_map(
-                tex, h, w, jnp.asarray(sun_body / np.linalg.norm(sun_body),
-                                       jnp.float32),
-                float(np.asarray(self._fp.sun_ang_radius)),
-                accuracy=self.shadow_accuracy if self.shadows_on else 1)
+            sun = jnp.asarray(sun_body / np.linalg.norm(sun_body), jnp.float32)
+            ang = float(np.asarray(self._fp.sun_ang_radius))
+            acc = self.shadow_accuracy if self.shadows_on else 1
+            if self.indirect_light:
+                smap, params, bmap = shadow_scan.build_shadow_and_bounce(
+                    tex, self.alb_lum(level), h, w, sun, ang, accuracy=acc)
+                self._shadow = (smap, params)
+                self._bounce = bmap
+            else:
+                self._shadow = shadow_scan.build_shadow_map(
+                    tex, h, w, sun, ang, accuracy=acc)
+                self._bounce = None
             self._shadow_dirty = False
         return self._shadow
 
@@ -289,12 +307,16 @@ class MoonScene:
                 sun_body = sun_body / np.linalg.norm(sun_body)
                 lvl = self.mip_level()
                 th, tw = self.mip_shapes[lvl]
-                smap, sparams, sw, swin_p, scal = blocked.rebuild_shadow_state(
+                (smap, sparams, sw, swin_p, scal,
+                 bmap) = blocked.rebuild_shadow_state(
                     self.mips[lvl], jnp.asarray(sun_body, jnp.float32),
                     jnp.float32(_math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
                     geom, self._wincache, self._origins,
-                    th, tw, nc, nf, nphi)
+                    th, tw, nc, nf, nphi,
+                    alb_lum=(self.alb_lum(lvl) if self.indirect_light
+                             else None))
                 self._shadow = (smap, sparams)
+                self._bounce = bmap
                 self._shadow_dirty = False
                 self._shadowwin = sw
                 if self._packed is None:
@@ -307,7 +329,7 @@ class MoonScene:
             else:
                 smap, sparams = self.shadow_args()
                 self._shadowwin = blocked.build_shadow_windows(
-                    smap, sparams, geom)
+                    smap, sparams, geom, bounce_map=self._bounce)
                 self._packed = None
         if self.backend == "pallas" and self._packed is None:
             self._packed = blocked.pack_windows(
@@ -355,11 +377,14 @@ class MoonScene:
                     jitter_t, self.height, self.width, h, w, ah, aw,
                     n_phi=n_phi)
         else:
+            shadow_fn_args = self.shadow_args()
             out = render_mod.render_frame(
-                tex, alb, self.background(), self.shadow_args(),
+                tex, alb, self.background(), shadow_fn_args,
                 self.basis(), self._fp, jitter,
                 self.height, self.width, h, w, self.h_min,
-                h_mean=1.0 / self.radius_scale, displaced=self.displaced)
+                h_mean=1.0 / self.radius_scale, displaced=self.displaced,
+                bounce_map=(self._bounce if shadow_fn_args is not None
+                            else None))
 
         if self._accum_n == 0 or self._accum is None:
             self._accum = out.rgb

@@ -250,7 +250,9 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         alb_g = jnp.sum(amix[:, 1 * AW:2 * AW] * awc, axis=1)
         alb_b = jnp.sum(amix[:, 2 * AW:3 * AW] * awc, axis=1)
 
-        # shadow factor
+        # shadow factor + one-bounce irradiance (the swin window holds both
+        # maps side by side: columns [0, SW) shadow, [SW, 2*SW) bounce; one
+        # MXU row-mix samples both, exactly like the channel-major albedo)
         if use_shadow:
             rows_c, rows_f, n_phi = P(7), P(8), P(9)
             szx, szy, szz = P(10), P(11), P(12)
@@ -274,12 +276,22 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
             srow = (srow + 0.5) / sq - 0.5
             scol = (scol + 0.5) / sq - 0.5
             scol = jnp.where(scol < sc0 - 0.5, scol + n_phi / sq, scol)
-            swin = swin_ref[0].reshape(G, SH, SW).astype(jnp.bfloat16)
-            shadow = _bsample(swin, srow - sr0, scol - sc0, SH, SW)
-            shadow = jnp.clip(shadow, 0.0, 1.0)
-            shadow = jnp.where(theta * 1.0 >= 105.0, 0.0, shadow)
+            swin = swin_ref[0].reshape(G, SH, 2 * SW).astype(jnp.bfloat16)
+            sy = jnp.clip(srow - sr0, 0.0, SH - 1.001)
+            sx = jnp.clip(scol - sc0, 0.0, SW - 1.001)
+            swr = _hat_t(sy, SH).astype(jnp.bfloat16)          # (G, SH, B)
+            smix = jax.lax.dot_general(
+                swin, swr, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (G, 2*SW, B)
+            swc = _hat_t(sx, SW)                               # (G, SW, B)
+            shadow = jnp.sum(smix[:, :SW] * swc, axis=1)
+            bounce = jnp.sum(smix[:, SW:] * swc, axis=1)
+            night = theta * 1.0 >= 105.0
+            shadow = jnp.where(night, 0.0, jnp.clip(shadow, 0.0, 1.0))
+            bounce = jnp.where(night, 0.0, jnp.maximum(bounce, 0.0))
         else:
             shadow = jnp.ones((G, B), jnp.float32)
+            bounce = jnp.zeros((G, B), jnp.float32)
 
         # Lambert with the area-light irradiance calibration, softened by
         # the block's lost-roughness sigma (engine.render.soft_ndotl): a
@@ -298,7 +310,7 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         soft = jnp.maximum(mu * cdf + s_eff * pdf, 0.0)
         ndotl = jnp.where(sigma > 1e-6, soft, jnp.maximum(mu, 0.0))
         hitf = jnp.logical_and(found, active)
-        lum = jnp.where(hitf, irradiance * ndotl * shadow, 0.0)
+        lum = jnp.where(hitf, irradiance * (ndotl * shadow + bounce), 0.0)
 
         r_ref[0] = alb_r * lum
         g_ref[0] = alb_g * lum
@@ -325,7 +337,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
     dbx/dby/dbz, t_enter, t_end, active: (NSUPER, G, B)
     scal: (NSUPER, N_SCAL=10, G, B) lane-broadcast per-block scalars
     hwin: (NSUPER, G*WH, WW); awin_cm: (NSUPER, G*AH, 3*AW) channel-major;
-    swin: (NSUPER, G*SH, SW)
+    swin: (NSUPER, G*SH, 2*SW) shadow | bounce column halves
     Returns (r, g, b, hit, t_hit, px, py, pz) each (NSUPER, G, B).
     """
     nsuper = dbx.shape[0]
@@ -342,7 +354,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
             pl.BlockSpec((1, scal.shape[1], G, B), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, G * WH, WW), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, G * AH, 3 * AW), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, G * SH, SW), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, G * SH, 2 * SW), lambda i: (i, 0, 0)),
         ],
         out_specs=[ray_spec] * 8,
         out_shape=out_shapes,

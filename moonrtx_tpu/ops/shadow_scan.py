@@ -123,12 +123,18 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col):
 
 def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
                n_coarse: int, n_fine: int, n_phi_total: int,
-               phi0, n_phi: int, blocked_resample: bool = False):
+               phi0, n_phi: int, blocked_resample: bool = False,
+               alb_lum=None):
     """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
 
     The running max along theta is local to each meridian, so wedges are
     embarrassingly parallel — this is the unit sharded over the device mesh
-    (moonrtx_tpu.parallel.tiles.build_shadow_map_sharded)."""
+    (moonrtx_tpu.parallel.tiles.build_shadow_map_sharded).
+
+    With alb_lum (an albedo-luminance map at the same (h, w) level, padded
+    like tex), also returns the per-cell heights and resampled albedo for
+    the one-bounce irradiance map (bounce_from_parts): returns
+    (factor, heights, albedo_lum) instead of just factor."""
     theta = jnp.asarray(np.deg2rad(_theta_grid(n_coarse, n_fine)))[:, None]
     phi = ((2 * np.pi) * (jnp.arange(n_phi, dtype=jnp.float32)[None, :]
                           + phi0 + 0.5) / n_phi_total)
@@ -158,7 +164,147 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     alpha = jnp.arctan2(m_max - m, dz)
     factor = jnp.clip(0.5 - alpha / (2.0 * sun_ang_radius), 0.0, 1.0)
     # subsolar cap: no blockers possible at theta ~ 0
-    return jnp.where(m_max < 0.0, 1.0, factor)
+    factor = jnp.where(m_max < 0.0, 1.0, factor)
+    if alb_lum is None:
+        return factor
+    if blocked_resample:
+        alb_s = _resample_heights_blocked(alb_lum, h, w, row, col)
+    else:
+        alb_s = sampler.gather_bilinear(alb_lum, row, col)
+    return factor, hs, alb_s
+
+
+def _box_blur(x, s: int):
+    """(2s+1)-cell separable box mean; columns (phi) wrap, rows clamp.
+    Cumulative-sum formulation: O(n) independent of s."""
+    inv = 1.0 / (2 * s + 1)
+    xp = jnp.concatenate([x[:, -s:], x, x[:, :s]], axis=1)
+    c = jnp.cumsum(xp, axis=1)
+    c = jnp.concatenate([jnp.zeros((x.shape[0], 1), x.dtype), c], axis=1)
+    x1 = (c[:, 2 * s + 1:] - c[:, : -2 * s - 1]) * inv
+    rp = jnp.concatenate([jnp.broadcast_to(x1[:1], (s,) + x1.shape[1:]),
+                          x1,
+                          jnp.broadcast_to(x1[-1:], (s,) + x1.shape[1:])],
+                         axis=0)
+    c2 = jnp.cumsum(rp, axis=0)
+    c2 = jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype), c2], axis=0)
+    return (c2[2 * s + 1:] - c2[: -2 * s - 1]) * inv
+
+
+# one-bounce pyramid: per-level blur radius (cells), level count bound,
+# smallest level size, and irradiance cap
+BOUNCE_BLUR = 2
+BOUNCE_MAX_LEVELS = 7
+BOUNCE_MIN_SIZE = 16
+BOUNCE_MAX = 0.5
+
+
+def _decimate2(x):
+    return 0.25 * (x[::2, ::2] + x[1::2, ::2] + x[::2, 1::2] + x[1::2, 1::2])
+
+
+def _decimate2_max(x):
+    return jnp.maximum(jnp.maximum(x[::2, ::2], x[1::2, ::2]),
+                       jnp.maximum(x[::2, 1::2], x[1::2, 1::2]))
+
+
+def _box_dilate(x, s: int):
+    """(2s+1)-cell separable max (dilation); columns (phi) truly wrap via
+    roll, rows clamp at the band edges."""
+    out = x
+    for d in range(1, s + 1):
+        out = jnp.maximum(out, jnp.roll(x, d, axis=1))
+        out = jnp.maximum(out, jnp.roll(x, -d, axis=1))
+    res = out
+    for d in range(1, s + 1):
+        up = jnp.concatenate([out[d:], jnp.broadcast_to(
+            out[-1:], (d,) + out.shape[1:])], axis=0)
+        dn = jnp.concatenate([jnp.broadcast_to(
+            out[:1], (d,) + out.shape[1:]), out[:-d]], axis=0)
+        res = jnp.maximum(res, jnp.maximum(up, dn))
+    return res
+
+
+def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
+                      n_phi: int):
+    """One-bounce terrain interreflection map on the scan grid.
+
+    The TPU-native stand-in for the reference's 2-4-segment path tracing
+    (moon_renderer.py:441-445): instead of stochastic bounce rays per pixel,
+    a dense radiosity estimate on the sun-frame grid, rebuilt with the
+    shadow map once per time step and sampled per pixel like the shadow
+    factor.
+
+    Physics: a Lambertian emitter field of radiosity J filling all azimuths
+    below elevation angle alpha delivers irradiance J*sin^2(alpha)
+    (integrate L*cos over the sub-alpha band of the hemisphere). Per cell:
+    J = albedo * n.l * lit, with n.l from scan-grid height slopes — sun-
+    facing crater walls near the terminator are the dominant emitters.
+    alpha comes from the height of the blurred neighborhood above the cell,
+    evaluated on a dyadic pyramid (cell sizes double per level, so the
+    occlusion scales span ~2 cells to ~2^K * blur cells — a few km to a few
+    hundred km at any shadow-accuracy setting); levels collapse coarse-to-
+    fine with a max (multi-scale heightfield occlusion). Units match the
+    shading path: the renderer computes irradiance*(n.l*shadow + bounce).
+    """
+    theta0 = np.deg2rad(_theta_grid(n_coarse, n_fine)).astype(np.float32)
+    dphi = 2.0 * np.pi / n_phi
+    st0 = np.sin(theta0).astype(np.float32)
+    ct0 = jnp.asarray(np.cos(theta0))[:, None]
+    dth0 = np.gradient(theta0).astype(np.float32)
+
+    # terrain n.l toward the sun (+z of the sun frame) from grid slopes:
+    # n ~ r_hat - s_th theta_hat - s_ph phi_hat, z.r_hat = cos(theta),
+    # z.theta_hat = -sin(theta)  =>  n.z ~ cos + s_th*sin (normalized)
+    s_th = jnp.gradient(hs, axis=0) / (jnp.asarray(dth0)[:, None] * hs)
+    s_ph = jnp.gradient(hs, axis=1) / (
+        dphi * jnp.asarray(np.maximum(st0, 0.05))[:, None] * hs)
+    ndl = (ct0 + s_th * jnp.asarray(st0)[:, None]) * jax.lax.rsqrt(
+        1.0 + s_th * s_th + s_ph * s_ph)
+    rad = alb_s * jnp.clip(ndl, 0.0, 1.0) * factor
+
+    n_theta = n_coarse + n_fine
+    n_levels = 1
+    while (n_levels < BOUNCE_MAX_LEVELS
+           and n_theta % (2 ** n_levels) == 0
+           and n_phi % (2 ** n_levels) == 0
+           and min(n_theta, n_phi) // (2 ** n_levels) >= BOUNCE_MIN_SIZE):
+        n_levels += 1
+
+    # per-level bounce estimate at that level's resolution; two height
+    # pyramids: max for blockers (the horizon is set by the HIGHEST
+    # neighborhood point — a mean blur dilutes crater rims ~an order of
+    # magnitude), mean for the receiver's own reference height
+    theta_k, h_k, hx_k, rad_k = theta0, hs, hs, rad
+    contributions = []
+    for k in range(n_levels):
+        dth_k = jnp.asarray(np.maximum(np.gradient(theta_k), 1e-6)
+                            .astype(np.float32))[:, None]
+        st_k = jnp.asarray(np.sin(theta_k).astype(np.float32))[:, None]
+        rad_b = _box_blur(rad_k, BOUNCE_BLUR)
+        h_b = _box_dilate(hx_k, BOUNCE_BLUR)
+        # effective neighborhood radius (radians of arc ~ length / R):
+        # geometric mean of the blur's theta and phi extents, the phi
+        # extent clamped to within 4x of theta's (strongly anisotropic
+        # cells near the subsolar pole would skew the horizon estimate)
+        dl_phi = jnp.clip(dphi * (2 ** k) * st_k, dth_k * 0.25, dth_k * 4.0)
+        ell = BOUNCE_BLUR * jnp.sqrt(dth_k * dl_phi)
+        t = jnp.maximum(h_b - h_k, 0.0) / ell
+        contributions.append(rad_b * (t * t) / (1.0 + t * t))
+        if k + 1 < n_levels:
+            theta_k = 0.5 * (theta_k[::2] + theta_k[1::2])
+            h_k = _decimate2(h_k)
+            hx_k = _decimate2_max(hx_k)
+            rad_k = _decimate2(rad_k)
+
+    # collapse coarse -> fine: upsample 2x (nearest + 1-cell box smoothing,
+    # i.e. bilinear-ish) and max with the finer level's contribution
+    acc = contributions[-1]
+    for k in range(n_levels - 2, -1, -1):
+        acc = jnp.repeat(jnp.repeat(acc, 2, axis=0), 2, axis=1)
+        acc = _box_blur(acc, 1)
+        acc = jnp.maximum(acc, contributions[k])
+    return jnp.clip(acc, 0.0, BOUNCE_MAX)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
@@ -173,6 +319,32 @@ def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
     return jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
+                                             "n_phi", "blocked_resample"))
+def _build_with_bounce(tex, alb_lum, sun_basis, sun_ang_radius,
+                       h: int, w: int, n_coarse: int, n_fine: int,
+                       n_phi: int, blocked_resample: bool = True):
+    factor, hs, alb_s = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
+                                   n_coarse, n_fine, n_phi, 0, n_phi,
+                                   blocked_resample=blocked_resample,
+                                   alb_lum=alb_lum)
+    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
+    return (jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1),
+            jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1))
+
+
+def sun_frame_basis(sun_dir_body):
+    """Orthonormal (x, y, z) with z = unit sun direction (body frame)."""
+    z = sun_dir_body / jnp.linalg.norm(sun_dir_body)
+    helper = jnp.where(jnp.abs(z[2]) < 0.9,
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    x = jnp.cross(helper, z)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    return x, y, z
+
+
 def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
                      accuracy: int = 10):
     """Build (shadow_map, ShadowMapParams) for the current sun direction.
@@ -181,13 +353,7 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
     Rebuilt on time change only; camera motion and accumulation reuse it.
     """
     n_coarse, n_fine, n_phi = _resolution(accuracy)
-    z = sun_dir_body / jnp.linalg.norm(sun_dir_body)
-    helper = jnp.where(jnp.abs(z[2]) < 0.9,
-                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                       jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-    x = jnp.cross(helper, z)
-    x = x / jnp.linalg.norm(x)
-    y = jnp.cross(z, x)
+    x, y, z = sun_frame_basis(sun_dir_body)
     basis = jnp.stack([x, y, z])
     smap = _build(tex, basis, jnp.float32(sun_ang_radius), h, w,
                   n_coarse, n_fine, n_phi)
@@ -196,6 +362,23 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
         n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
         n_phi=jnp.float32(n_phi), sun_ang_radius=jnp.float32(sun_ang_radius))
     return smap, params
+
+
+def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
+                            sun_ang_radius: float, accuracy: int = 10):
+    """build_shadow_map plus the one-bounce irradiance map on the same grid:
+    returns (shadow_map, ShadowMapParams, bounce_map)."""
+    n_coarse, n_fine, n_phi = _resolution(accuracy)
+    x, y, z = sun_frame_basis(sun_dir_body)
+    basis = jnp.stack([x, y, z])
+    smap, bmap = _build_with_bounce(tex, alb_lum, basis,
+                                    jnp.float32(sun_ang_radius), h, w,
+                                    n_coarse, n_fine, n_phi)
+    params = ShadowMapParams(
+        axis_x=x, axis_y=y, axis_z=z,
+        n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
+        n_phi=jnp.float32(n_phi), sun_ang_radius=jnp.float32(sun_ang_radius))
+    return smap, params, bmap
 
 
 def rowcol_of_points(params: ShadowMapParams, n_phi: int, p_body):

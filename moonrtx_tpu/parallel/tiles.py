@@ -41,7 +41,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          height: int, width: int, h: int, w: int,
                          ah: int, aw: int, h_min: float,
                          shadow_map=None, smap_params=None,
-                         n_coarse: int = 24):
+                         bounce_map=None, n_coarse: int = 24):
     """One frame with rows sharded over the mesh. Returns (rgb, hitbuf)
     sharded by rows; mips replicated.
 
@@ -69,15 +69,18 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
         hit, t_hit, lat, lon, p = blocked.march_blocks(
             cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
         if shadow_map is not None:
-            sw = blocked.build_shadow_windows(shadow_map, smap_params, geom)
-            shadow = blocked.lookup_shadow_windows(
+            sw = blocked.build_shadow_windows(shadow_map, smap_params, geom,
+                                              bounce_map=bounce_map)
+            shadow, bounce = blocked.lookup_shadow_windows(
                 sw, smap_params, shadow_map.shape[1] - 2, p)
         else:
             shadow = jnp.ones_like(t_hit)
+            bounce = None
         rgb_b = blocked.shade_blocks(cache, org, h, w, ah, aw,
                                      lat, lon, p, fp, shadow,
                                      geom=geom, t_hit=t_hit,
-                                     pix_ang=2.0 * basis.tan_half_fov / height)
+                                     pix_ang=2.0 * basis.tan_half_fov / height,
+                                     bounce=bounce)
         rgb = blocked.from_blocks(
             jnp.where(hit[..., None], rgb_b, 0.0), strip_h, width)
         hit_img = blocked.from_blocks(hit, strip_h, width)
@@ -106,30 +109,54 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 )
 def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
                              h: int, w: int, n_coarse_rows: int,
-                             n_fine: int, n_phi: int):
+                             n_fine: int, n_phi: int, alb_lum=None):
     """Sun-frame shadow scan with the phi axis sharded over the mesh.
 
     Each device scans its azimuth wedge (the running max along theta is
     local to a meridian) and the replicated map is assembled with an ICI
-    all-gather.
+    all-gather. With alb_lum, the per-wedge heights/albedo are gathered
+    too and the one-bounce irradiance map is computed on the replicated
+    grid (its neighborhood blurs cross wedge seams, so it runs after the
+    gather); returns (shadow_map, bounce_map) instead of shadow_map.
     """
     from moonrtx_tpu.ops import shadow_scan
 
     n_dev = mesh.shape[TILE_AXIS]
     assert n_phi % n_dev == 0
 
-    def wedge(tex, sun_basis, sun_ang_radius):
+    if alb_lum is None:
+        def wedge(tex, sun_basis, sun_ang_radius):
+            idx = jax.lax.axis_index(TILE_AXIS)
+            phi0 = idx * (n_phi // n_dev)
+            smap = shadow_scan.scan_wedge(
+                tex, sun_basis, sun_ang_radius, h, w,
+                n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev,
+                blocked_resample=True)
+            return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
+
+        return shard_map(
+            wedge, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tex, sun_basis, sun_ang_radius)
+
+    def wedge_aux(tex, sun_basis, sun_ang_radius, alb_lum):
         idx = jax.lax.axis_index(TILE_AXIS)
         phi0 = idx * (n_phi // n_dev)
-        smap = shadow_scan.scan_wedge(
+        out = shadow_scan.scan_wedge(
             tex, sun_basis, sun_ang_radius, h, w,
             n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev,
-            blocked_resample=True)
-        return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
+            blocked_resample=True, alb_lum=alb_lum)
+        return tuple(jax.lax.all_gather(o, TILE_AXIS, axis=1, tiled=True)
+                     for o in out)
 
-    return shard_map(
-        wedge, mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P(),
+    factor, hs, alb_s = shard_map(
+        wedge_aux, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
-    )(tex, sun_basis, sun_ang_radius)
+    )(tex, sun_basis, sun_ang_radius, alb_lum)
+    bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
+                                           n_coarse_rows, n_fine, n_phi)
+    return factor, bounce

@@ -161,3 +161,24 @@ def test_select_level():
     assert select_level(shapes, 1.0) == 0
     assert select_level(shapes, 4.0) == 2
     assert select_level(shapes, 100.0) == 3  # clamped to last
+
+
+def test_reference_catalog_loads_unchanged():
+    """The upstream MoonRTX feature CSV (4,488 entries, same `:` format,
+    reference data/moon_features.csv) must load through --features-file
+    with no conversion. Runs only where a reference checkout is present."""
+    import os
+
+    path = "/root/reference/moonrtx/data/moon_features.csv"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference checkout not present")
+    feats = load_moon_features(path)
+    assert len(feats) > 4400
+    names = {f.name for f in feats}
+    assert "Tycho" in names and "Copernicus" in names
+    n_std = sum(1 for f in feats if f.standard_label)
+    n_spot = sum(1 for f in feats if f.spot_label)
+    assert n_std > 20 and n_spot > 10
+    # smallest-first lookup order must be constructible
+    assert all(f.angular_radius > 0 for f in feats)

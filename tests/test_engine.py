@@ -304,3 +304,113 @@ def test_shadow_tip_position_accuracy():
     # the tip position itself is exact spherical geometry (the reference's
     # fast mode errs by 5-7 km systematically and its accurate mode ~0.5 km)
     assert abs(measured_tip - expected_tip_deg) < 0.27
+
+
+# ---- one-bounce terrain interreflection ----
+
+def _crater_tex(h=512, w=1024, lat0=0.0, lon0=-85.0, radius_km=10.0,
+                depth_km=4.0):
+    """Parabolic crater with a raised rim, centered at (lat0, lon0)."""
+    la = np.linspace(90, -90, h, endpoint=False)[:, None] - 90 / h
+    lo = np.linspace(-180, 180, w, endpoint=False)[None, :] + 180 / w
+    km_per_deg = 2 * np.pi * 1737.4 / 360.0
+    d_km = np.sqrt((la - lat0) ** 2 + (lo - lon0) ** 2) * km_per_deg
+    rel = np.where(d_km < radius_km,
+                   -(depth_km / 1737.4) * (1 - (d_km / radius_km) ** 2), 0.0)
+    rel += np.where((d_km >= radius_km) & (d_km < 1.4 * radius_km),
+                    (1.0 / 1737.4) * (1 - (d_km - radius_km)
+                                      / (0.4 * radius_km)), 0.0)
+    tex = (1.0 + rel).astype(np.float32)
+    return tex / tex.max()
+
+
+def test_bounce_zero_on_smooth_sphere():
+    """No terrain variation -> no interreflection anywhere."""
+    h, w = 256, 512
+    tex = jnp.asarray(pad_lon_wrap(np.full((h, w), 0.998, np.float32), 192))
+    alb = jnp.full_like(tex, 0.35)
+    sun = jnp.asarray(latlon_to_unit(0.0, 0.0), jnp.float32)
+    _, _, bmap = shadow_scan.build_shadow_and_bounce(
+        tex, alb, h, w, sun, 0.00465, accuracy=2)
+    assert float(jnp.max(bmap)) < 1e-6
+
+
+def test_bounce_lights_shadowed_crater_floor():
+    """A deep crater near the terminator: its shadowed floor must receive
+    one-bounce light from the sunlit wall (the reference's path tracer
+    produces this via its 2-4 indirect segments, moon_renderer.py:441-445);
+    flat terrain far from the crater receives none."""
+    h, w = 512, 1024
+    tex = jnp.asarray(pad_lon_wrap(_crater_tex(h, w), 192))
+    alb = jnp.full_like(tex, 0.35)
+    sun = jnp.asarray(latlon_to_unit(0.0, 0.0), jnp.float32)
+    smap, params, bmap = shadow_scan.build_shadow_and_bounce(
+        tex, alb, h, w, sun, 0.00465, accuracy=4)
+    smap_np = np.asarray(smap)[:, :-shadow_scan.PHI_PAD]
+    bmap_np = np.asarray(bmap)[:, :-shadow_scan.PHI_PAD]
+    nc, nf = int(params.n_coarse), int(params.n_fine)
+    # crater sits at theta = 85 deg from the subsolar point
+    r0 = nc + int((85 - 77) / 30 * nf)
+    r1 = nc + int((85 - 73) / 30 * nf)
+    in_shadow = smap_np[r0:r1] < 0.1
+    assert in_shadow.sum() > 0
+    bounce_shadowed = bmap_np[r0:r1][in_shadow]
+    # visible after tonemap: > ~5e-4 in irradiance-factor units
+    assert bounce_shadowed.max() > 5e-4
+    # flat terrain well away from the crater: nothing
+    assert bmap_np[nc // 2, w // 2] < 1e-6
+    # energy sanity: bounce can never exceed the cap or the emitter albedo
+    assert bmap_np.max() <= shadow_scan.BOUNCE_MAX + 1e-6
+    assert bmap_np.max() < 0.35
+
+
+def test_bounce_brightens_rendered_shadows_only():
+    """Scene-level: with indirect light ON, pixels inside cast shadows get
+    brighter; fully lit pixels stay (almost) unchanged. Deep craters are
+    placed at the date's actual terminator crossings (ephemeris-derived sun
+    direction) so their floors are shadowed with sunlit rims."""
+    from moonrtx_tpu.astro import calculate_ephemeris
+    from moonrtx_tpu.config import RenderConfig
+    from moonrtx_tpu.engine import light as light_mod
+    from moonrtx_tpu.engine.scene import MoonScene
+    from moonrtx_tpu.types import Observer
+
+    obs = Observer(50.06, 19.94, 219)
+    dt = datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc)
+    e = calculate_ephemeris(dt, obs, False)
+    sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
+        light_mod.calculate_light_pos(e))
+    sun_body /= np.linalg.norm(sun_body)
+    _, lon_s = unit_to_latlon(jnp.asarray(sun_body))
+    lon_s = float(lon_s)
+
+    h, w = 360, 720
+    tex = np.ones((h, w), np.float32)
+    for dlon in (-85.0, 85.0):
+        lon0 = (lon_s + dlon + 180.0) % 360.0 - 180.0
+        tex = np.minimum(tex, _crater_tex(h, w, lon0=lon0, radius_km=80.0,
+                                          depth_km=6.0))
+    tex /= tex.max()
+    albedo = np.full((h, w, 3), 0.35, np.float32)
+    cfg = RenderConfig(
+        observer=obs, dt_local=dt,
+        width=384, height=216, shadow_accuracy=4).validate()
+
+    def render(indirect):
+        c = RenderConfig(**{**cfg.__dict__, "indirect_light": indirect})
+        s = MoonScene(c, tex, 1.0, albedo, None)
+        s.backend = "blocked"
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+        return np.asarray(s._accum), s
+
+    img_on, s_on = render(True)
+    img_off, _ = render(False)
+    d = (img_on - img_off).max(axis=-1)
+    hit = np.asarray(s_on._hitbuf)[..., 3] > 0
+    # nothing gets darker, something gets brighter, and the brightening is
+    # confined to the moon disk
+    assert d.min() > -1e-5
+    assert d[hit].max() > 1e-4
+    assert np.abs(d[~hit]).max() < 1e-6
