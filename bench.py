@@ -66,6 +66,20 @@ def main():
     # on-GPU buffer and never reads frames back per sample).
     n = 32
     t0 = time.time()
+    # stage the first burst so progress is visible (remote compiles of the
+    # big fused programs can take many minutes on a cold cache)
+    level = scene.mip_level()
+    from moonrtx_tpu.engine import blocked
+    import jax.numpy as jnp
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32), scene.height,
+                              scene.width, scene.h_min, maxmap=scene.maxmap)
+    geom.t_enter.block_until_ready()
+    print(f"# rays ready {time.time()-t0:.0f}s", file=sys.stderr)
+    scene._ensure_blocked_caches(level, geom)
+    scene._packed.scal.block_until_ready()
+    print(f"# window caches + shadow state ready {time.time()-t0:.0f}s",
+          file=sys.stderr)
     scene.render_accumulation_burst(n)
     sync()
     print(f"# first burst (compile+caches) {time.time()-t0:.0f}s",

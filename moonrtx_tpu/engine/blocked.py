@@ -831,12 +831,18 @@ def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
     sun-frame shadow scan (+ one-bounce irradiance map when alb_lum is
     given) -> per-block shadow windows -> sun-part repack.
 
-    Returns (shadow_map, ShadowMapParams, ShadowWindows, swin_packed, scal,
-    bounce_map-or-None); the caller combines swin/scal with its cached
-    pose-packed hwin/awin (pack_pose_windows) — a time step never re-moves
-    those ~0.7 GB.
+    Returns (ShadowMapParams, ShadowWindows, swin_packed, scal); the caller
+    combines swin/scal with its cached pose-packed hwin/awin
+    (pack_pose_windows) — a time step never re-moves those ~0.7 GB.
     Fusing these (each was a separate dispatch) matters on dispatch-heavy
-    transports and removes intermediate HBM round trips everywhere."""
+    transports and removes intermediate HBM round trips everywhere.
+
+    The raw shadow/bounce maps are deliberately NOT returned: exposing the
+    scan output as a program result while ~16k per-block dynamic-slices
+    consume it sends XLA's buffer analysis into a ~10-minute compile
+    (measured CPU and TPU; every other piece compiles in seconds). Callers
+    that need the maps themselves (non-pallas backends) build them with
+    shadow_scan.build_shadow_map / build_shadow_and_bounce instead."""
     from moonrtx_tpu.ops import shadow_scan
 
     x, y, z = shadow_scan.sun_frame_basis(sun_dir_body)
@@ -862,4 +868,4 @@ def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
         n_phi=jnp.float32(n_phi), sun_ang_radius=sun_ang_radius)
     sw = build_shadow_windows(smap, params, geom, bounce_map=bmap)
     swin_packed, scal = _pack_sun_parts(cache, org, sw)
-    return smap, params, sw, swin_packed, scal, bmap
+    return params, sw, swin_packed, scal

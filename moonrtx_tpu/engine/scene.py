@@ -128,6 +128,8 @@ class MoonScene:
         self._background = None
         self._shadow = None          # (shadow_map, params) or None
         self._bounce = None          # one-bounce irradiance map or None
+        self._smap_params = None     # ShadowMapParams (pallas path keeps
+                                     # only these; maps live in windows)
         self._shadow_dirty = True
         self.indirect_light = bool(getattr(config, "indirect_light", True))
         self._alb_lum = {}           # level -> albedo-luminance map (cached)
@@ -307,17 +309,21 @@ class MoonScene:
                 sun_body = sun_body / np.linalg.norm(sun_body)
                 lvl = self.mip_level()
                 th, tw = self.mip_shapes[lvl]
-                (smap, sparams, sw, swin_p, scal,
-                 bmap) = blocked.rebuild_shadow_state(
+                sparams, sw, swin_p, scal = blocked.rebuild_shadow_state(
                     self.mips[lvl], jnp.asarray(sun_body, jnp.float32),
                     jnp.float32(_math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
                     geom, self._wincache, self._origins,
                     th, tw, nc, nf, nphi,
                     alb_lum=(self.alb_lum(lvl) if self.indirect_light
                              else None))
-                self._shadow = (smap, sparams)
-                self._bounce = bmap
-                self._shadow_dirty = False
+                # the raw maps are not materialized on this path (returning
+                # them from the fused rebuild program costs ~10 min of XLA
+                # compile, see rebuild_shadow_state); a non-pallas consumer
+                # rebuilds them lazily via shadow_args()
+                self._smap_params = sparams
+                self._shadow = None
+                self._bounce = None
+                self._shadow_dirty = True
                 self._shadowwin = sw
                 if self._packed is None:
                     # pose changed too: repack the heavy pose tensors
@@ -357,8 +363,11 @@ class MoonScene:
             alevel = self._ensure_blocked_caches(level, geom)
             ah, aw = self.mip_shapes[alevel]
             if self.shadows_on:
-                smap, sparams = self.shadow_args()
-                n_phi = smap.shape[1] - 2
+                if self.backend == "pallas":
+                    sparams, n_phi = self._smap_params, 0
+                else:
+                    smap, sparams = self.shadow_args()
+                    n_phi = smap.shape[1] - 2
                 shadow_windows = self._shadowwin
             else:
                 sparams, n_phi, shadow_windows = None, 0, None
@@ -419,7 +428,7 @@ class MoonScene:
                                   maxmap=self.maxmap)
         self._ensure_blocked_caches(level, geom)
         if self.shadows_on:
-            smap, sparams = self.shadow_args()
+            sparams = self._smap_params
             shadow_windows = self._shadowwin
         else:
             sparams, shadow_windows = None, None
