@@ -305,7 +305,29 @@ def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
 
 def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
     """Extract a window per block from levels[qexp[blk]] (q = 2^qexp);
-    origins are already in the block's own stride-level coordinates."""
+    origins are already in the block's own stride-level coordinates.
+
+    TPU: one DMA pass over the block list, each block fetched from its
+    own level in-kernel (ops.extract.extract_level_windows_tpu); 3-D maps
+    go plane by plane. Elsewhere: per-level XLA extraction blended by
+    level index."""
+    from moonrtx_tpu.ops import extract as extract_ops
+
+    if extract_ops._fast_ok() and levels[0].dtype == jnp.float32:
+        qi = jnp.clip(qexp, 0, len(levels) - 1)
+        hs_ = jnp.asarray([lvl.shape[0] for lvl in levels], jnp.int32)
+        ws_ = jnp.asarray([lvl.shape[1] for lvl in levels], jnp.int32)
+        rk = jnp.minimum(r0, jnp.take(hs_, qi) - wh)
+        ck = jnp.minimum(c0, jnp.take(ws_, qi) - ww)
+        if levels[0].ndim == 3:
+            nch = levels[0].shape[2]
+            return jnp.stack(
+                [extract_ops.extract_level_windows_tpu(
+                    tuple(lvl[:, :, ch] for lvl in levels), qi, rk, ck,
+                    wh, ww) for ch in range(nch)], axis=-1)
+        return extract_ops.extract_level_windows_tpu(
+            tuple(levels), qi, rk, ck, wh, ww)
+
     out = None
     for k, lvl in enumerate(levels):
         rk = jnp.minimum(r0, lvl.shape[0] - wh)

@@ -1,0 +1,75 @@
+"""DMA window extraction (ops.extract) vs the XLA reference path.
+
+The TPU kernel runs here in Pallas interpret mode (same semantics as the
+Mosaic-compiled path); recompaction must be bit-exact."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from moonrtx_tpu.ops import sampler
+from moonrtx_tpu.ops.extract import extract_windows, extract_windows_tpu
+
+
+def test_extract_tpu_matches_xla_bitexact():
+    rng = np.random.default_rng(0)
+    h, w = 160, 300
+    tex = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    nblk = 37
+    wh, ww = 40, 64
+    r0 = jnp.asarray(rng.integers(0, h - wh, nblk).astype(np.int32))
+    c0 = jnp.asarray(rng.integers(0, w - ww, nblk).astype(np.int32))
+    ref = np.asarray(sampler.extract_windows(tex, r0, c0, wh, ww))
+    got = np.asarray(extract_windows_tpu(tex, r0, c0, wh, ww,
+                                         interpret=True))
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)
+
+
+def test_extract_tpu_odd_sizes_and_edges():
+    rng = np.random.default_rng(1)
+    h, w = 53, 131
+    tex = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    wh, ww = 7, 13
+    # include extreme origins (0 and max)
+    r0 = jnp.asarray(np.array([0, h - wh, 3, 17], np.int32))
+    c0 = jnp.asarray(np.array([0, w - ww, w - ww, 5], np.int32))
+    ref = np.asarray(sampler.extract_windows(tex, r0, c0, wh, ww))
+    got = np.asarray(extract_windows_tpu(tex, r0, c0, wh, ww,
+                                         interpret=True))
+    assert np.array_equal(got, ref)
+
+
+def test_extract_dispatch_falls_back_off_tpu():
+    # on the CPU test backend the router must use the XLA path
+    rng = np.random.default_rng(2)
+    tex = jnp.asarray(rng.random((64, 200)).astype(np.float32))
+    r0 = jnp.asarray(np.array([0, 8], np.int32))
+    c0 = jnp.asarray(np.array([10, 100], np.int32))
+    ref = np.asarray(sampler.extract_windows(tex, r0, c0, 16, 32))
+    got = np.asarray(extract_windows(tex, r0, c0, 16, 32))
+    assert np.array_equal(got, ref)
+
+
+def test_extract_level_windows_matches_blend():
+    """In-kernel per-block level selection == the XLA per-level blend."""
+    from moonrtx_tpu.ops.extract import extract_level_windows_tpu
+
+    rng = np.random.default_rng(3)
+    levels = tuple(jnp.asarray(rng.random((h, w)).astype(np.float32))
+                   for h, w in ((128, 260), (64, 130), (32, 65)))
+    nblk, wh, ww = 23, 16, 24
+    lvl = jnp.asarray(rng.integers(0, 3, nblk).astype(np.int32))
+    r0 = np.zeros(nblk, np.int32)
+    c0 = np.zeros(nblk, np.int32)
+    for b in range(nblk):
+        k = int(lvl[b])
+        r0[b] = rng.integers(0, levels[k].shape[0] - wh)
+        c0[b] = rng.integers(0, levels[k].shape[1] - ww)
+    r0, c0 = jnp.asarray(r0), jnp.asarray(c0)
+    got = np.asarray(extract_level_windows_tpu(levels, lvl, r0, c0, wh, ww,
+                                               interpret=True))
+    for b in range(nblk):
+        k = int(lvl[b])
+        ref = np.asarray(levels[k])[int(r0[b]):int(r0[b]) + wh,
+                                    int(c0[b]):int(c0[b]) + ww]
+        assert np.array_equal(got[b], ref), b
