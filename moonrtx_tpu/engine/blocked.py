@@ -650,7 +650,7 @@ def pack_windows(cache: WindowCache, org: WindowOrigins,
 
     Run once per pose change; the per-frame path must not repack, and a
     time-only change should rebuild just the sun parts (_pack_sun_parts via
-    rebuild_shadow_state) and reuse the pose tensors."""
+    build_shadow_state_from_maps) and reuse the pose tensors."""
     hwin, awin = pack_pose_windows(cache)
     swin, scal = _pack_sun_parts(cache, org, shadow_windows)
     return PackedWindows(hwin=hwin, awin=awin, swin=swin, scal=scal)
@@ -842,52 +842,25 @@ def render_accumulate_pallas(packed: PackedWindows,
     return rgb, hitbuf
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse_rows",
-                                             "n_fine", "n_phi"))
-def rebuild_shadow_state(tex, sun_dir_body, sun_ang_radius,
-                         geom: RayGeom, cache: WindowCache,
-                         org: WindowOrigins,
-                         h: int, w: int, n_coarse_rows: int, n_fine: int,
-                         n_phi: int, alb_lum=None):
-    """One device program for everything a time step must rebuild:
-    sun-frame shadow scan (+ one-bounce irradiance map when alb_lum is
-    given) -> per-block shadow windows -> sun-part repack.
+@jax.jit
+def build_shadow_state_from_maps(smap, smap_params, geom: RayGeom,
+                                 cache: WindowCache, org: WindowOrigins,
+                                 bmap=None):
+    """Shadow/bounce windows + sun-part repack from already-built maps:
+    one device program for the geometry-dependent half of the shadow state.
 
-    Returns (ShadowMapParams, ShadowWindows, swin_packed, scal); the caller
-    combines swin/scal with its cached pose-packed hwin/awin
-    (pack_pose_windows) — a time step never re-moves those ~0.7 GB.
-    Fusing these (each was a separate dispatch) matters on dispatch-heavy
-    transports and removes intermediate HBM round trips everywhere.
+    The maps themselves (shadow_scan.build_shadow_map /
+    build_shadow_and_bounce) depend only on the sun direction and are a
+    separate program, for two reasons: (1) a camera pose change at a fixed
+    time rebuilds ONLY this half and reuses the cached maps (the scan +
+    bounce pyramid is the expensive part of a rebuild); (2) a fused
+    program that returns the scan output while ~16k per-block window
+    slices consume it sends XLA's buffer analysis into a ~10-minute
+    compile (measured CPU and TPU; split, each side compiles in seconds).
 
-    The raw shadow/bounce maps are deliberately NOT returned: exposing the
-    scan output as a program result while ~16k per-block dynamic-slices
-    consume it sends XLA's buffer analysis into a ~10-minute compile
-    (measured CPU and TPU; every other piece compiles in seconds). Callers
-    that need the maps themselves (non-pallas backends) build them with
-    shadow_scan.build_shadow_map / build_shadow_and_bounce instead."""
-    from moonrtx_tpu.ops import shadow_scan
-
-    x, y, z = shadow_scan.sun_frame_basis(sun_dir_body)
-    basis = jnp.stack([x, y, z])
-    if alb_lum is None:
-        factor = shadow_scan.scan_wedge(
-            tex, basis, sun_ang_radius, h, w,
-            n_coarse_rows, n_fine, n_phi, 0, n_phi, blocked_resample=True)
-        bmap = None
-    else:
-        factor, hs, alb_s = shadow_scan.scan_wedge(
-            tex, basis, sun_ang_radius, h, w,
-            n_coarse_rows, n_fine, n_phi, 0, n_phi, blocked_resample=True,
-            alb_lum=alb_lum)
-        bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
-                                               n_coarse_rows, n_fine, n_phi)
-        bmap = jnp.concatenate([bounce, bounce[:, :shadow_scan.PHI_PAD]],
-                               axis=1)
-    smap = jnp.concatenate([factor, factor[:, :shadow_scan.PHI_PAD]], axis=1)
-    params = shadow_scan.ShadowMapParams(
-        axis_x=x, axis_y=y, axis_z=z,
-        n_coarse=jnp.float32(n_coarse_rows), n_fine=jnp.float32(n_fine),
-        n_phi=jnp.float32(n_phi), sun_ang_radius=sun_ang_radius)
-    sw = build_shadow_windows(smap, params, geom, bounce_map=bmap)
+    Returns (ShadowWindows, swin_packed, scal); the caller combines
+    swin/scal with its cached pose-packed hwin/awin (pack_pose_windows) —
+    a time step never re-moves those ~0.7 GB."""
+    sw = build_shadow_windows(smap, smap_params, geom, bounce_map=bmap)
     swin_packed, scal = _pack_sun_parts(cache, org, sw)
-    return params, sw, swin_packed, scal
+    return sw, swin_packed, scal

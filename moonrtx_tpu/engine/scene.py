@@ -128,8 +128,6 @@ class MoonScene:
         self._background = None
         self._shadow = None          # (shadow_map, params) or None
         self._bounce = None          # one-bounce irradiance map or None
-        self._smap_params = None     # ShadowMapParams (pallas path keeps
-                                     # only these; maps live in windows)
         self._shadow_dirty = True
         self.indirect_light = bool(getattr(config, "indirect_light", True))
         self._alb_lum = {}           # level -> albedo-luminance map (cached)
@@ -297,33 +295,13 @@ class MoonScene:
             self._packed = None
         if self.shadows_on and self._shadowwin is None:
             if self.backend == "pallas":
-                # one fused device program: shadow scan + shadow windows
-                # + kernel repack (each was a separate dispatch)
-                from moonrtx_tpu.ops import shadow_scan
-                import math as _math
-                nc, nf, nphi = shadow_scan._resolution(
-                    self.shadow_accuracy if self.shadows_on else 1)
-                e = self.ephem
-                sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
-                    light_mod.calculate_light_pos(e))
-                sun_body = sun_body / np.linalg.norm(sun_body)
-                lvl = self.mip_level()
-                th, tw = self.mip_shapes[lvl]
-                sparams, sw, swin_p, scal = blocked.rebuild_shadow_state(
-                    self.mips[lvl], jnp.asarray(sun_body, jnp.float32),
-                    jnp.float32(_math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
-                    geom, self._wincache, self._origins,
-                    th, tw, nc, nf, nphi,
-                    alb_lum=(self.alb_lum(lvl) if self.indirect_light
-                             else None))
-                # the raw maps are not materialized on this path (returning
-                # them from the fused rebuild program costs ~10 min of XLA
-                # compile, see rebuild_shadow_state); a non-pallas consumer
-                # rebuilds them lazily via shadow_args()
-                self._smap_params = sparams
-                self._shadow = None
-                self._bounce = None
-                self._shadow_dirty = True
+                # maps depend only on the sun -> cached across pose changes
+                # (shadow_args rebuilds them on time change only); the
+                # geometry half (windows + sun-part repack) is one program
+                smap, sparams = self.shadow_args()
+                sw, swin_p, scal = blocked.build_shadow_state_from_maps(
+                    smap, sparams, geom, self._wincache, self._origins,
+                    bmap=self._bounce)
                 self._shadowwin = sw
                 if self._packed is None:
                     # pose changed too: repack the heavy pose tensors
@@ -363,11 +341,8 @@ class MoonScene:
             alevel = self._ensure_blocked_caches(level, geom)
             ah, aw = self.mip_shapes[alevel]
             if self.shadows_on:
-                if self.backend == "pallas":
-                    sparams, n_phi = self._smap_params, 0
-                else:
-                    smap, sparams = self.shadow_args()
-                    n_phi = smap.shape[1] - 2
+                smap, sparams = self.shadow_args()
+                n_phi = smap.shape[1] - 2
                 shadow_windows = self._shadowwin
             else:
                 sparams, n_phi, shadow_windows = None, 0, None
@@ -428,7 +403,7 @@ class MoonScene:
                                   maxmap=self.maxmap)
         self._ensure_blocked_caches(level, geom)
         if self.shadows_on:
-            sparams = self._smap_params
+            _, sparams = self.shadow_args()
             shadow_windows = self._shadowwin
         else:
             sparams, shadow_windows = None, None

@@ -325,16 +325,28 @@ def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
                                              "n_phi", "blocked_resample"))
-def _build_with_bounce(tex, alb_lum, sun_basis, sun_ang_radius,
-                       h: int, w: int, n_coarse: int, n_fine: int,
-                       n_phi: int, blocked_resample: bool = True):
+def _build_aux(tex, alb_lum, sun_basis, sun_ang_radius,
+               h: int, w: int, n_coarse: int, n_fine: int,
+               n_phi: int, blocked_resample: bool = True):
+    """Scan + the raw per-cell aux grids the bounce map needs.
+
+    The bounce pyramid runs in a SEPARATE program (_bounce_jit): fusing it
+    with the scan sends XLA into a minutes-long compile at full shapes
+    (same class of blowup as engine/blocked.py::build_shadow_state_from_maps
+    documents), while each side alone compiles in seconds."""
     factor, hs, alb_s = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
                                    n_coarse, n_fine, n_phi, 0, n_phi,
                                    blocked_resample=blocked_resample,
                                    alb_lum=alb_lum)
-    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
     return (jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1),
-            jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1))
+            hs, alb_s)
+
+
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "n_phi"))
+def _bounce_jit(smap, hs, alb_s, n_coarse: int, n_fine: int, n_phi: int):
+    factor = smap[:, :n_phi]
+    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
+    return jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1)
 
 
 def sun_frame_basis(sun_dir_body):
@@ -371,13 +383,15 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
 def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
                             sun_ang_radius: float, accuracy: int = 10):
     """build_shadow_map plus the one-bounce irradiance map on the same grid:
-    returns (shadow_map, ShadowMapParams, bounce_map)."""
+    returns (shadow_map, ShadowMapParams, bounce_map). Two device programs
+    (scan+aux, then the bounce pyramid) — see _build_aux."""
     n_coarse, n_fine, n_phi = _resolution(accuracy)
     x, y, z = sun_frame_basis(sun_dir_body)
     basis = jnp.stack([x, y, z])
-    smap, bmap = _build_with_bounce(tex, alb_lum, basis,
-                                    jnp.float32(sun_ang_radius), h, w,
-                                    n_coarse, n_fine, n_phi)
+    smap, hs, alb_s = _build_aux(tex, alb_lum, basis,
+                                 jnp.float32(sun_ang_radius), h, w,
+                                 n_coarse, n_fine, n_phi)
+    bmap = _bounce_jit(smap, hs, alb_s, n_coarse, n_fine, n_phi)
     params = ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,
         n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
