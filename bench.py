@@ -102,6 +102,18 @@ def main():
         sync()
     latency_ms = (time.time() - t0) / reps * 1000.0
 
+    # interactive time step (Q/W): ephemeris + shadow/bounce map rebuild +
+    # window/pack rebuild + one-sample frame, synced
+    from datetime import timedelta
+    steps = []
+    for _ in range(3):
+        t0 = time.time()
+        scene.update_view(scene.dt_local + timedelta(minutes=15))
+        scene.render_accumulation_burst(1)
+        sync()
+        steps.append(time.time() - t0)
+    time_step_ms = sorted(steps)[1] * 1000.0
+
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
@@ -124,6 +136,7 @@ def main():
         "fps": round(1000.0 / value_ms, 2),
         "frame_time_no_shadows_ms": round(dt_fast * 1000.0, 2),
         "fresh_frame_latency_ms": round(latency_ms, 1),
+        "time_step_latency_ms": round(time_step_ms, 1),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),
