@@ -498,9 +498,10 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
     cq = (cols + 0.5) / sq[:, None] - 0.5
 
     def _decimate(m):
+        # reshape+reduce (stride-2 lane slicing is ~6x slower on TPU)
         m = m[: m.shape[0] // 2 * 2, : m.shape[1] // 2 * 2]
-        return 0.25 * (m[::2, ::2] + m[1::2, ::2]
-                       + m[::2, 1::2] + m[1::2, 1::2])
+        return m.reshape(m.shape[0] // 2, 2, m.shape[1] // 2, 2).mean(
+            axis=(1, 3))
 
     half = _decimate(shadow_map)
     quarter = _decimate(half)

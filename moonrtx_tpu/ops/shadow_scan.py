@@ -204,12 +204,15 @@ BOUNCE_MAX = 0.5
 
 
 def _decimate2(x):
-    return 0.25 * (x[::2, ::2] + x[1::2, ::2] + x[::2, 1::2] + x[1::2, 1::2])
+    # reshape + reduce, NOT x[::2, ::2] sums: stride-2 lane slicing costs
+    # ~6x more on TPU (measured 76 ms vs 13 ms on the full scan grid)
+    r, c = x.shape
+    return x.reshape(r // 2, 2, c // 2, 2).mean(axis=(1, 3))
 
 
 def _decimate2_max(x):
-    return jnp.maximum(jnp.maximum(x[::2, ::2], x[1::2, ::2]),
-                       jnp.maximum(x[::2, 1::2], x[1::2, 1::2]))
+    r, c = x.shape
+    return x.reshape(r // 2, 2, c // 2, 2).max(axis=(1, 3))
 
 
 def _box_dilate(x, s: int):

@@ -87,3 +87,28 @@ def test_sharded_shadow_map_matches_single(setup):
     # clamped subsolar-pole blocks (factor ~1 region) may resolve differently
     assert d.mean() < 1e-4
     assert np.percentile(d, 99.5) < 1e-5
+
+
+def test_sharded_bounce_map_matches_single(setup):
+    """Sharded scan with aux gather + replicated bounce pyramid == the
+    single-device bounce map."""
+    scene = setup
+    mesh = make_mesh(8)
+    level = scene.mip_level()
+    tex = scene.mips[level]
+    h, w = scene.mip_shapes[level]
+    alb_lum = jnp.mean(scene.albedo_mips[level], axis=2)
+    sun = jnp.asarray(latlon_to_unit(5.0, -60.0), jnp.float32)
+
+    smap_single, params, bmap_single = shadow_scan.build_shadow_and_bounce(
+        tex, alb_lum, h, w, sun, 0.00465, accuracy=2)
+    basis = jnp.stack([params.axis_x, params.axis_y, params.axis_z])
+    n_phi = smap_single.shape[1] - shadow_scan.PHI_PAD
+    factor_sh, bounce_sh = build_shadow_map_sharded(
+        mesh, tex, basis, jnp.float32(0.00465), h, w,
+        int(params.n_coarse), int(params.n_fine), n_phi, alb_lum=alb_lum)
+    db = np.abs(np.asarray(bounce_sh) - np.asarray(bmap_single[:, :n_phi]))
+    assert db.mean() < 1e-5
+    assert np.percentile(db, 99.5) < 1e-4
+    df = np.abs(np.asarray(factor_sh) - np.asarray(smap_single[:, :n_phi]))
+    assert df.mean() < 1e-4
