@@ -204,9 +204,10 @@ class Session:
             return
         lat1, lon1 = self.measure_start
         self.measured_distance = great_circle_distance_km(lat1, lon1, lat2, lon2)
-        elev = np.asarray(self.scene.mips[0])[:, : self.scene.mip_shapes[0][1]]
+        # cached host elevation level: no device->host transfer per drag event
         self.measured_height_diff = elevation_difference_m(
-            elev, self.scene.radius_scale, lat1, lon1, lat2, lon2)
+            self.scene.elevation_host(), self.scene.radius_scale,
+            lat1, lon1, lat2, lon2)
 
     def finish_measurement(self, x: int, y: int) -> None:
         if not self.measuring:

@@ -42,7 +42,7 @@ class RenderConfig:
     # Engine extensions (no reference equivalent):
     width: int = 1920
     height: int = 1080
-    backend: str = "auto"          # auto | reference | mxu | pallas
+    backend: str = "auto"          # auto | blocked | reference | pallas (mxu = alias for blocked)
     accumulation_frames: int = C.MAX_ACCUMULATION_FRAMES
     # one-bounce terrain interreflection (the stand-in for the reference's
     # path-traced indirect segments, moon_renderer.py:441-445)
@@ -80,6 +80,6 @@ class RenderConfig:
             raise ConfigError("Time without timezone information.")
         if self.width <= 0 or self.height <= 0:
             raise ConfigError("Invalid render size.")
-        if self.backend not in ("auto", "reference", "mxu", "pallas"):
+        if self.backend not in ("auto", "blocked", "reference", "mxu", "pallas"):
             raise ConfigError(f"Invalid backend '{self.backend}'.")
         return self

@@ -114,10 +114,10 @@ class WindowCache(NamedTuple):
 
 
 class ShadowWindows(NamedTuple):
-    swin: jnp.ndarray      # (NBLK, SWIN_H, 2*SWIN_W): columns [0, SWIN_W)
-                           # hold the shadow factor, [SWIN_W, 2*SWIN_W) the
-                           # one-bounce irradiance map (zeros if disabled) —
-                           # same grid, origins and stride for both
+    swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W) shadow factor only, or
+                           # (NBLK, SWIN_H, 2*SWIN_W) with the one-bounce
+                           # irradiance map in columns [SWIN_W, 2*SWIN_W) —
+                           # same grid, origins and stride for both halves
     sr0: jnp.ndarray
     sc0: jnp.ndarray
     sq: jnp.ndarray        # per-block stride into the shadow grid (1/2/4)
@@ -317,8 +317,11 @@ def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
         qi = jnp.clip(qexp, 0, len(levels) - 1)
         hs_ = jnp.asarray([lvl.shape[0] for lvl in levels], jnp.int32)
         ws_ = jnp.asarray([lvl.shape[1] for lvl in levels], jnp.int32)
-        rk = jnp.minimum(r0, jnp.take(hs_, qi) - wh)
-        ck = jnp.minimum(c0, jnp.take(ws_, qi) - ww)
+        # lower clamp guarantees the Pallas kernel's non-negative-origin
+        # precondition locally (levels smaller than the window would
+        # otherwise DMA from a negative aligned origin — silent garbage)
+        rk = jnp.maximum(jnp.minimum(r0, jnp.take(hs_, qi) - wh), 0)
+        ck = jnp.maximum(jnp.minimum(c0, jnp.take(ws_, qi) - ww), 0)
         if levels[0].ndim == 3:
             nch = levels[0].shape[2]
             return jnp.stack(
@@ -512,11 +515,12 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
     swin = _pick_level_windows((shadow_map, half, quarter), sqexp,
                                sr0, sc0, SWIN_H, SWIN_W)
     if bounce_map is None:
-        bwin = jnp.zeros_like(swin)
-    else:
-        bhalf = _decimate(bounce_map)
-        bwin = _pick_level_windows((bounce_map, bhalf, _decimate(bhalf)),
-                                   sqexp, sr0, sc0, SWIN_H, SWIN_W)
+        # no bounce: keep swin at SWIN_W (half the memory); the uniform
+        # 2*SWIN_W layout is restored at pack time for the pallas kernel
+        return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)
+    bhalf = _decimate(bounce_map)
+    bwin = _pick_level_windows((bounce_map, bhalf, _decimate(bhalf)),
+                               sqexp, sr0, sc0, SWIN_H, SWIN_W)
     return ShadowWindows(swin=jnp.concatenate([swin, bwin], axis=2),
                          sr0=sr0, sc0=sc0, sq=sq)
 
@@ -536,9 +540,12 @@ def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
     wy = rows - sw.sr0[:, None]
     wx = cols - sw.sc0[:, None]
     val = window_bilinear(sw.swin[:, :, :SWIN_W], wy, wx)
-    bval = window_bilinear(sw.swin[:, :, SWIN_W:], wy, wx)
-    return (jnp.where(theta_ok, val, 0.0),
-            jnp.where(theta_ok, bval, 0.0))
+    if sw.swin.shape[2] > SWIN_W:
+        bval = jnp.where(theta_ok,
+                         window_bilinear(sw.swin[:, :, SWIN_W:], wy, wx), 0.0)
+    else:
+        bval = jnp.zeros_like(val)
+    return jnp.where(theta_ok, val, 0.0), bval
 
 
 def shadow_scan_total_rows(smap_params):
@@ -617,6 +624,9 @@ def _pack_sun_parts(cache: WindowCache, org: WindowOrigins,
         sc0 = jnp.zeros((nblk,), jnp.int32)
         sq = jnp.ones((nblk,), jnp.float32)
         swin = jnp.zeros((nblk, SWIN_H, 2 * SWIN_W), jnp.float32)
+    if swin.shape[2] < 2 * SWIN_W:
+        # bounce disabled: restore the kernel's uniform shadow|bounce layout
+        swin = jnp.pad(swin, ((0, 0), (0, 0), (0, 2 * SWIN_W - swin.shape[2])))
     scal = jnp.stack([
         org.r0.astype(jnp.float32), org.c0.astype(jnp.float32),
         cache.hmean[:, 0], org.q,

@@ -140,6 +140,10 @@ class MoonScene:
         self._accum = None
         self._accum_n = 0
         self._hitbuf = None
+        self._hitbuf_host = None     # once-per-frame host pick cache
+        self._hitbuf_src = None
+        self._elev_host = None       # host elevation cache for measurement
+        self._elev_host_src = None
         self._rng = np.random.default_rng(42)
 
     # ---- state updates -------------------------------------------------
@@ -429,13 +433,35 @@ class MoonScene:
 
     # ---- picking ----------------------------------------------------------
 
+    def hit_buffer_host(self) -> np.ndarray:
+        """Host copy of the per-frame hit buffer, transferred ONCE per
+        rendered frame — mouse-motion picking then runs entirely in numpy
+        with zero device dispatches (the reference treats picking as
+        latency-critical, renderer_navigation.py:189-192)."""
+        if self._hitbuf is None:
+            self.render_accumulation_frame()
+        if self._hitbuf_host is None or self._hitbuf_src is not self._hitbuf:
+            self._hitbuf_host = np.asarray(self._hitbuf)
+            self._hitbuf_src = self._hitbuf
+        return self._hitbuf_host
+
     def get_hit_at(self, x: int, y: int) -> tuple[float, float, float, float]:
         """Scene-frame hit position + distance at an image pixel (0 distance
         = miss) — the replacement for the reference's device hit-buffer
-        readback (renderer_navigation.py:189-192). Reads back 16 bytes."""
-        if self._hitbuf is None:
-            self.render_accumulation_frame()
+        readback (renderer_navigation.py:189-192). Pure-host after the
+        once-per-frame hit_buffer_host transfer."""
+        buf = self.hit_buffer_host()
         y = int(np.clip(y, 0, self.height - 1))
         x = int(np.clip(x, 0, self.width - 1))
-        v = np.asarray(jax.lax.dynamic_slice(self._hitbuf, (y, x, 0), (1, 1, 4)))
-        return float(v[0, 0, 0]), float(v[0, 0, 1]), float(v[0, 0, 2]), float(v[0, 0, 3])
+        v = buf[y, x]
+        return float(v[0]), float(v[1]), float(v[2]), float(v[3])
+
+    def elevation_host(self) -> np.ndarray:
+        """Host copy of the render-level elevation map (unpadded columns),
+        cached once — measurement drags must not re-transfer device mips
+        per mouse event."""
+        if self._elev_host is None or self._elev_host_src is not self.mips[0]:
+            self._elev_host = np.asarray(
+                self.mips[0])[:, : self.mip_shapes[0][1]]
+            self._elev_host_src = self.mips[0]
+        return self._elev_host

@@ -115,7 +115,7 @@ def _extract_impl(levels, lvl_idx, r0, c0, wh: int, ww: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
         out_specs=pl.BlockSpec((1, wh, ww), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((sh, sw), jnp.float32),
                         pltpu.SemaphoreType.DMA],
@@ -151,8 +151,9 @@ def extract_level_windows_tpu(levels, lvl_idx, r0, c0, wh: int, ww: int,
                          interpret=interpret).astype(levels[0].dtype)
 
 
-@functools.lru_cache(maxsize=1)
 def _fast_ok() -> bool:
+    # evaluated per call (cheap at trace time): a process that mixes
+    # backends must not pin the first backend it saw forever
     return jax.default_backend() in ("tpu", "axon")
 
 

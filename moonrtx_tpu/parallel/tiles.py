@@ -117,12 +117,19 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
     all-gather. With alb_lum, the per-wedge heights/albedo are gathered
     too and the one-bounce irradiance map is computed on the replicated
     grid (its neighborhood blurs cross wedge seams, so it runs after the
-    gather); returns (shadow_map, bounce_map) instead of shadow_map.
+    gather).
+
+    Always returns ``(shadow_map, bounce_map_or_None)``, both PHI_PAD-
+    padded with azimuth wrap columns — the same convention as the
+    single-device shadow_scan.build_shadow_map/build_shadow_and_bounce.
     """
     from moonrtx_tpu.ops import shadow_scan
 
     n_dev = mesh.shape[TILE_AXIS]
     assert n_phi % n_dev == 0
+
+    def _wrap(m):
+        return jnp.concatenate([m, m[:, :shadow_scan.PHI_PAD]], axis=1)
 
     if alb_lum is None:
         def wedge(tex, sun_basis, sun_ang_radius):
@@ -134,12 +141,13 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
                 blocked_resample=True)
             return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
 
-        return shard_map(
+        factor = shard_map(
             wedge, mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )(tex, sun_basis, sun_ang_radius)
+        return _wrap(factor), None
 
     def wedge_aux(tex, sun_basis, sun_ang_radius, alb_lum):
         idx = jax.lax.axis_index(TILE_AXIS)
@@ -159,4 +167,4 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
     )(tex, sun_basis, sun_ang_radius, alb_lum)
     bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
                                            n_coarse_rows, n_fine, n_phi)
-    return factor, bounce
+    return _wrap(factor), _wrap(bounce)

@@ -88,6 +88,36 @@ def test_block_layout_round_trip():
     assert blocked.to_blocks(img).shape == (32, blocked.BLOCK, 3)
 
 
+def test_no_bounce_shadow_windows_are_half_width(scenes):
+    """With bounce disabled the shadow windows skip the zero bounce half
+    (half the memory, one bilinear instead of two — ADVICE r1); the pallas
+    pack restores the uniform 2*SWIN_W layout."""
+    s = scenes["blocked"]
+    smap, sparams = s.shadow_args()
+    geom = blocked.block_rays(s.basis(), s._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              s.height, s.width, s.h_min, maxmap=s.maxmap)
+    sw = blocked.build_shadow_windows(smap, sparams, geom, bounce_map=None)
+    assert sw.swin.shape[2] == blocked.SWIN_W
+    _, _, _, _, p = blocked.march_blocks(
+        s._wincache, s._origins, geom, *s.mip_shapes[s._cache_level],
+        jnp.float32(0.5))
+    shadow, bounce = blocked.lookup_shadow_windows(
+        sw, sparams, smap.shape[1] - 2, p)
+    assert float(jnp.max(bounce)) == 0.0
+    # with a bounce map the layout is the full two-half one, and the
+    # shadow half must be identical either way
+    sw2 = blocked.build_shadow_windows(smap, sparams, geom,
+                                       bounce_map=jnp.ones_like(smap))
+    assert sw2.swin.shape[2] == 2 * blocked.SWIN_W
+    shadow2, _ = blocked.lookup_shadow_windows(
+        sw2, sparams, smap.shape[1] - 2, p)
+    assert np.allclose(np.asarray(shadow), np.asarray(shadow2))
+    # pallas pack pads back to the kernel's uniform layout
+    swin_p, _ = blocked._pack_sun_parts(s._wincache, s._origins, sw)
+    assert swin_p.shape[2] == 2 * blocked.SWIN_W
+
+
 def test_window_centering_is_exact(scenes):
     """sample(win) == sample(win - mean) + mean must hold to fp32 eps."""
     s = scenes["blocked"]

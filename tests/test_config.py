@@ -34,6 +34,15 @@ def test_out_of_range_rejected(field, value):
         cfg.validate()
 
 
+@pytest.mark.parametrize("backend",
+                         ["auto", "blocked", "reference", "mxu", "pallas"])
+def test_every_advertised_backend_accepted(backend):
+    """--backend blocked is advertised by the CLI/launcher and must validate
+    (round-1 regression: config rejected 'blocked')."""
+    cfg = dataclasses.replace(RenderConfig(), backend=backend).validate()
+    assert cfg.backend == backend
+
+
 @pytest.mark.parametrize(
     "lat,lon,elev",
     [(91.0, 0.0, 0), (-91.0, 0.0, 0), (0.0, 181.0, 0), (0.0, 0.0, -1),

@@ -79,10 +79,13 @@ def test_sharded_shadow_map_matches_single(setup):
     z = sun / jnp.linalg.norm(sun)
     basis = jnp.stack([params.axis_x, params.axis_y, params.axis_z])
     n_phi = smap_single.shape[1] - shadow_scan.PHI_PAD
-    smap_sharded = build_shadow_map_sharded(
+    smap_sharded, bounce_none = build_shadow_map_sharded(
         mesh, tex, basis, jnp.float32(0.00465), h, w,
         int(params.n_coarse), int(params.n_fine), n_phi)
-    d = np.abs(np.asarray(smap_sharded) - np.asarray(smap_single[:, :n_phi]))
+    assert bounce_none is None
+    # PHI_PAD wrap convention matches the single-device map exactly
+    assert smap_sharded.shape == smap_single.shape
+    d = np.abs(np.asarray(smap_sharded) - np.asarray(smap_single))
     # wedge block boundaries differ from the full-grid ones, so the few
     # clamped subsolar-pole blocks (factor ~1 region) may resolve differently
     assert d.mean() < 1e-4
@@ -107,8 +110,9 @@ def test_sharded_bounce_map_matches_single(setup):
     factor_sh, bounce_sh = build_shadow_map_sharded(
         mesh, tex, basis, jnp.float32(0.00465), h, w,
         int(params.n_coarse), int(params.n_fine), n_phi, alb_lum=alb_lum)
-    db = np.abs(np.asarray(bounce_sh) - np.asarray(bmap_single[:, :n_phi]))
+    assert bounce_sh.shape == bmap_single.shape
+    db = np.abs(np.asarray(bounce_sh) - np.asarray(bmap_single))
     assert db.mean() < 1e-5
     assert np.percentile(db, 99.5) < 1e-4
-    df = np.abs(np.asarray(factor_sh) - np.asarray(smap_single[:, :n_phi]))
+    df = np.abs(np.asarray(factor_sh) - np.asarray(smap_single))
     assert df.mean() < 1e-4

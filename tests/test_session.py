@@ -115,6 +115,43 @@ def test_measurement_flow(session):
     assert session.measured_height_diff is not None
 
 
+def test_mouse_motion_is_device_dispatch_free(session, monkeypatch):
+    """Picking and measurement drags must run from host caches — zero jax
+    dispatches per mouse event after the once-per-frame transfer
+    (round-1 regression; reference treats this path as latency-critical,
+    renderer_navigation.py:189-192)."""
+    import jax
+
+    session.scene.render_accumulation_frame()
+    session.pick(64, 48)                       # populates the host caches
+    assert session.start_measurement(60, 48)
+    session.update_measurement(65, 48)
+
+    def _no_dispatch(*a, **k):
+        raise AssertionError("device dispatch in mouse-motion path")
+
+    monkeypatch.setattr(jax, "jit", _no_dispatch)
+    monkeypatch.setattr(jax, "device_get", _no_dispatch)
+    monkeypatch.setattr(jax.lax, "dynamic_slice", _no_dispatch)
+    for x in range(60, 70):
+        session.pick(x, 48)
+        session.update_measurement(x, 48)
+    session.finish_measurement(69, 48)
+    assert session.measured_distance is not None
+    # host caches are stable objects (no re-transfer per event)
+    assert session.scene.hit_buffer_host() is session.scene.hit_buffer_host()
+    assert session.scene.elevation_host() is session.scene.elevation_host()
+
+
+def test_hit_buffer_host_refreshes_after_new_frame(session):
+    session.scene.render_accumulation_frame()
+    buf1 = session.scene.hit_buffer_host()
+    session.scene.reset_accumulation()
+    session.scene.render_accumulation_frame()
+    buf2 = session.scene.hit_buffer_host()
+    assert buf1 is not buf2
+
+
 def test_dialog_actions_are_delegated(session):
     assert session.handle_key("F12") == "save_dialog"
     assert session.handle_key("f") == "search_dialog"
