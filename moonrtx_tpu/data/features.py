@@ -3,21 +3,27 @@
 Parses the same ':'-separated format as the reference feature CSV
 (reference data_loader.py:51-112; format doc in its data/moon_features.csv
 header): name:lat:lon:diameter_km:standard_label:spot_label:status_bar
-[:usgs_id][:url]. Handles the Unicode minus sign. A built-in catalog of
-major features ships with the package; a full external CSV (e.g. the
-USGS-derived database used by the reference) can be supplied via
-``--features-file`` and loads through the same parser.
+[:usgs_id][:url]. Handles the Unicode minus sign. An external CSV can be
+supplied via ``--features-file`` and loads through this parser.
+
+The BUILT-IN catalog ships as columnar JSON (features_builtin.json):
+4,488 lunar features — craters, maria, montes, rimae, valles, landing
+sites — from the public-domain IAU Gazetteer of Planetary Nomenclature
+(USGS Astrogeology), with the same standard-label (36), spot-label (22)
+and status-bar (4,442) flag assignments as the reference catalog so
+labels, search and mouse-over lookup have full parity out of the box.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.types import MoonFeature
 
-BUILTIN_FEATURES_PATH = os.path.join(os.path.dirname(__file__), "features_builtin.csv")
+BUILTIN_FEATURES_PATH = os.path.join(os.path.dirname(__file__), "features_builtin.json")
 
 
 def parse_feature_line(line: str) -> Optional[MoonFeature]:
@@ -51,6 +57,32 @@ def parse_feature_line(line: str) -> Optional[MoonFeature]:
         return None
 
 
+def load_builtin_features() -> list[MoonFeature]:
+    """The built-in columnar-JSON catalog (4,488 IAU nomenclature entries).
+
+    flags bitfield: 4 = standard label, 2 = spot label, 1 = status bar.
+    """
+    try:
+        with open(BUILTIN_FEATURES_PATH, "r", encoding="utf-8") as f:
+            d = json.load(f)
+    except Exception as e:
+        print(f"Warning: Could not load built-in Moon features: {e}")
+        return []
+    out = []
+    for name, lat, lon, diam, flags, fid, www in zip(
+            d["name"], d["lat"], d["lon"], d["diameter_km"], d["flags"],
+            d["usgs_id"], d["www"]):
+        out.append(MoonFeature(
+            name=name, lat=lat, lon=lon,
+            angular_radius=diam / C.FEATURE_KM_PER_DEG,
+            diameter_km=diam,
+            standard_label=bool(flags & 4),
+            spot_label=bool(flags & 2),
+            status_bar=bool(flags & 1),
+            feature_id=fid, www_address=www))
+    return out
+
+
 def load_moon_features(filepath: Optional[str] = None) -> list[MoonFeature]:
     """Load features from ``filepath``, falling back to the built-in catalog.
 
@@ -58,15 +90,14 @@ def load_moon_features(filepath: Optional[str] = None) -> list[MoonFeature]:
     (the reference returns an empty list, data_loader.py:69-71; shipping a
     catalog keeps search/labels/status-bar functional out of the box).
     """
-    path = filepath or BUILTIN_FEATURES_PATH
-    if not os.path.isfile(path):
-        print(f"Warning: Moon features file {path} was not found.")
-        if path != BUILTIN_FEATURES_PATH:
-            return load_moon_features(None)
-        return []
+    if filepath is None:
+        return load_builtin_features()
+    if not os.path.isfile(filepath):
+        print(f"Warning: Moon features file {filepath} was not found.")
+        return load_builtin_features()
     features = []
     try:
-        with open(path, "r", encoding="utf-8") as f:
+        with open(filepath, "r", encoding="utf-8") as f:
             for line in f:
                 feat = parse_feature_line(line)
                 if feat is not None:

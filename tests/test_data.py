@@ -81,19 +81,25 @@ def test_parse_feature_line_rejects_bad():
     assert parse_feature_line("Bad:xx:2:3:true:true:true") is None
 
 
-def test_builtin_catalog_loads():
+def test_builtin_catalog_loads_full_size():
+    """Built-in catalog parity with the reference's (4,488 entries with
+    36 standard-label / 22 spot-label / 4,442 status-bar flags,
+    reference data/moon_features.csv)."""
     feats = load_moon_features(None)
-    assert len(feats) > 150
+    assert len(feats) >= 4400
     names = {f.name for f in feats}
-    assert {"Tycho", "Copernicus", "Mare Imbrium", "Apollo 11"} <= names
-    assert any(f.standard_label for f in feats)
-    assert any(f.spot_label for f in feats)
+    assert {"Tycho", "Copernicus", "Mare Imbrium", "Apollo 11 Landing",
+            "Montes Apenninus", "Vallis Alpes", "Rima Hadley"} <= names
+    assert sum(1 for f in feats if f.standard_label) == 36
+    assert sum(1 for f in feats if f.spot_label) == 22
+    assert sum(1 for f in feats if f.status_bar) > 4000
     assert all(-90 <= f.lat <= 90 and -180 <= f.lon <= 180 for f in feats)
+    assert all(f.angular_radius > 0 for f in feats)
 
 
 def test_missing_external_file_falls_back_to_builtin(tmp_path):
     feats = load_moon_features(str(tmp_path / "nope.csv"))
-    assert len(feats) > 150
+    assert len(feats) >= 4400
 
 
 # ---- synthesis ----

@@ -209,6 +209,11 @@ def test_zoom_and_navigation_keys(session):
 
 def test_feature_search(session):
     matches = session.lookup.search("tycho")
-    assert matches and matches[0].name == "Tycho"
-    session.center_on_feature(matches[0])
+    # reference ordering: catalog order (smallest angular radius first,
+    # moon_renderer.py:162 + renderer_dialogs.py:281-284), so satellite
+    # craters like "Tycho S" precede "Tycho" in the full catalog
+    names = [m.name for m in matches]
+    assert "Tycho" in names and "Tycho S" in names
+    tycho = matches[names.index("Tycho")]
+    session.center_on_feature(tycho)
     assert not np.allclose(session.scene.camera.target, [0, 0, 0])
