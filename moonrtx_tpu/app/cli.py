@@ -16,6 +16,7 @@ import argparse
 import os
 import shutil
 import sys
+import urllib.parse
 import urllib.request
 from datetime import datetime
 from typing import Optional
@@ -43,6 +44,8 @@ STARMAP_FILE_URL = ("https://svs.gsfc.nasa.gov/vis/a000000/a003800/a003895/"
 STARMAP_FILE_SIZE_BYTES = int(132 * 1024**2)
 
 COLOR_FILE_LOCAL = os.path.join(DATA_DIRECTORY_PATH, "moon_color_10k_8bit.tif")
+COLOR_FILE_GDRIVE_ID = "1gJeVic597BUAkpz1GgCYRMJVninKEDKB"
+COLOR_FILE_SIZE_BYTES = int(71.3 * 1024**2)
 
 
 def parse_args(argv=None):
@@ -120,6 +123,77 @@ def _download(url: str, dest: str) -> None:
     urllib.request.urlretrieve(url, dest)
 
 
+def _download_google_drive(file_id: str, dest: str) -> None:
+    """Fetch a public Google Drive file, following the interstitial
+    virus-scan confirmation for large files (the reference hosts its color
+    map on Drive, main.py:135-152)."""
+    import http.cookiejar
+    import re
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+    opener.addheaders = [("User-Agent", APP_NAME)]
+    url = f"https://drive.google.com/uc?export=download&id={file_id}"
+    with opener.open(url) as resp:
+        head = resp.read(64 * 1024)
+        ctype = resp.headers.get("Content-Type", "")
+        if "text/html" not in ctype:
+            with open(dest + ".part", "wb") as f:
+                f.write(head)
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(dest + ".part", dest)
+            return
+    # interstitial page: extract the confirm form fields
+    page = head.decode("utf-8", "replace")
+    fields = dict(re.findall(
+        r'name="([^"]+)"\s+value="([^"]*)"', page))
+    action = re.search(r'action="([^"]+)"', page)
+    base = action.group(1) if action else \
+        "https://drive.usercontent.google.com/download"
+    query = urllib.parse.urlencode(
+        {**fields, "id": file_id, "export": "download"})
+    with opener.open(f"{base}?{query}") as resp, \
+            open(dest + ".part", "wb") as f:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+    os.replace(dest + ".part", dest)
+
+
+def check_color_file(path: str, allow_download: bool = True) -> Optional[str]:
+    """Usable color-file path or None (procedural fallback), downloading
+    the default from its Drive source with a disk-space check like the
+    reference (main.py:135-152)."""
+    if os.path.isfile(path):
+        return path
+    if path != COLOR_FILE_LOCAL or not allow_download:
+        print(f"Color file not found: {path} — using procedural synthesis.")
+        return None
+    _, _, free = shutil.disk_usage(os.getcwd())
+    if free < COLOR_FILE_SIZE_BYTES * 1.02:
+        print("Not enough disk space to download the color file "
+              f"({COLOR_FILE_SIZE_BYTES / 1024**2:.1f} MB required) — using "
+              "procedural synthesis.")
+        return None
+    print(f"Downloading color file ({COLOR_FILE_SIZE_BYTES / 1024**2:.0f} MB)."
+          " Done only once.")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _download_google_drive(COLOR_FILE_GDRIVE_ID, path)
+        return path
+    except Exception as e:
+        print(f"Error downloading color file: {e} — using procedural "
+              "synthesis.")
+        return None
+
+
 def _check_file(path: str, default_path: str, url: Optional[str],
                 size_bytes: int, label: str, allow_download: bool) -> Optional[str]:
     """Return a usable path or None (procedural fallback).
@@ -183,10 +257,7 @@ def config_from_args(args) -> RenderConfig:
     elevation_file = _check_file(args.elevation_file, ELEVATION_FILE_LOCAL,
                                  ELEVATION_FILE_URL, ELEVATION_FILE_SIZE_BYTES,
                                  "elevation", allow_dl)
-    color_file = (args.color_file if os.path.isfile(args.color_file) else None)
-    if color_file is None:
-        print(f"Color file not found: {args.color_file} — using procedural "
-              "synthesis.")
+    color_file = check_color_file(args.color_file, allow_download=allow_dl)
     starmap_file = _check_file(args.starmap_file, STARMAP_FILE_LOCAL,
                                STARMAP_FILE_URL, STARMAP_FILE_SIZE_BYTES,
                                "star map", allow_dl)

@@ -136,6 +136,32 @@ def run_launcher() -> None:
     ttk.Combobox(fr, textvariable=utc_var, values=presets_mod.utc_offsets(),
                  width=7, state="readonly").pack(side=tk.LEFT, padx=4)
 
+    # --- data files (pickers, reference main_gui_launcher.py:137-347) ------
+    from moonrtx_tpu.app import cli as cli_mod
+    from tkinter import filedialog
+
+    def add_file_row(label, default):
+        var = tk.StringVar(value=default)
+        fr2 = add_row(label)
+        tk.Entry(fr2, textvariable=var, width=38).pack(side=tk.LEFT)
+
+        def browse():
+            path = filedialog.askopenfilename(title=label)
+            if path:
+                var.set(path)
+        tk.Button(fr2, text="...", command=browse).pack(side=tk.LEFT, padx=2)
+        return var
+
+    elevfile_var = add_file_row("Elevation file:", cli_mod.ELEVATION_FILE_LOCAL)
+    colorfile_var = add_file_row("Color file:", cli_mod.COLOR_FILE_LOCAL)
+    starfile_var = add_file_row("Star map file:", cli_mod.STARMAP_FILE_LOCAL)
+    featfile_var = add_file_row("Features file:", "")
+
+    # --- init-view (restores a screenshot's full view state) ---------------
+    initview_var = tk.StringVar(value="")
+    tk.Entry(add_row("Init view:"), textvariable=initview_var,
+             width=44).pack(side=tk.LEFT)
+
     # --- render parameters -------------------------------------------------
     downscale_var = tk.StringVar(value="3")
     brightness_var = tk.StringVar(value="80")
@@ -199,6 +225,11 @@ def run_launcher() -> None:
             "shadow_accuracy": int(shadow_var.get()),
             "backend": backend_var.get(),
             "width": int(w), "height": int(h),
+            "elevation_file": elevfile_var.get().strip(),
+            "color_file": colorfile_var.get().strip(),
+            "starmap_file": starfile_var.get().strip(),
+            "features_file": featfile_var.get().strip(),
+            "init_view": initview_var.get().strip(),
         }
 
     def apply_values(v: dict) -> None:
@@ -228,6 +259,13 @@ def run_launcher() -> None:
             backend_var.set(v["backend"])
         if "width" in v and "height" in v:
             size_var.set(f"{v['width']}x{v['height']}")
+        for key, var in (("elevation_file", elevfile_var),
+                         ("color_file", colorfile_var),
+                         ("starmap_file", starfile_var),
+                         ("features_file", featfile_var),
+                         ("init_view", initview_var)):
+            if key in v:
+                var.set(str(v[key]))
 
     def save_preset():
         name = preset_var.get().strip()
@@ -264,17 +302,48 @@ def run_launcher() -> None:
         except Exception as e:
             messagebox.showerror(APP_NAME, f"Invalid form value: {e}")
             return
-        argv = ["--lat", str(v["lat"]), "--lon", str(v["lon"]),
-                "--elevation", str(v["elevation"]), "--time", v["time"],
+        # pre-spawn validation (reference main_gui_launcher.py:744-772):
+        # init-view must parse; data files are checked (and the defaults
+        # downloaded) BEFORE the child starts, so failures surface here
+        if v["init_view"]:
+            from moonrtx_tpu.app import codec
+            if codec.parse_init_view(v["init_view"]) is None:
+                messagebox.showerror(
+                    APP_NAME, f"Could not parse init view: {v['init_view']}")
+                return
+        status_var.set("Checking data files...")
+        root.update_idletasks()
+        cli_mod._check_file(
+            v["elevation_file"] or cli_mod.ELEVATION_FILE_LOCAL,
+            cli_mod.ELEVATION_FILE_LOCAL, cli_mod.ELEVATION_FILE_URL,
+            cli_mod.ELEVATION_FILE_SIZE_BYTES, "elevation", True)
+        cli_mod.check_color_file(v["color_file"] or cli_mod.COLOR_FILE_LOCAL)
+        cli_mod._check_file(
+            v["starmap_file"] or cli_mod.STARMAP_FILE_LOCAL,
+            cli_mod.STARMAP_FILE_LOCAL, cli_mod.STARMAP_FILE_URL,
+            cli_mod.STARMAP_FILE_SIZE_BYTES, "star map", True)
+
+        argv = ["--elevation", str(v["elevation"]),
                 "--downscale", str(v["downscale"]),
                 "--brightness", str(v["brightness"]),
                 "--gamma", str(v["gamma"]),
                 "--time-step-minutes", str(v["time_step_minutes"]),
-                "--init-view-orientation", v["view_orientation"],
                 "--shadow-accuracy", str(v["shadow_accuracy"]),
                 "--backend", v["backend"],
                 "--width", str(v["width"]), "--height", str(v["height"])]
-        if v["parallactic_mode"]:
+        if v["init_view"]:
+            argv += ["--init-view", v["init_view"]]
+        else:
+            argv += ["--lat", str(v["lat"]), "--lon", str(v["lon"]),
+                     "--time", v["time"],
+                     "--init-view-orientation", v["view_orientation"]]
+        for flag, val in (("--elevation-file", v["elevation_file"]),
+                          ("--color-file", v["color_file"]),
+                          ("--starmap-file", v["starmap_file"]),
+                          ("--features-file", v["features_file"])):
+            if val:
+                argv += [flag, val]
+        if v["parallactic_mode"] and not v["init_view"]:
             argv.append("--parallactic-mode")
 
         run_btn.config(state=tk.DISABLED)

@@ -15,6 +15,7 @@ PRESET_KEYS = [
     "lat", "lon", "elevation", "time", "utc_offset", "downscale",
     "brightness", "gamma", "time_step_minutes", "view_orientation",
     "parallactic_mode", "shadow_accuracy", "elevation_file", "color_file",
+    "starmap_file", "features_file", "init_view",
     "backend", "width", "height",
 ]
 

@@ -151,6 +151,12 @@ class Session:
         self.scene.set_camera(nav.pan_tilt_view(
             self.scene.camera, dx_px, dy_px, self.scene.height))
 
+    def orbit_drag(self, dx_px: float, dy_px: float) -> None:
+        """Per-pixel left-drag orbit (reference
+        renderer_navigation.py:223-294)."""
+        self.scene.set_camera(nav.orbit_drag(
+            self.scene.camera, dx_px, dy_px, self.scene.height))
+
     def zoom(self, wheel_delta: float) -> None:
         self.scene.set_camera(nav.zoom_fov(self.scene.camera, wheel_delta))
 
@@ -296,6 +302,24 @@ class Session:
                           self.scene.basis(),
                           calculate_light_pos(self.scene.ephem))
         return img
+
+    def frame_and_hdr(self, n_accum: Optional[int] = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """(uint8 frame, linear HDR) with overlays composited into BOTH,
+        so an F12 save produces the same content at 8 and 16 bits/sample
+        (the reference draws overlays in-scene, so both depths include
+        them — renderer_dialogs.py:144-171)."""
+        pre = self.scene.render(n_accum if n_accum is not None else 1)
+        img = self.frame(n_accum)  # accumulation cached: re-render is free
+        hdr = np.array(self.scene._accum)[: self.scene.out_height,
+                                          : self.scene.out_width]
+        changed = np.any(img != pre, axis=-1)
+        if changed.any():
+            # invert the tone map on overlay pixels: display = clip(hdr *
+            # exposure)^(1/gamma), so hdr = (display/255)^gamma / exposure
+            c = img[changed].astype(np.float32) / 255.0
+            hdr[changed] = (c ** self.scene.gamma) / C.TONEMAP_EXPOSURE
+        return img, hdr
 
     # ---- status -----------------------------------------------------------
 

@@ -176,9 +176,8 @@ def run_window(config: RenderConfig) -> None:
             refresh_status()
             return
         if drag["button"] == 1:
-            # orbit: invert pan-tilt sense, rotating the eye about the target
-            session.navigate("Left" if dx > 0 else "Right") if abs(dx) > abs(dy) \
-                else session.navigate("Up" if dy > 0 else "Down")
+            # per-pixel Rodrigues orbit of the eye about the target
+            session.orbit_drag(dx, dy)
             drag.update(x=event.x, y=event.y)
             full_redraw()
         elif drag["button"] == 3:
@@ -216,9 +215,9 @@ def run_window(config: RenderConfig) -> None:
                        ("TIFF 8-bit files", "*.tif"),
                        ("TIFF 16-bit files", "*.tiff")))
         if path:
-            img = session.frame(n_accum=state["accum_target"])
-            hdr = np.asarray(session.scene._accum)[:scene.out_height,
-                                                   :scene.out_width]
+            # overlays composite into both depths (frame_and_hdr), so the
+            # same F12 save carries the same content at 8 and 16 bits
+            img, hdr = session.frame_and_hdr(n_accum=state["accum_target"])
             save_image(img, path, linear_hdr=hdr, gamma=scene.gamma)
 
     def search_dialog():

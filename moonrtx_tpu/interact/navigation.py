@@ -56,6 +56,24 @@ def navigate_view(cam: Camera, direction: str,
     return cam._replace(eye=list(new_eye), up=list(new_up))
 
 
+def orbit_drag(cam: Camera, dx_px: float, dy_px: float,
+               height_px: int) -> Camera:
+    """Left-drag: continuous per-pixel orbit of the eye about the target —
+    both axes in one motion event, angle proportional to cursor travel
+    (reference renderer_navigation.py:223-294 drives its Rodrigues orbit
+    per mouse event; quantized 5%-FOV steps look visibly chunky)."""
+    eye, target, up, view_dir, right, actual_up, _ = _basis(cam)
+    angle_per_px = math.radians(cam.fov) / height_px
+    v = eye - target
+    new_up = up
+    if dx_px:
+        v = _rodrigues(v, actual_up, dx_px * angle_per_px)
+    if dy_px:
+        v = _rodrigues(v, right, dy_px * angle_per_px)
+        new_up = _rodrigues(up, right, dy_px * angle_per_px)
+    return cam._replace(eye=list(target + v), up=list(new_up))
+
+
 def pan_tilt_view(cam: Camera, dx_px: float, dy_px: float,
                   height_px: int) -> Camera:
     """Right-drag: rotate the view direction about the eye, scaled so image

@@ -89,6 +89,17 @@ def test_preset_save_load(tmp_path):
     assert presets.load_preset("missing", str(tmp_path)) is None
 
 
+def test_preset_carries_data_files_and_init_view(tmp_path):
+    """Launcher presets must persist file paths and the init-view string
+    (reference launcher presets carry every form field,
+    main_gui_launcher.py:370-416)."""
+    values = {"elevation_file": "/d/ldem.tif", "color_file": "/d/color.tif",
+              "starmap_file": "/d/stars.tif", "features_file": "/d/f.csv",
+              "init_view": "2024-04-15_2100_50.06_19.94_viewNSWE_par0_camX"}
+    presets.save_preset("files", values, str(tmp_path))
+    assert presets.load_preset("files", str(tmp_path)) == values
+
+
 # ---- status formatting ----
 
 def test_dms_hms_formatting():

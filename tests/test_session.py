@@ -152,6 +152,42 @@ def test_hit_buffer_host_refreshes_after_new_frame(session):
     assert buf1 is not buf2
 
 
+def test_frame_and_hdr_composites_overlays_into_both(session):
+    """F12 saves the same content at 8 and 16 bits: re-tonemapping the HDR
+    must reproduce the overlay pixels (round-1 regression: 16-bit TIFFs
+    omitted overlays; reference renderer_dialogs.py:144-171)."""
+    session.toggle_grid()
+    session.toggle_pins()  # off -> no pins; grid alone is deterministic
+    img, hdr = session.frame_and_hdr(1)
+    base = session.scene.render(1)
+    changed = np.any(img != base, axis=-1)
+    assert changed.any(), "grid overlay did not draw"
+    from moonrtx_tpu import constants as C
+    x = np.clip(hdr * C.TONEMAP_EXPOSURE, 0.0, 1.0) ** (
+        1.0 / session.scene.gamma)
+    re8 = (x * 255.0 + 0.5).astype(np.uint8)
+    diff = np.abs(re8[changed].astype(int) - img[changed].astype(int))
+    assert diff.max() <= 1
+
+
+def test_orbit_drag_is_continuous(session):
+    cam0 = session.scene.camera
+    d0 = np.linalg.norm(np.asarray(cam0.eye) - np.asarray(cam0.target))
+    session.orbit_drag(3.0, 0.0)
+    cam1 = session.scene.camera
+    d1 = np.linalg.norm(np.asarray(cam1.eye) - np.asarray(cam1.target))
+    assert d1 == pytest.approx(d0)                     # orbit keeps distance
+    moved = np.linalg.norm(np.asarray(cam1.eye) - np.asarray(cam0.eye))
+    # 3 px at fov over height=96 -> small smooth step, far below the old
+    # 5%-of-FOV quantum
+    import math
+    expected = d0 * math.radians(cam0.fov) * 3.0 / session.scene.height
+    assert moved == pytest.approx(expected, rel=0.05)
+    # vertical drag also rotates up
+    session.orbit_drag(0.0, 5.0)
+    assert not np.allclose(session.scene.camera.up, cam1.up)
+
+
 def test_dialog_actions_are_delegated(session):
     assert session.handle_key("F12") == "save_dialog"
     assert session.handle_key("f") == "search_dialog"
