@@ -40,17 +40,38 @@ def main():
     from moonrtx_tpu.types import Observer
 
     t_setup = time.time()
-    elevation, radius_scale = load_elevation_data(None, downscale=1)
-    albedo = load_color_data(None, 1)
+    # Default working set: the real LOLA LDEM grid at --downscale 2
+    # (23040x46080 = 1.06 Gtexels; reference main.py:25-29 ships
+    # 46080x92160). Stored int16 on device (scene quantize="auto") with
+    # the color map at 1/4 resolution like the real LROC color mosaic.
+    # MOONRTX_BENCH_SHAPE=base restores the small 2880x5760 f32 set.
+    shape_env = os.environ.get("MOONRTX_BENCH_SHAPE", "23040x46080")
+    if shape_env == "base":
+        synth_shape = alb_shape = None
+    else:
+        th, tw = (int(v) for v in shape_env.split("x"))
+        synth_shape = (th, tw)
+        alb_shape = (max(th // 4, 2880), max(tw // 4, 5760))
+    elevation, radius_scale = load_elevation_data(None, downscale=1,
+                                                  synth_shape=synth_shape)
+    albedo = load_color_data(None, 1, synth_shape=alb_shape)
     cfg = RenderConfig(
         observer=Observer(50.06, 19.94, 219),
         dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
         width=1920, height=1080, shadow_accuracy=10, backend="pallas",
     ).validate()
     scene = MoonScene(cfg, elevation, radius_scale, albedo, None)
+    map_texels = elevation.shape[0] * elevation.shape[1]
+    map_bytes = (sum(int(np.prod(m.shape)) * m.dtype.itemsize
+                     for m in scene.mips)
+                 + sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in {id(a): a for a in scene.albedo_mips}.values()))
+    del elevation, albedo
     scene.shadows_on = True
     scene.update_view()
-    print(f"# setup {time.time()-t_setup:.0f}s on {jax.devices()}", file=sys.stderr)
+    print(f"# setup {time.time()-t_setup:.0f}s on {jax.devices()}; "
+          f"map {scene.mip_shapes[0]} {scene.mips[0].dtype} "
+          f"pyramids {map_bytes/2**30:.2f} GiB", file=sys.stderr)
 
     def sync():
         # force completion with a 16-byte readback (axon block_until_ready
@@ -140,6 +161,10 @@ def main():
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),
+        "map_shape": list(scene.mip_shapes[0]),
+        "map_texels_g": round(map_texels / 1e9, 3),
+        "storage": str(scene.mips[0].dtype),
+        "pyramids_gib": round(map_bytes / 2**30, 2),
     }))
 
 

@@ -44,6 +44,11 @@ class RenderConfig:
     height: int = 1080
     backend: str = "auto"          # auto | blocked | reference | pallas (mxu = alias for blocked)
     accumulation_frames: int = C.MAX_ACCUMULATION_FRAMES
+    # HBM storage for the map pyramids: "auto" quantizes large maps
+    # (int16 heights / uint8 albedo, ~0.08 m height resolution — finer
+    # than the source LDEM's 0.5 m) so the full-resolution LOLA grid fits
+    # one chip; "off" keeps f32; "i16" forces quantization.
+    quantize: str = "auto"
     # one-bounce terrain interreflection (the stand-in for the reference's
     # path-traced indirect segments, moon_renderer.py:441-445)
     indirect_light: bool = True
@@ -82,4 +87,6 @@ class RenderConfig:
             raise ConfigError("Invalid render size.")
         if self.backend not in ("auto", "blocked", "reference", "mxu", "pallas"):
             raise ConfigError(f"Invalid backend '{self.backend}'.")
+        if self.quantize not in ("auto", "off", "i16"):
+            raise ConfigError(f"Invalid quantize mode '{self.quantize}'.")
         return self

@@ -79,8 +79,16 @@ def _synth_moon_cached(h: int, w: int, want: str) -> np.ndarray:
     return elev if want == "elev" else albedo
 
 
-def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.ndarray, float]:
-    """(elevation displacement factors with max exactly 1.0, radius_scale)."""
+def load_elevation_data(filepath: Optional[str], downscale: int,
+                        synth_shape: Optional[tuple[int, int]] = None
+                        ) -> tuple[np.ndarray, float]:
+    """(elevation displacement factors with max exactly 1.0, radius_scale).
+
+    synth_shape: target dimensions for the procedural fallback. Shapes
+    larger than the base synthesis grid are produced by detail-preserving
+    upsampling (synth.upsample_elevation) and disk-cached — used to bench
+    at the real LOLA LDEM working-set size (reference main.py:25-29).
+    """
     if filepath and os.path.isfile(filepath):
         return _load_elevation_file(filepath, downscale)
     if filepath:
@@ -88,7 +96,18 @@ def load_elevation_data(filepath: Optional[str], downscale: int) -> tuple[np.nda
     else:
         print("No elevation file configured — using procedural synthesis.")
     h, w = SYNTH_ELEVATION_SHAPE
-    elevation = _synth_moon_cached(h, w, "elev")
+    if synth_shape is not None and tuple(synth_shape) != (h, w):
+        th, tw = synth_shape
+        if th % h or tw % w or th // h != tw // w:
+            raise ValueError(
+                f"synth_shape {synth_shape} must be an integer multiple "
+                f"of the base grid {(h, w)}")
+        elevation = _synth_cache(
+            f"synth_elev_{th}x{tw}_up_s7v2",
+            lambda: synth.upsample_elevation(
+                _synth_moon_cached(h, w, "elev"), th // h))
+    else:
+        elevation = _synth_moon_cached(h, w, "elev")
     if downscale > 1:
         elevation = block_mean(elevation, downscale)
     radius_scale = float(elevation.max())
@@ -138,7 +157,9 @@ def _load_elevation_file(filepath: str, downscale: int) -> tuple[np.ndarray, flo
     return elevation, radius_scale
 
 
-def load_color_data(filepath: Optional[str], downscale: int = 1) -> np.ndarray:
+def load_color_data(filepath: Optional[str], downscale: int = 1,
+                    synth_shape: Optional[tuple[int, int]] = None
+                    ) -> np.ndarray:
     """Linear RGB albedo, float32 (H, W, 3) in [0, 1].
 
     Real color maps get the reference's reflectance mapping
@@ -162,6 +183,17 @@ def load_color_data(filepath: Optional[str], downscale: int = 1) -> np.ndarray:
         print(f"Color file not found: {filepath} — using procedural synthesis.")
     h, w = SYNTH_ELEVATION_SHAPE
     albedo = _synth_moon_cached(h, w, "color")
+    if synth_shape is not None and tuple(synth_shape) != (h, w):
+        th, tw = synth_shape
+        if th <= h:
+            albedo = block_mean(albedo, h // th)
+        else:
+            import cv2
+            albedo = _synth_cache(
+                f"synth_color_{th}x{tw}_up_s7v2",
+                lambda: np.clip(cv2.resize(
+                    albedo, (tw, th), interpolation=cv2.INTER_CUBIC),
+                    0.05, 0.95).astype(np.float32))
     if downscale > 1:
         albedo = block_mean(albedo, downscale)
     return albedo

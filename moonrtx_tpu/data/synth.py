@@ -142,6 +142,51 @@ def synthesize_moon(height: int = 2880, width: int = 5760, seed: int = 7,
     return elevation, np.clip(albedo, 0.05, 0.95)
 
 
+def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
+                       detail_m: float = 60.0,
+                       chunk_rows: int = 2048) -> np.ndarray:
+    """Upsample a synthetic elevation-factor map to real-LDEM working-set
+    sizes (the LOLA grid is 46080x92160, reference main.py:25-29), adding
+    periodic sub-texel relief so the fine levels carry real detail.
+
+    Runs in row chunks (cubic resize + tiled smooth noise) so host memory
+    stays ~O(output) even for multi-gigatexel outputs — this environment
+    has one CPU core, so direct synthesis at full size is impractical
+    while an upsample streams at memory bandwidth.
+    """
+    import cv2
+
+    h, w = base.shape
+    H, W = h * factor, w * factor
+    rng = np.random.default_rng(seed)
+    # periodic smooth detail tile (bilinear upsample of coarse noise)
+    tile = 1536
+    cells = 96
+    g = rng.standard_normal((cells + 1, cells + 1)).astype(np.float32)
+    g[-1, :] = g[0, :]
+    g[:, -1] = g[:, 0]
+    patch = cv2.resize(g, (tile + tile // cells, tile + tile // cells),
+                       interpolation=cv2.INTER_CUBIC)[:tile, :tile]
+    patch *= np.float32(detail_m * RELIEF_SCALE / 1000.0)
+
+    out = np.empty((H, W), np.float32)
+    pad = 2  # cubic support rows on each side of a chunk
+    for r in range(0, H, chunk_rows):
+        rows = min(chunk_rows, H - r)
+        b0 = max(r // factor - pad, 0)
+        b1 = min((r + rows - 1) // factor + 1 + pad, h)
+        sl = cv2.resize(base[b0:b1], (W, (b1 - b0) * factor),
+                        interpolation=cv2.INTER_CUBIC)
+        off = r - b0 * factor
+        chunk = sl[off:off + rows]
+        # tiled periodic detail (phase-shifted per tile row block)
+        ty = (r + np.arange(rows)) % tile
+        reps = -(-W // tile)
+        det = np.tile(patch[ty], (1, reps))[:, :W]
+        out[r:r + rows] = chunk + det
+    return out
+
+
 def synthesize_starmap(height: int = 1024, width: int = 2048,
                        seed: int = 11, n_stars: int = 4000) -> np.ndarray:
     """Equirectangular star background, float32 (H, W, 3) in [0, 1]."""

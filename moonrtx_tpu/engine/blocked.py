@@ -303,9 +303,12 @@ def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
     return WindowOrigins(r0=r0, c0=c0, ar0=ar0, ac0=ac0, q=q, sigma=sigma)
 
 
-def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
+def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int,
+                        scale: float = 1.0, offset: float = 0.0):
     """Extract a window per block from levels[qexp[blk]] (q = 2^qexp);
     origins are already in the block's own stride-level coordinates.
+    Levels may be stored quantized (int16/uint8, value = raw*scale+offset);
+    windows always come back decoded f32.
 
     TPU: one DMA pass over the block list, each block fetched from its
     own level in-kernel (ops.extract.extract_level_windows_tpu); 3-D maps
@@ -313,7 +316,7 @@ def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
     level index."""
     from moonrtx_tpu.ops import extract as extract_ops
 
-    if extract_ops._fast_ok() and levels[0].dtype == jnp.float32:
+    if extract_ops._fast_ok() and levels[0].dtype in extract_ops._FAST_DTYPES:
         qi = jnp.clip(qexp, 0, len(levels) - 1)
         hs_ = jnp.asarray([lvl.shape[0] for lvl in levels], jnp.int32)
         ws_ = jnp.asarray([lvl.shape[1] for lvl in levels], jnp.int32)
@@ -327,15 +330,17 @@ def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
             return jnp.stack(
                 [extract_ops.extract_level_windows_tpu(
                     tuple(lvl[:, :, ch] for lvl in levels), qi, rk, ck,
-                    wh, ww) for ch in range(nch)], axis=-1)
+                    wh, ww, scale=scale, offset=offset)
+                 for ch in range(nch)], axis=-1)
         return extract_ops.extract_level_windows_tpu(
-            tuple(levels), qi, rk, ck, wh, ww)
+            tuple(levels), qi, rk, ck, wh, ww, scale=scale, offset=offset)
 
     out = None
     for k, lvl in enumerate(levels):
-        rk = jnp.minimum(r0, lvl.shape[0] - wh)
-        ck = jnp.minimum(c0, lvl.shape[1] - ww)
-        wink = sampler.extract_windows(lvl, rk, ck, wh, ww)
+        rk = jnp.maximum(jnp.minimum(r0, lvl.shape[0] - wh), 0)
+        ck = jnp.maximum(jnp.minimum(c0, lvl.shape[1] - ww), 0)
+        wink = extract_ops.decode_affine(
+            sampler.extract_windows(lvl, rk, ck, wh, ww), scale, offset)
         if out is None:
             out = wink
         else:
@@ -344,17 +349,22 @@ def _pick_level_windows(levels, qexp, r0, c0, wh: int, ww: int):
     return out
 
 
-@jax.jit
-def extract_window_cache(mips, albedo_mips,
-                         org: WindowOrigins) -> WindowCache:
+@functools.partial(jax.jit,
+                   static_argnames=("h_scale", "h_offset", "a_scale"))
+def extract_window_cache(mips, albedo_mips, org: WindowOrigins,
+                         h_scale: float = 1.0, h_offset: float = 0.0,
+                         a_scale: float = 1.0) -> WindowCache:
     """Extract per-block windows from the block's stride level.
 
     mips/albedo_mips: tuples of successively-coarser pyramid levels starting
-    at the render level; a block with stride q = 2^k reads level index k."""
+    at the render level; a block with stride q = 2^k reads level index k.
+    Quantized pyramids (int16 heights, uint8 albedo) decode through the
+    affine h_scale/h_offset and a_scale — windows are always f32."""
     qexp = jnp.round(jnp.log2(org.q)).astype(jnp.int32)
-    hwin = _pick_level_windows(mips, qexp, org.r0, org.c0, WIN_H, WIN_W)
+    hwin = _pick_level_windows(mips, qexp, org.r0, org.c0, WIN_H, WIN_W,
+                               scale=h_scale, offset=h_offset)
     awin = _pick_level_windows(albedo_mips, qexp, org.ar0, org.ac0,
-                               AWIN_H, AWIN_W)
+                               AWIN_H, AWIN_W, scale=a_scale)
     # Mean-center each height window: bilinear one-hot weights sum to 1, so
     # sample(win) == sample(win - mean) + mean EXACTLY, and the centered
     # residuals (~1e-3 of radius) survive the MXU's bf16 operand precision
@@ -668,10 +678,11 @@ def pack_windows(cache: WindowCache, org: WindowOrigins,
 
 
 def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
-                   pix_ang):
+                   pix_ang, ah: int, aw: int):
     from moonrtx_tpu.ops import pallas_march as pk
 
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
+    ahf, awf = jnp.float32(ah), jnp.float32(aw)
     if use_shadow and smap_params is not None:
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
@@ -681,14 +692,14 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
                        smap_params.axis_z[0], smap_params.axis_z[1],
                        smap_params.axis_z[2],
                        smap_params.axis_x[0], smap_params.axis_x[1],
-                       smap_params.axis_x[2], pix_ang]
+                       smap_params.axis_x[2], pix_ang, ahf, awf]
     else:
         z = jnp.float32(0.0)
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
                        fp.irradiance, z, z, jnp.float32(1.0),
                        z, z, jnp.float32(1.0), jnp.float32(1.0), z, z,
-                       pix_ang]
+                       pix_ang, ahf, awf]
     return jnp.broadcast_to(
         jnp.stack([jnp.asarray(v, jnp.float32)
                    for v in params_list])[:, None, None],
@@ -740,33 +751,41 @@ def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "h", "w", "n_coarse", "use_shadow", "interpret"))
+    "height", "width", "h", "w", "ah", "aw", "n_coarse", "use_shadow",
+    "interpret"))
 def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
                         geom: RayGeom,
                         shadow_windows: Optional[ShadowWindows],
                         smap_params, background,
                         basis: CameraBasis, fp: FrameParams,
                         height: int, width: int, h: int, w: int,
+                        ah: Optional[int] = None, aw: Optional[int] = None,
                         n_coarse: int = 16, use_shadow: bool = True,
                         interpret: bool = False) -> RenderOutput:
     """Single frame through the fused kernel (packs windows; for repeated
-    samples use render_accumulate_pallas which packs once)."""
+    samples use render_accumulate_pallas which packs once). ah/aw: the
+    albedo level's shape when coarser than the height level."""
     packed = pack_windows(cache, org,
                           shadow_windows if use_shadow else None)
     params = _kernel_params(geom.ob, fp, smap_params, use_shadow,
-                            2.0 * basis.tan_half_fov / height)
+                            2.0 * basis.tan_half_fov / height,
+                            ah if ah is not None else h,
+                            aw if aw is not None else w)
     return _pallas_frame(packed, geom, params, background, basis, fp,
                          height, width, h, w, n_coarse, use_shadow,
                          interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "h", "w", "n_samples", "n_coarse", "use_shadow"))
+    "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
+    "use_shadow"))
 def render_accumulate_pallas(packed: PackedWindows,
                              smap_params, background, maxmap,
                              basis: CameraBasis, fp: FrameParams,
                              jitters, height: int, width: int,
                              h: int, w: int, h_min: float,
+                             ah: Optional[int] = None,
+                             aw: Optional[int] = None,
                              n_samples: int = 8, n_coarse: int = 12,
                              use_shadow: bool = True):
     """N jittered accumulation samples in ONE device program: per sample,
@@ -783,7 +802,9 @@ def render_accumulate_pallas(packed: PackedWindows,
 
     ob = mat3t_apply(fp.rotation, basis.eye)
     params = _kernel_params(ob, fp, smap_params, use_shadow,
-                            2.0 * basis.tan_half_fov / height)
+                            2.0 * basis.tan_half_fov / height,
+                            ah if ah is not None else h,
+                            aw if aw is not None else w)
 
     geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
                        h_min, maxmap=maxmap)

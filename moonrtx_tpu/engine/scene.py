@@ -40,6 +40,21 @@ from moonrtx_tpu.types import Camera, MoonEphemeris
 # sampling window of the blocked backend plus slack.
 PAD_COLS = 192
 
+# "auto" quantization threshold: maps whose level-0 texel count exceeds
+# this are stored int16/uint8 in HBM (the full LOLA LDEM is 4.2 Gtexels —
+# 17 GB as f32, 2.1 GB as int16; reference main.py:25-29).
+QUANTIZE_TEXELS = 128 * 1024 * 1024
+
+# Shadow scans sample the heightfield at the scan grid's own resolution
+# (<= 2304x4096 cells); building from a mip much finer than that wastes
+# bandwidth and makes the bounce alb_lum map explode at full LDEM sizes.
+SHADOW_MAX_TEXELS = 20 * 1024 * 1024
+
+# Albedo pyramids may start coarser than the heightfield (the reference
+# color map is ~4x coarser than the LDEM): widest albedo level kept when
+# quantizing; finer entries alias it (zero extra HBM).
+ALB_MAX_W = 16384
+
 
 def default_camera() -> Camera:
     """Ephemeris-independent default view (reference moon_renderer.py:190-198)."""
@@ -81,19 +96,81 @@ class MoonScene:
         self.radius_scale = float(radius_scale)
         self.h_min = float(elevation.min())
 
+        quant = config.quantize
+        if quant == "auto":
+            quant = ("i16" if elevation.shape[0] * elevation.shape[1]
+                     > QUANTIZE_TEXELS else "off")
+        self.quantized = quant == "i16"
+
         mips_np = build_mips(elevation)
-        self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS)) for m in mips_np]
+        if self.quantized:
+            # int16 heights: value = raw * h_scale + h_offset, exact affine
+            # shared by every level (block means stay inside [min, max]).
+            # Resolution (max-min)/65000 ~ 0.08 m for real lunar relief —
+            # finer than the source LDEM's 0.5 m quantization.
+            h_lo = float(elevation.min())
+            h_hi = float(elevation.max())
+            self.h_scale = max((h_hi - h_lo) / 65000.0, 1e-12)
+            self.h_offset = 0.5 * (h_lo + h_hi)
+
+            def _enc(m, chunk=2048):
+                # f64 in row chunks: the f32 subtraction (m - offset) near
+                # 1.0 would itself cost ~1 quantization step
+                out = np.empty(m.shape, np.int16)
+                for r in range(0, m.shape[0], chunk):
+                    sl = m[r:r + chunk].astype(np.float64)
+                    out[r:r + chunk] = np.clip(np.rint(
+                        (sl - self.h_offset) / self.h_scale),
+                        -32767, 32767).astype(np.int16)
+                return out
+
+            self.mips = [jnp.asarray(pad_lon_wrap(_enc(m), PAD_COLS))
+                         for m in mips_np]
+        else:
+            self.h_scale, self.h_offset = 1.0, 0.0
+            self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
+                         for m in mips_np]
         self.maxmap = jnp.asarray(coarse_max_map(elevation))
         # mean squared slope per level (coarse cells) for LOD roughness
         # compensation at per-block mip-stride seams
         self.slope_maps = jnp.asarray(slope_sq_maps(mips_np))
         self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS) for m in self.mips]
+        # The albedo (color) source may be coarser than the heightfield by
+        # a power of two (the real LROC color map is ~4x coarser than the
+        # LDEM, reference main.py:33-38): its pyramid is aligned so entry L
+        # has the height level L's dimensions, with entries finer than the
+        # albedo base aliasing it (same device buffer — zero extra HBM).
+        base_lvl = 0
+        while (base_lvl + 1 < len(mips_np)
+               and albedo.shape[:2] != mips_np[base_lvl].shape):
+            base_lvl += 1
+        if albedo.shape[:2] != mips_np[base_lvl].shape:
+            raise ValueError(
+                f"albedo shape {albedo.shape[:2]} must equal the elevation "
+                f"shape divided by a power of two (elevation "
+                f"{elevation.shape})")
         albedo_mips = build_mips(albedo)
-        # albedo pyramid aligned level-for-level with the heightfield pyramid
+        albedo_mips = ([albedo_mips[0]] * base_lvl + albedo_mips)
         while len(albedo_mips) < len(self.mips):
             albedo_mips.append(albedo_mips[-1])
-        self.albedo_mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
-                            for m in albedo_mips[: len(self.mips)]]
+        albedo_mips = albedo_mips[: len(self.mips)]
+        self.alb_min_level = base_lvl
+        if self.quantized:
+            # uint8 albedo; additionally cap the widest stored level
+            # (finer gains nothing at display sampling rates, ALB_MAX_W)
+            self.a_scale = 1.0 / 255.0
+            while (self.alb_min_level + 1 < len(albedo_mips)
+                   and albedo_mips[self.alb_min_level].shape[1] > ALB_MAX_W):
+                self.alb_min_level += 1
+            kept = [jnp.asarray(pad_lon_wrap(np.clip(np.rint(
+                m * 255.0), 0, 255).astype(np.uint8), PAD_COLS))
+                for m in albedo_mips[self.alb_min_level:]]
+            self.albedo_mips = [kept[0]] * self.alb_min_level + kept
+        else:
+            self.a_scale = 1.0
+            dev = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
+                   for m in albedo_mips[self.alb_min_level:]]
+            self.albedo_mips = [dev[0]] * self.alb_min_level + dev
         self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
                         if starmap is not None else None)
 
@@ -120,6 +197,10 @@ class MoonScene:
         if self.backend == "pallas" and jax.default_backend() not in ("tpu",):
             # the fused kernel requires the Mosaic TPU compiler; CPU runs
             # fall back to the XLA blocked path (same math)
+            self.backend = "blocked"
+        if self.quantized and self.backend == "reference":
+            # the gather reference path has no decode plumbing; quantized
+            # (large-map) scenes always render through the windowed paths
             self.backend = "blocked"
 
         self.ephem: Optional[MoonEphemeris] = None
@@ -231,6 +312,27 @@ class MoonScene:
         texel_ground = 2 * math.pi * C.MOON_RADIUS / w0
         return select_level(self.mip_shapes, ground_per_px / texel_ground)
 
+    def albedo_level(self, level: int) -> int:
+        """Albedo mip for a height render level; floored at alb_min_level
+        (the albedo pyramid may start coarser than the heightfield)."""
+        return min(max(level + blocked.ALB_DOWN, self.alb_min_level),
+                   len(self.albedo_mips) - 1)
+
+    def shadow_level(self) -> int:
+        """Mip level the shadow scan (and bounce alb_lum) builds from: the
+        render level, floored so the source map stays scan-grid-sized
+        (SHADOW_MAX_TEXELS) — the scan resamples onto <= 2304x4096 cells,
+        so feeding it a multi-gigatexel level 0 wastes bandwidth and HBM."""
+        lvl = max(self.mip_level(), 0)
+        while (lvl + 1 < len(self.mips)
+               and self.mip_shapes[lvl][0] * self.mip_shapes[lvl][1]
+               > SHADOW_MAX_TEXELS):
+            lvl += 1
+        if self.indirect_light:
+            # the bounce scan samples alb_lum on the same grid as tex
+            lvl = max(lvl, self.alb_min_level)
+        return lvl
+
     def background(self):
         if self.starmap is None:
             return None
@@ -243,9 +345,14 @@ class MoonScene:
 
     def alb_lum(self, level: int):
         """Albedo-luminance map for a mip level (bounce emitter strength),
-        computed lazily on device and cached."""
+        computed lazily on device and cached. Decodes quantized (uint8)
+        albedo to f32 0..1."""
+        level = max(level, self.alb_min_level)
         if level not in self._alb_lum:
-            self._alb_lum[level] = jnp.mean(self.albedo_mips[level], axis=2)
+            m = jnp.mean(self.albedo_mips[level].astype(jnp.float32), axis=2)
+            if self.a_scale != 1.0:
+                m = m * jnp.float32(self.a_scale)
+            self._alb_lum[level] = m
         return self._alb_lum[level]
 
     def shadow_args(self):
@@ -255,7 +362,7 @@ class MoonScene:
             return None
         if self._shadow is None or self._shadow_dirty:
             from moonrtx_tpu.ops import shadow_scan
-            level = max(self.mip_level(), 0)
+            level = self.shadow_level()
             tex = self.mips[level]
             h, w = self.mip_shapes[level]
             sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
@@ -265,12 +372,14 @@ class MoonScene:
             acc = self.shadow_accuracy if self.shadows_on else 1
             if self.indirect_light:
                 smap, params, bmap = shadow_scan.build_shadow_and_bounce(
-                    tex, self.alb_lum(level), h, w, sun, ang, accuracy=acc)
+                    tex, self.alb_lum(level), h, w, sun, ang, accuracy=acc,
+                    h_scale=self.h_scale, h_offset=self.h_offset)
                 self._shadow = (smap, params)
                 self._bounce = bmap
             else:
                 self._shadow = shadow_scan.build_shadow_map(
-                    tex, h, w, sun, ang, accuracy=acc)
+                    tex, h, w, sun, ang, accuracy=acc,
+                    h_scale=self.h_scale, h_offset=self.h_offset)
                 self._bounce = None
             self._shadow_dirty = False
         return self._shadow
@@ -280,7 +389,7 @@ class MoonScene:
     def _ensure_blocked_caches(self, level: int, geom):
         """(Re)build window caches for the blocked backend when invalid."""
         h, w = self.mip_shapes[level]
-        alevel = min(level + blocked.ALB_DOWN, len(self.albedo_mips) - 1)
+        alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]
         if self._origins is None or self._cache_level != level:
             # stride levels available above the render level (q up to 4)
@@ -293,7 +402,8 @@ class MoonScene:
             self._wincache = blocked.extract_window_cache(
                 tuple(self.mips[level:level + max_qexp + 1]),
                 tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
-                self._origins)
+                self._origins, h_scale=self.h_scale, h_offset=self.h_offset,
+                a_scale=self.a_scale)
             self._cache_level = level
             self._shadowwin = None
             self._packed = None
@@ -356,7 +466,7 @@ class MoonScene:
                 out = blocked.render_frame_pallas(
                     self._wincache, self._origins, geom, shadow_windows,
                     sparams, self.background(), self.basis(), self._fp,
-                    self.height, self.width, h, w,
+                    self.height, self.width, h, w, ah=ah, aw=aw,
                     use_shadow=self.shadows_on)
             else:
                 out = blocked.render_frame_blocked(
@@ -405,7 +515,8 @@ class MoonScene:
                                   jnp.zeros(2, jnp.float32),
                                   self.height, self.width, self.h_min,
                                   maxmap=self.maxmap)
-        self._ensure_blocked_caches(level, geom)
+        alevel = self._ensure_blocked_caches(level, geom)
+        ah, aw = self.mip_shapes[alevel]
         if self.shadows_on:
             _, sparams = self.shadow_args()
             shadow_windows = self._shadowwin
@@ -419,7 +530,7 @@ class MoonScene:
             self._packed, sparams,
             self.background(), self.maxmap, self.basis(), self._fp,
             jitters, self.height, self.width, h, w, self.h_min,
-            n_samples=n_samples, use_shadow=self.shadows_on)
+            ah=ah, aw=aw, n_samples=n_samples, use_shadow=self.shadows_on)
         self._accum = accum
         self._hitbuf = hitbuf
         self._accum_n = n_samples
@@ -457,11 +568,21 @@ class MoonScene:
         return float(v[0]), float(v[1]), float(v[2]), float(v[3])
 
     def elevation_host(self) -> np.ndarray:
-        """Host copy of the render-level elevation map (unpadded columns),
+        """Host copy of an elevation level (unpadded columns, decoded f32),
         cached once — measurement drags must not re-transfer device mips
-        per mouse event."""
-        if self._elev_host is None or self._elev_host_src is not self.mips[0]:
-            self._elev_host = np.asarray(
-                self.mips[0])[:, : self.mip_shapes[0][1]]
-            self._elev_host_src = self.mips[0]
+        per mouse event. Uses the shadow-capped level for quantized
+        (multi-gigatexel) maps so the host copy stays small."""
+        lvl = 0
+        if self.quantized:
+            while (lvl + 1 < len(self.mips)
+                   and self.mip_shapes[lvl][0] * self.mip_shapes[lvl][1]
+                   > SHADOW_MAX_TEXELS):
+                lvl += 1
+        src = self.mips[lvl]
+        if self._elev_host is None or self._elev_host_src is not src:
+            m = np.asarray(src)[:, : self.mip_shapes[lvl][1]]
+            if self.quantized:
+                m = m.astype(np.float32) * self.h_scale + self.h_offset
+            self._elev_host = m
+            self._elev_host_src = src
         return self._elev_host

@@ -10,11 +10,12 @@ cost of every pose change and time step.
 TPU-native replacement, one Pallas program per block, no gathers and no
 HBM intermediates:
 
-1. **Aligned DMA fetch**: HBM arrays are (8, 128)-tiled and the DMA
-   engine copies tile-aligned slabs at full bandwidth, so the program
-   copies the aligned *superwindow* ``tex[ra:ra+SH, ca:ca+SW]``
-   (``ra = r0 & ~7``, ``ca = c0 & ~127``; SH/SW statically rounded up to
-   cover any in-tile offset) into VMEM scratch, origins scalar-prefetched.
+1. **Aligned DMA fetch**: HBM arrays are tile-aligned ((8, 128) for f32,
+   (16, 128) for 16-bit, (32, 128) for 8-bit types) and the DMA engine
+   copies tile-aligned slabs at full bandwidth, so the program copies the
+   aligned *superwindow* ``tex[ra:ra+SH, ca:ca+SW]`` (``ra/ca`` rounded
+   down to the dtype's tile; SH/SW statically rounded up to cover any
+   in-tile offset) into VMEM scratch, origins scalar-prefetched.
 2. **In-VMEM one-hot recompaction**: the exact (wh, ww) window is cut
    from the superwindow by two small MXU contractions against one-hot
    shift matrices built from iota — selection rows have exactly one 1.0,
@@ -26,6 +27,14 @@ HBM intermediates:
    fetches each block's window from its own level in ONE pass over the
    block list — the XLA path extracted every block at every level and
    blended afterwards.
+
+**Quantized storage**: maps may live in HBM as int16 or uint8 with an
+affine decode ``value = raw * scale + offset`` (the full-resolution LOLA
+LDEM is 4.2 Gtexels — 17 GB as f32 level 0, 2.1 GB as int16, reference
+main.py:25-29). The kernel DMAs the raw dtype, converts in VMEM, and the
+decode affine is applied to the recompacted f32 windows (one-hot rows sum
+to 1, so decode commutes with the selection exactly). Windows always come
+back as decoded float32.
 
 Off TPU the module falls back to sampler.extract_windows (identical
 semantics); tests exercise the kernel in Pallas interpret mode.
@@ -42,15 +51,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moonrtx_tpu.ops import sampler
 
-ROW_TILE = 8
 COL_TILE = 128
+
+
+def _row_tile(dtype) -> int:
+    """TPU sublane tile for a dtype: (8,128) f32, (16,128) 16-bit,
+    (32,128) 8-bit."""
+    return 8 * (4 // jnp.dtype(dtype).itemsize)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int):
+def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int,
+                 row_tile: int):
     def kernel(ra_ref, ca_ref, offr_ref, offc_ref, lvl_ref, *refs):
         # refs: n_levels ANY tex refs, out_ref, scratch, sem
         texs = refs[:n_levels]
@@ -58,7 +73,7 @@ def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int):
         scratch = refs[n_levels + 1]
         sem = refs[n_levels + 2]
         i = pl.program_id(0)
-        ra = pl.multiple_of(ra_ref[i], ROW_TILE)
+        ra = pl.multiple_of(ra_ref[i], row_tile)
         ca = pl.multiple_of(ca_ref[i], COL_TILE)
         for k in range(n_levels):
             @pl.when(lvl_ref[i] == k)
@@ -74,8 +89,12 @@ def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int):
         jr = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 0)
         ir = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 1)
         rone = jnp.where(jr == offr + ir, 1.0, 0.0).astype(jnp.float32)
+        slab = scratch[...]
+        if slab.dtype == jnp.uint8:
+            # Mosaic has no uint8->f32 lowering; hop through int16
+            slab = slab.astype(jnp.int16)
         mix = jax.lax.dot_general(
-            scratch[...], rone, (((0,), (0,)), ((), ())),
+            slab.astype(jnp.float32), rone, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # (sw, wh)
         jc = jax.lax.broadcasted_iota(jnp.int32, (sw, ww), 0)
@@ -91,25 +110,27 @@ def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wh", "ww", "interpret"))
+                   static_argnames=("wh", "ww", "scale", "offset", "interpret"))
 def _extract_impl(levels, lvl_idx, r0, c0, wh: int, ww: int,
+                  scale: float = 1.0, offset: float = 0.0,
                   interpret: bool = False):
     n_levels = len(levels)
     nblk = r0.shape[0]
-    sh = _round_up(wh + ROW_TILE - 1, ROW_TILE)
+    row_tile = _row_tile(levels[0].dtype)
+    sh = _round_up(wh + row_tile - 1, row_tile)
     sw = _round_up(ww + COL_TILE - 1, COL_TILE)
     # pad every level so any aligned superwindow is in range (dense copy
     # at HBM bandwidth; keeps callers free of padding contracts)
     padded = []
     for lvl in levels:
         h, w = lvl.shape
-        hp = _round_up(max(h, sh), ROW_TILE) + ROW_TILE
+        hp = _round_up(max(h, sh), row_tile) + row_tile
         wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
         padded.append(jnp.pad(lvl, ((0, hp - h), (0, wp - w))))
 
     r0 = r0.astype(jnp.int32)
     c0 = c0.astype(jnp.int32)
-    ra = (r0 // ROW_TILE) * ROW_TILE
+    ra = (r0 // row_tile) * row_tile
     ca = (c0 // COL_TILE) * COL_TILE
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -117,38 +138,53 @@ def _extract_impl(levels, lvl_idx, r0, c0, wh: int, ww: int,
         grid=(nblk,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
         out_specs=pl.BlockSpec((1, wh, ww), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((sh, sw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((sh, sw), levels[0].dtype),
                         pltpu.SemaphoreType.DMA],
     )
-    return pl.pallas_call(
-        _make_kernel(n_levels, wh, ww, sh, sw),
+    out = pl.pallas_call(
+        _make_kernel(n_levels, wh, ww, sh, sw, row_tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, wh, ww), jnp.float32),
         interpret=interpret,
     )(ra, ca, r0 - ra, c0 - ca, lvl_idx.astype(jnp.int32), *padded)
+    return decode_affine(out, scale, offset)
+
+
+def decode_affine(raw, scale: float, offset: float):
+    """value = raw * scale + offset in f32 (identity skipped at trace)."""
+    out = raw if raw.dtype == jnp.float32 else raw.astype(jnp.float32)
+    if scale != 1.0:
+        out = out * jnp.float32(scale)
+    if offset != 0.0:
+        out = out + jnp.float32(offset)
+    return out
 
 
 def extract_windows_tpu(tex, r0, c0, wh: int, ww: int,
+                        scale: float = 1.0, offset: float = 0.0,
                         interpret: bool = False):
     """Drop-in fast path for sampler.extract_windows on one 2-D map.
 
     r0/c0: (NBLK,) pre-clamped to [0, H-wh] x [0, W-ww] like the XLA
-    path. Bit-exact with sampler.extract_windows.
+    path. Returns decoded float32 windows; bit-exact with
+    sampler.extract_windows for f32 input.
     """
     lvl = jnp.zeros(r0.shape, jnp.int32)
     return _extract_impl((tex,), lvl, r0, c0, wh, ww,
-                         interpret=interpret).astype(tex.dtype)
+                         scale=scale, offset=offset, interpret=interpret)
 
 
 def extract_level_windows_tpu(levels, lvl_idx, r0, c0, wh: int, ww: int,
+                              scale: float = 1.0, offset: float = 0.0,
                               interpret: bool = False):
     """Per-block windows from levels[lvl_idx[b]] in one pass.
 
     r0/c0 are in each block's OWN level coordinates, pre-clamped to that
-    level's bounds (engine/blocked.py window_origins does this).
+    level's bounds (engine/blocked.py window_origins does this). Returns
+    decoded float32.
     """
     return _extract_impl(tuple(levels), lvl_idx, r0, c0, wh, ww,
-                         interpret=interpret).astype(levels[0].dtype)
+                         scale=scale, offset=offset, interpret=interpret)
 
 
 def _fast_ok() -> bool:
@@ -157,12 +193,18 @@ def _fast_ok() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def extract_windows(tex, r0, c0, wh: int, ww: int):
+_FAST_DTYPES = (jnp.float32, jnp.int16, jnp.uint8)
+
+
+def extract_windows(tex, r0, c0, wh: int, ww: int,
+                    scale: float = 1.0, offset: float = 0.0):
     """Per-block windows; DMA+MXU path on TPU, XLA path elsewhere.
 
-    2-D f32 maps only (callers extract per-channel planes); same
-    contract as sampler.extract_windows.
+    2-D f32/int16/uint8 maps (callers extract per-channel planes); always
+    returns decoded float32 windows (value = raw * scale + offset).
     """
-    if tex.ndim == 2 and tex.dtype == jnp.float32 and _fast_ok():
-        return extract_windows_tpu(tex, r0, c0, wh, ww)
-    return sampler.extract_windows(tex, r0, c0, wh, ww)
+    if tex.ndim == 2 and tex.dtype in _FAST_DTYPES and _fast_ok():
+        return extract_windows_tpu(tex, r0, c0, wh, ww,
+                                   scale=scale, offset=offset)
+    return decode_affine(sampler.extract_windows(tex, r0, c0, wh, ww),
+                         scale, offset)

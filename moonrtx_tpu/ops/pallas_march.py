@@ -44,11 +44,13 @@ SW = blocked.SWIN_W
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
 
-# params vector layout (17, 128) broadcast rows:
+# params vector layout (19, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
 #  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
 #  16 pixel angular size (for the footprint-matched normal stencil)
-N_PARAMS = 17
+#  17-18 albedo level rows/cols (the albedo pyramid may start coarser
+#  than the heightfield — engine.scene alb_min_level)
+N_PARAMS = 19
 
 
 def _atan2(y, x):
@@ -227,9 +229,10 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         sgn = jnp.where(nX * px + nY * py + nZ * pz < 0.0, -1.0, 1.0)
         nX, nY, nZ = nX * sgn, nY * sgn, nZ * sgn
 
-        # albedo (channel-major window columns R|G|B)
-        ah2 = h  # albedo mip == height mip level (blocked.ALB_DOWN == 0)
-        aw2 = w
+        # albedo (channel-major window columns R|G|B); the albedo level may
+        # be coarser than the height level (params 17/18)
+        ah2 = P(17)
+        aw2 = P(18)
         arow = (90.0 - lat * RAD2DEG) * (ah2 / 180.0) - 0.5
         lon_w = lon * RAD2DEG + 180.0
         lon_w = lon_w - 360.0 * jnp.floor(lon_w / 360.0)

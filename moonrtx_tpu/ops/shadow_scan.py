@@ -83,10 +83,12 @@ def _argmax_combine(a, b):
     return jnp.where(take_b, bm, am), jnp.where(take_b, bz, az)
 
 
-def _resample_heights_blocked(tex, h: int, w: int, row, col):
+def _resample_heights_blocked(tex, h: int, w: int, row, col,
+                              scale: float = 1.0, offset: float = 0.0):
     """Resample heights at the scan-grid positions through per-block
     windows (one-hot MXU sampling) instead of an XLA gather: ~10x faster
-    on TPU for the multi-megatexel fine band.
+    on TPU for the multi-megatexel fine band. tex may be quantized
+    (int16/uint8, value = raw*scale+offset); output is decoded f32.
 
     row/col: (n_theta, n_phi) fractional source coordinates. Blocks of
     8x64 scan cells share one (40, 184) window; blocks whose footprint
@@ -113,7 +115,8 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col):
     c0 = jnp.clip((c_mid - WW_ * 0.5).astype(jnp.int32), 0,
                   tex.shape[1] - WW_)
     from moonrtx_tpu.ops import extract as extract_ops
-    wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_)
+    wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_,
+                                       scale=scale, offset=offset)
     mean = jnp.mean(wins, axis=(1, 2))[:, None]
     vals = sampler.window_bilinear(wins - mean[..., None],
                                    rb - r0[:, None].astype(rb.dtype),
@@ -125,7 +128,7 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col):
 def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
                n_coarse: int, n_fine: int, n_phi_total: int,
                phi0, n_phi: int, blocked_resample: bool = False,
-               alb_lum=None):
+               alb_lum=None, h_scale: float = 1.0, h_offset: float = 0.0):
     """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
 
     The running max along theta is local to each meridian, so wedges are
@@ -147,9 +150,14 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     lat, lon = unit_to_latlon(dirs)
     row, col = sampler.latlon_to_rowcol(lat, lon, h, w)
     if blocked_resample:
-        hs = _resample_heights_blocked(tex, h, w, row, col)
+        hs = _resample_heights_blocked(tex, h, w, row, col,
+                                       scale=h_scale, offset=h_offset)
     else:
-        hs = sampler.gather_bilinear(tex, row, col)   # (n_theta, n_phi)
+        from moonrtx_tpu.ops import extract as extract_ops
+        # gather promotes raw int values per-fetch; decode commutes with
+        # the bilinear because its weights sum to 1
+        hs = extract_ops.decode_affine(
+            sampler.gather_bilinear(tex, row, col), h_scale, h_offset)
     r = C.MOON_RADIUS * hs
     m = r * st
     z = r * ct
@@ -315,22 +323,27 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
-                                             "n_phi", "blocked_resample"))
+                                             "n_phi", "blocked_resample",
+                                             "h_scale", "h_offset"))
 def _build(tex, sun_basis, sun_ang_radius, h: int, w: int,
            n_coarse: int, n_fine: int, n_phi: int,
-           blocked_resample: bool = True):
+           blocked_resample: bool = True,
+           h_scale: float = 1.0, h_offset: float = 0.0):
     factor = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
                         n_coarse, n_fine, n_phi, 0, n_phi,
-                        blocked_resample=blocked_resample)
+                        blocked_resample=blocked_resample,
+                        h_scale=h_scale, h_offset=h_offset)
     # pad azimuth wrap columns for seam-free lookup
     return jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
-                                             "n_phi", "blocked_resample"))
+                                             "n_phi", "blocked_resample",
+                                             "h_scale", "h_offset"))
 def _build_aux(tex, alb_lum, sun_basis, sun_ang_radius,
                h: int, w: int, n_coarse: int, n_fine: int,
-               n_phi: int, blocked_resample: bool = True):
+               n_phi: int, blocked_resample: bool = True,
+               h_scale: float = 1.0, h_offset: float = 0.0):
     """Scan + the raw per-cell aux grids the bounce map needs.
 
     The bounce pyramid runs in a SEPARATE program (_bounce_jit): fusing it
@@ -340,7 +353,8 @@ def _build_aux(tex, alb_lum, sun_basis, sun_ang_radius,
     factor, hs, alb_s = scan_wedge(tex, sun_basis, sun_ang_radius, h, w,
                                    n_coarse, n_fine, n_phi, 0, n_phi,
                                    blocked_resample=blocked_resample,
-                                   alb_lum=alb_lum)
+                                   alb_lum=alb_lum,
+                                   h_scale=h_scale, h_offset=h_offset)
     return (jnp.concatenate([factor, factor[:, :PHI_PAD]], axis=1),
             hs, alb_s)
 
@@ -365,17 +379,20 @@ def sun_frame_basis(sun_dir_body):
 
 
 def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
-                     accuracy: int = 10):
+                     accuracy: int = 10,
+                     h_scale: float = 1.0, h_offset: float = 0.0):
     """Build (shadow_map, ShadowMapParams) for the current sun direction.
 
-    tex: padded heightfield mip; sun_dir_body: (3,) unit, body frame.
+    tex: padded heightfield mip (f32 or quantized int16 with affine
+    h_scale/h_offset); sun_dir_body: (3,) unit, body frame.
     Rebuilt on time change only; camera motion and accumulation reuse it.
     """
     n_coarse, n_fine, n_phi = _resolution(accuracy)
     x, y, z = sun_frame_basis(sun_dir_body)
     basis = jnp.stack([x, y, z])
     smap = _build(tex, basis, jnp.float32(sun_ang_radius), h, w,
-                  n_coarse, n_fine, n_phi)
+                  n_coarse, n_fine, n_phi,
+                  h_scale=h_scale, h_offset=h_offset)
     params = ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,
         n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
@@ -384,7 +401,8 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
 
 
 def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
-                            sun_ang_radius: float, accuracy: int = 10):
+                            sun_ang_radius: float, accuracy: int = 10,
+                            h_scale: float = 1.0, h_offset: float = 0.0):
     """build_shadow_map plus the one-bounce irradiance map on the same grid:
     returns (shadow_map, ShadowMapParams, bounce_map). Two device programs
     (scan+aux, then the bounce pyramid) — see _build_aux."""
@@ -393,7 +411,8 @@ def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
     basis = jnp.stack([x, y, z])
     smap, hs, alb_s = _build_aux(tex, alb_lum, basis,
                                  jnp.float32(sun_ang_radius), h, w,
-                                 n_coarse, n_fine, n_phi)
+                                 n_coarse, n_fine, n_phi,
+                                 h_scale=h_scale, h_offset=h_offset)
     bmap = _bounce_jit(smap, hs, alb_s, n_coarse, n_fine, n_phi)
     params = ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,

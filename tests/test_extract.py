@@ -50,6 +50,45 @@ def test_extract_dispatch_falls_back_off_tpu():
     assert np.array_equal(got, ref)
 
 
+def test_extract_quantized_int16_decodes():
+    """int16 storage (value = raw*scale+offset): kernel DMA of the raw
+    dtype + decode must match decoding the whole map then slicing f32."""
+    rng = np.random.default_rng(4)
+    h, w = 96, 260
+    scale, offset = 1.7e-6, 0.997
+    raw = rng.integers(-32767, 32767, (h, w)).astype(np.int16)
+    tex = jnp.asarray(raw)
+    dec = raw.astype(np.float32) * scale + offset
+    wh, ww = 24, 40
+    r0 = jnp.asarray(np.array([0, h - wh, 11], np.int32))
+    c0 = jnp.asarray(np.array([0, w - ww, 77], np.int32))
+    ref = np.asarray(sampler.extract_windows(jnp.asarray(dec), r0, c0, wh, ww))
+    got = np.asarray(extract_windows_tpu(tex, r0, c0, wh, ww,
+                                         scale=scale, offset=offset,
+                                         interpret=True))
+    assert got.dtype == np.float32
+    assert np.allclose(got, ref, atol=1e-7)
+    # XLA fallback router decodes identically
+    got2 = np.asarray(extract_windows(tex, r0, c0, wh, ww,
+                                      scale=scale, offset=offset))
+    assert np.allclose(got2, ref, atol=1e-7)
+
+
+def test_extract_quantized_uint8_decodes():
+    rng = np.random.default_rng(5)
+    h, w = 64, 140
+    raw = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    tex = jnp.asarray(raw)
+    dec = raw.astype(np.float32) / 255.0
+    wh, ww = 16, 32
+    r0 = jnp.asarray(np.array([0, h - wh], np.int32))
+    c0 = jnp.asarray(np.array([5, w - ww], np.int32))
+    ref = np.asarray(sampler.extract_windows(jnp.asarray(dec), r0, c0, wh, ww))
+    got = np.asarray(extract_windows_tpu(tex, r0, c0, wh, ww,
+                                         scale=1.0 / 255.0, interpret=True))
+    assert np.allclose(got, ref, atol=1e-7)
+
+
 def test_extract_level_windows_matches_blend():
     """In-kernel per-block level selection == the XLA per-level blend."""
     from moonrtx_tpu.ops.extract import extract_level_windows_tpu
