@@ -18,9 +18,19 @@ TILE_AXIS = "tiles"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over the first n devices (default: all)."""
+    """1-D mesh over the first n devices (default: all).
+
+    Raises when fewer than n_devices exist — a silent smaller mesh would
+    make every "multi-chip" validation vacuously single-device."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} device(s) "
+                f"available on backend '{jax.default_backend()}' — for a "
+                "virtual mesh force the CPU platform with "
+                "jax.config.update('jax_platforms', 'cpu') and "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (TILE_AXIS,))
 

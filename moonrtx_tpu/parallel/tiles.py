@@ -33,7 +33,7 @@ from moonrtx_tpu.ops import sampler
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_coarse"),
+                     "n_coarse", "h_scale", "h_offset", "a_scale"),
 )
 def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          albedo_next, maxmap,
@@ -41,7 +41,9 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          height: int, width: int, h: int, w: int,
                          ah: int, aw: int, h_min: float,
                          shadow_map=None, smap_params=None,
-                         bounce_map=None, n_coarse: int = 24):
+                         bounce_map=None, n_coarse: int = 24,
+                         h_scale: float = 1.0, h_offset: float = 0.0,
+                         a_scale: float = 1.0):
     """One frame with rows sharded over the mesh. Returns (rgb, hitbuf)
     sharded by rows; mips replicated.
 
@@ -64,8 +66,9 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                   row_offset=row_offset, full_height=height)
         org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w,
                                      max_qexp=1)
-        cache = blocked.extract_window_cache((mip, mip_next),
-                                             (albedo_mip, albedo_next), org)
+        cache = blocked.extract_window_cache(
+            (mip, mip_next), (albedo_mip, albedo_next), org,
+            h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
         hit, t_hit, lat, lon, p = blocked.march_blocks(
             cache, org, geom, h, w, jnp.float32(0.5), n_coarse=n_coarse)
         if shadow_map is not None:
@@ -101,6 +104,121 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,  # loop carries are device-varying by construction
     )(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp, jitter)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
+                     "n_samples", "n_coarse", "use_shadow", "interpret",
+                     "h_scale", "h_offset", "a_scale"),
+)
+def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
+                                albedo_next, maxmap,
+                                basis: CameraBasis, fp: FrameParams, jitters,
+                                height: int, width: int, h: int, w: int,
+                                ah: int, aw: int, h_min: float,
+                                shadow_map=None, smap_params=None,
+                                bounce_map=None, n_samples: int = 8,
+                                n_coarse: int = 12, use_shadow: bool = True,
+                                interpret: bool = False,
+                                h_scale: float = 1.0, h_offset: float = 0.0,
+                                a_scale: float = 1.0):
+    """The FLAGSHIP path sharded: per row strip, window extraction + kernel
+    pack + the fused Pallas march/shade accumulation burst all run inside
+    shard_map — the whole pose-change-to-accumulated-frame pipeline is one
+    sharded program, not just the XLA blocked fallback. Returns
+    (rgb_mean, hitbuf) sharded by rows.
+
+    On the virtual CPU mesh the kernel runs in Pallas interpret mode
+    (interpret=True) with identical semantics — how the parity tests and
+    the driver dryrun execute it without TPU hardware.
+    """
+    n_dev = mesh.shape[TILE_AXIS]
+    strip_h = height // n_dev
+    assert strip_h % (blocked.BLOCK_H) == 0
+    assert (strip_h // blocked.BLOCK_H) * (width // blocked.BLOCK_W) \
+        % blocked.GROUP == 0, "strip block count must fill pallas groups"
+    mip_pad_w = mip.shape[1]
+    a_pad_w = albedo_mip.shape[1]
+    use_sh = use_shadow and shadow_map is not None
+
+    def strip(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp,
+              jitters):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        row_offset = idx * strip_h
+
+        def rays(jitter):
+            return blocked.block_rays(basis, fp.rotation, jitter,
+                                      strip_h, width, h_min, maxmap=maxmap,
+                                      row_offset=row_offset,
+                                      full_height=height)
+
+        geom0 = rays(jitters[0])
+        org = blocked.window_origins(geom0, h, w, mip_pad_w, ah, aw,
+                                     a_pad_w, max_qexp=1)
+        cache = blocked.extract_window_cache(
+            (mip, mip_next), (albedo_mip, albedo_next), org,
+            h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
+        sw = (blocked.build_shadow_windows(shadow_map, smap_params, geom0,
+                                           bounce_map=bounce_map)
+              if use_sh else None)
+        packed = blocked.pack_windows(cache, org, sw)
+        ob = geom0.ob
+        params = blocked._kernel_params(
+            ob, fp, smap_params, use_sh,
+            2.0 * basis.tan_half_fov / height, ah, aw)
+        nblk = geom0.db.shape[0]
+        ns = nblk // blocked.GROUP
+
+        from moonrtx_tpu.ops import pallas_march as pk
+
+        def run_kernel(geom):
+            G, B = blocked.GROUP, blocked.BLOCK
+            return pk.march_shade_pallas(
+                params,
+                geom.db[..., 0].reshape(ns, G, B),
+                geom.db[..., 1].reshape(ns, G, B),
+                geom.db[..., 2].reshape(ns, G, B),
+                geom.t_enter.reshape(ns, G, B),
+                geom.t_end.reshape(ns, G, B),
+                geom.hit_outer.astype(jnp.float32).reshape(ns, G, B),
+                packed.scal, packed.hwin, packed.awin, packed.swin,
+                h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
+                interpret=interpret)
+
+        r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
+        acc = (r0_, g0_, b0_)
+        for i in range(1, n_samples):
+            r, g, b, *_ = run_kernel(rays(jitters[i]))
+            k = i + 1.0
+            acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+        ar, ag, ab = acc
+
+        G, B = blocked.GROUP, blocked.BLOCK
+        rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk, B, 3)
+        hit_b = hit0.reshape(nblk, B) > 0.5
+        p_b = jnp.stack([px0, py0, pz0], axis=-1).reshape(nblk, B, 3)
+        t_b = t0_.reshape(nblk, B)
+        rgb = blocked.from_blocks(rgb_b, strip_h, width)
+        hit_img = blocked.from_blocks(hit_b, strip_h, width)
+        disk = sun_disk_hit(basis.eye, geom0.dirs_scene, fp)
+        rgb = jnp.where(hit_img[..., None], rgb,
+                        jnp.where(disk[..., None], C.SUN_DISK_COLOR, 0.0))
+        from moonrtx_tpu.engine.geometry import mat3_apply
+        p_img = mat3_apply(fp.rotation,
+                           blocked.from_blocks(p_b, strip_h, width))
+        t_img = blocked.from_blocks(t_b, strip_h, width)
+        hitbuf = jnp.concatenate(
+            [jnp.where(hit_img[..., None], p_img, 0.0),
+             jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+        return rgb, hitbuf
+
+    return shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=False,
+    )(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp, jitters)
 
 
 @functools.partial(

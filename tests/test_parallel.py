@@ -92,6 +92,47 @@ def test_sharded_shadow_map_matches_single(setup):
     assert np.percentile(d, 99.5) < 1e-5
 
 
+def test_sharded_pallas_burst_matches_single_device(setup):
+    """The FLAGSHIP (fused Pallas) path sharded over the mesh — windows,
+    pack and kernel all inside shard_map — must match the single-device
+    pallas frame (interpret mode on the virtual CPU mesh)."""
+    from moonrtx_tpu.parallel import render_burst_pallas_sharded
+
+    scene = setup
+    mesh = make_mesh(8)
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    nlevel = min(level + 1, len(scene.mips) - 1)
+    nalevel = min(alevel + 1, len(scene.albedo_mips) - 1)
+    jitters = jnp.zeros((1, 2), jnp.float32)
+    rgb_sh, hit_sh = render_burst_pallas_sharded(
+        mesh, scene.mips[level], scene.mips[nlevel],
+        scene.albedo_mips[alevel], scene.albedo_mips[nalevel], scene.maxmap,
+        scene.basis(), scene._fp, jitters,
+        scene.height, scene.width, h, w, ah, aw, scene.h_min,
+        n_samples=1, use_shadow=False, interpret=True)
+
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    scene._ensure_blocked_caches(level, geom)
+    out = blocked.render_frame_pallas(
+        scene._wincache, scene._origins, geom, None, None,
+        None, scene.basis(), scene._fp, scene.height, scene.width, h, w,
+        ah=ah, aw=aw, n_coarse=12, use_shadow=False, interpret=True)
+    d = np.abs(np.asarray(rgb_sh) - np.asarray(out.rgb))
+    # strip-local ray origins and chord bounds differ only at fp rounding;
+    # a handful of limb pixels may flip marching steps
+    assert np.percentile(d, 99) < 0.02
+    assert d.mean() < 1e-3
+    hd = np.asarray(hit_sh)[..., 3] > 0
+    hs = np.asarray(out.hitbuf)[..., 3] > 0
+    assert (hd == hs).mean() > 0.995
+
+
 def test_sharded_bounce_map_matches_single(setup):
     """Sharded scan with aux gather + replicated bounce pyramid == the
     single-device bounce map."""
