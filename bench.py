@@ -75,8 +75,14 @@ def main():
 
     def sync():
         # force completion with a 16-byte readback (axon block_until_ready
-        # does not synchronize reliably through the tunnel)
-        scene.get_hit_at(scene.width // 2, scene.height // 2)
+        # does not synchronize reliably through the tunnel). NOT
+        # scene.get_hit_at: that path host-caches the WHOLE hit buffer for
+        # mouse picking — a 33 MB transfer that only the tunnel makes slow
+        # and that real deployments overlap with display anyway.
+        v = jax.lax.dynamic_slice(
+            scene._hitbuf, (scene.height // 2, scene.width // 2, 0),
+            (1, 1, 4))
+        np.asarray(v)
 
     # Methodology: the metric is device rendering time per accumulation
     # sample at the reference's own accumulation budget (32 frames,

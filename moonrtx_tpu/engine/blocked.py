@@ -113,6 +113,12 @@ class WindowCache(NamedTuple):
     awin: jnp.ndarray      # (NBLK, AWIN_H, AWIN_W, 3)
 
 
+# Sentinel: the sun-side shadow state lives only inside PackedWindows
+# (produced by the fused time-step program render_timestep_pallas) — no
+# standalone ShadowWindows exists for the current sun direction.
+FUSED_SHADOW_STATE = object()
+
+
 class ShadowWindows(NamedTuple):
     swin: jnp.ndarray      # (NBLK, SWIN_H, SWIN_W) shadow factor only, or
                            # (NBLK, SWIN_H, 2*SWIN_W) with the one-bounce
@@ -778,7 +784,7 @@ def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
-    "use_shadow"))
+    "use_shadow", "interpret"))
 def render_accumulate_pallas(packed: PackedWindows,
                              smap_params, background, maxmap,
                              basis: CameraBasis, fp: FrameParams,
@@ -787,7 +793,8 @@ def render_accumulate_pallas(packed: PackedWindows,
                              ah: Optional[int] = None,
                              aw: Optional[int] = None,
                              n_samples: int = 8, n_coarse: int = 12,
-                             use_shadow: bool = True):
+                             use_shadow: bool = True,
+                             interpret: bool = False):
     """N jittered accumulation samples in ONE device program: per sample,
     jittered ray generation -> fused Pallas march+shade -> running mean.
     Returns (rgb_mean, hitbuf of sample 0).
@@ -798,13 +805,23 @@ def render_accumulate_pallas(packed: PackedWindows,
     chords far less than the bound's dilation margin), samples accumulate in
     block layout, and background/sun-disk/hit-buffer compositing runs once
     at the end."""
+    return _burst_core(packed, smap_params, background, maxmap, basis, fp,
+                       jitters, height, width, h, w, h_min,
+                       ah if ah is not None else h,
+                       aw if aw is not None else w,
+                       n_samples, n_coarse, use_shadow, interpret)
+
+
+def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
+                basis: CameraBasis, fp: FrameParams, jitters,
+                height: int, width: int, h: int, w: int, h_min: float,
+                ah: int, aw: int, n_samples: int, n_coarse: int,
+                use_shadow: bool, interpret: bool = False):
     from moonrtx_tpu.ops import pallas_march as pk
 
     ob = mat3t_apply(fp.rotation, basis.eye)
     params = _kernel_params(ob, fp, smap_params, use_shadow,
-                            2.0 * basis.tan_half_fov / height,
-                            ah if ah is not None else h,
-                            aw if aw is not None else w)
+                            2.0 * basis.tan_half_fov / height, ah, aw)
 
     geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
                        h_min, maxmap=maxmap)
@@ -838,7 +855,8 @@ def render_accumulate_pallas(packed: PackedWindows,
         return pk.march_shade_pallas(
             params, dbx, dby, dbz, t0, t1, act, packed.scal,
             packed.hwin, packed.awin, packed.swin,
-            h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow)
+            h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
+            interpret=interpret)
 
     out0 = run_kernel(geom0)
     r0, g0, b0, hit0, t0_, px0, py0, pz0 = out0
@@ -896,3 +914,37 @@ def build_shadow_state_from_maps(smap, smap_params, geom: RayGeom,
     sw = build_shadow_windows(smap, smap_params, geom, bounce_map=bmap)
     swin_packed, scal = _pack_sun_parts(cache, org, sw)
     return sw, swin_packed, scal
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
+    "interpret"))
+def render_timestep_pallas(smap, smap_params, bmap,
+                           cache: WindowCache, org: WindowOrigins,
+                           hwin_p, awin_p, background, maxmap,
+                           basis: CameraBasis, fp: FrameParams, jitters,
+                           height: int, width: int, h: int, w: int,
+                           h_min: float, ah: int, aw: int,
+                           n_samples: int = 8, n_coarse: int = 12,
+                           interpret: bool = False):
+    """The time-step (Q/W) hot path in ONE device program: shadow/bounce
+    windows from the freshly-scanned maps + sun-side repack + the full
+    accumulation burst. The maps (shadow_scan) stay separate programs —
+    fusing a scan whose output feeds ~16k window slices blows up XLA's
+    buffer analysis (docs/PERF.md) — but everything downstream of them is
+    a single dispatch instead of three, which matters at ~30 ms of tunnel
+    latency per dispatch.
+
+    Returns (rgb_mean, hitbuf, swin_packed, scal) so the caller can cache
+    the sun-side pack for subsequent pose-stable frames.
+    """
+    geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
+                       h_min, maxmap=maxmap)
+    sw = build_shadow_windows(smap, smap_params, geom0, bounce_map=bmap)
+    swin_p, scal = _pack_sun_parts(cache, org, sw)
+    packed = PackedWindows(hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
+    rgb, hitbuf = _burst_core(packed, smap_params, background, maxmap,
+                              basis, fp, jitters, height, width, h, w,
+                              h_min, ah, aw, n_samples, n_coarse, True,
+                              interpret)
+    return rgb, hitbuf, swin_p, scal

@@ -368,7 +368,9 @@ class MoonScene:
             sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
                 light_mod.calculate_light_pos(self.ephem))
             sun = jnp.asarray(sun_body / np.linalg.norm(sun_body), jnp.float32)
-            ang = float(np.asarray(self._fp.sun_ang_radius))
+            # host-side recompute — reading _fp.sun_ang_radius back from
+            # the device would stall the async dispatch pipeline mid-step
+            ang = math.asin(C.SUN_RADIUS_KM / self.ephem.sun_distance)
             acc = self.shadow_accuracy if self.shadows_on else 1
             if self.indirect_light:
                 smap, params, bmap = shadow_scan.build_shadow_and_bounce(
@@ -407,6 +409,9 @@ class MoonScene:
             self._cache_level = level
             self._shadowwin = None
             self._packed = None
+        if (self._shadowwin is blocked.FUSED_SHADOW_STATE
+                and self.backend != "pallas"):
+            self._shadowwin = None  # sentinel is meaningless off-pallas
         if self.shadows_on and self._shadowwin is None:
             if self.backend == "pallas":
                 # maps depend only on the sun -> cached across pose changes
@@ -430,6 +435,8 @@ class MoonScene:
                     smap, sparams, geom, bounce_map=self._bounce)
                 self._packed = None
         if self.backend == "pallas" and self._packed is None:
+            assert self._shadowwin is not blocked.FUSED_SHADOW_STATE, (
+                "fused shadow state requires the packed windows it lives in")
             self._packed = blocked.pack_windows(
                 self._wincache, self._origins,
                 self._shadowwin if self.shadows_on else None)
@@ -463,11 +470,15 @@ class MoonScene:
             jitter_t = (jnp.float32(0.5) if self._accum_n == 0
                         else jnp.asarray(self._rng.random(), jnp.float32))
             if self.backend == "pallas":
-                out = blocked.render_frame_pallas(
-                    self._wincache, self._origins, geom, shadow_windows,
-                    sparams, self.background(), self.basis(), self._fp,
-                    self.height, self.width, h, w, ah=ah, aw=aw,
-                    use_shadow=self.shadows_on)
+                # single jittered sample through the packed burst program
+                # (also covers the fused-time-step state, where the sun
+                # windows exist only inside _packed)
+                rgb1, hitbuf1 = blocked.render_accumulate_pallas(
+                    self._packed, sparams, self.background(), self.maxmap,
+                    self.basis(), self._fp, jitter[None, :],
+                    self.height, self.width, h, w, self.h_min,
+                    ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on)
+                out = render_mod.RenderOutput(rgb=rgb1, hitbuf=hitbuf1)
             else:
                 out = blocked.render_frame_blocked(
                     self._wincache, self._origins, geom, shadow_windows,
@@ -511,26 +522,44 @@ class MoonScene:
             self.update_view(self.dt_local)
         level = self.mip_level()
         h, w = self.mip_shapes[level]
-        geom = blocked.block_rays(self.basis(), self._fp.rotation,
-                                  jnp.zeros(2, jnp.float32),
-                                  self.height, self.width, self.h_min,
-                                  maxmap=self.maxmap)
-        alevel = self._ensure_blocked_caches(level, geom)
-        ah, aw = self.mip_shapes[alevel]
-        if self.shadows_on:
-            _, sparams = self.shadow_args()
-            shadow_windows = self._shadowwin
-        else:
-            sparams, shadow_windows = None, None
         jitters = jnp.concatenate([
             jnp.zeros((1, 2), jnp.float32),
             jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
                         jnp.float32)])
-        accum, hitbuf = blocked.render_accumulate_pallas(
-            self._packed, sparams,
-            self.background(), self.maxmap, self.basis(), self._fp,
-            jitters, self.height, self.width, h, w, self.h_min,
-            ah=ah, aw=aw, n_samples=n_samples, use_shadow=self.shadows_on)
+
+        if (self.shadows_on and self._shadowwin is None
+                and self._origins is not None
+                and self._cache_level == level
+                and self._packed is not None):
+            # time-step (Q/W) hot path: pose caches valid, only the sun
+            # moved — shadow maps (2 programs) then ONE fused program for
+            # windows + sun repack + the whole burst (docs/PERF.md:
+            # dispatch economy; each dispatch ~30 ms over the tunnel)
+            alevel = self.albedo_level(level)
+            ah, aw = self.mip_shapes[alevel]
+            smap, sparams = self.shadow_args()
+            accum, hitbuf, swin_p, scal = blocked.render_timestep_pallas(
+                smap, sparams, self._bounce, self._wincache, self._origins,
+                self._packed.hwin, self._packed.awin, self.background(),
+                self.maxmap, self.basis(), self._fp, jitters,
+                self.height, self.width, h, w, self.h_min, ah, aw,
+                n_samples=n_samples)
+            self._packed = self._packed._replace(swin=swin_p, scal=scal)
+            self._shadowwin = blocked.FUSED_SHADOW_STATE
+        else:
+            geom = blocked.block_rays(self.basis(), self._fp.rotation,
+                                      jnp.zeros(2, jnp.float32),
+                                      self.height, self.width, self.h_min,
+                                      maxmap=self.maxmap)
+            alevel = self._ensure_blocked_caches(level, geom)
+            ah, aw = self.mip_shapes[alevel]
+            sparams = (self.shadow_args()[1] if self.shadows_on else None)
+            accum, hitbuf = blocked.render_accumulate_pallas(
+                self._packed, sparams,
+                self.background(), self.maxmap, self.basis(), self._fp,
+                jitters, self.height, self.width, h, w, self.h_min,
+                ah=ah, aw=aw, n_samples=n_samples,
+                use_shadow=self.shadows_on)
         self._accum = accum
         self._hitbuf = hitbuf
         self._accum_n = n_samples

@@ -63,3 +63,46 @@ def test_pallas_atan2_accuracy():
     got = np.asarray(_atan2(y, x))
     want = np.arctan2(np.asarray(y), np.asarray(x))
     assert np.abs(got - want).max() < 3e-6
+
+
+def test_fused_timestep_matches_split_programs(scene):
+    """render_timestep_pallas (shadow windows + sun repack + burst in ONE
+    program, the Q/W hot path) must reproduce the split-program pipeline
+    (build_shadow_state_from_maps + render_accumulate_pallas) exactly."""
+    import jax.numpy as jnp
+
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    scene._ensure_blocked_caches(level, geom)
+    smap, sparams = scene.shadow_args()
+    jitters = jnp.zeros((1, 2), jnp.float32)
+
+    # split pipeline
+    _, swin_p, scal = blocked.build_shadow_state_from_maps(
+        smap, sparams, geom, scene._wincache, scene._origins,
+        bmap=scene._bounce)
+    hwin_p, awin_p = blocked.pack_pose_windows(scene._wincache)
+    packed = blocked.PackedWindows(hwin=hwin_p, awin=awin_p,
+                                   swin=swin_p, scal=scal)
+    rgb_split, hit_split = blocked.render_accumulate_pallas(
+        packed, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min,
+        ah=ah, aw=aw, n_samples=1, use_shadow=True, interpret=True)
+
+    # fused single program
+    rgb_f, hit_f, swin_f, scal_f = blocked.render_timestep_pallas(
+        smap, sparams, scene._bounce, scene._wincache, scene._origins,
+        hwin_p, awin_p, None, scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min, ah, aw,
+        n_samples=1, interpret=True)
+
+    assert np.allclose(np.asarray(rgb_f), np.asarray(rgb_split))
+    assert np.allclose(np.asarray(hit_f), np.asarray(hit_split))
+    assert np.allclose(np.asarray(swin_f), np.asarray(swin_p))
+    assert np.allclose(np.asarray(scal_f), np.asarray(scal))

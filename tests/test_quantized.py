@@ -90,6 +90,39 @@ def test_auto_quantize_thresholds():
     assert s.mips[0].dtype == jnp.float32
 
 
+def test_shadow_level_caps_map_size(monkeypatch):
+    """The shadow scan must build from a scan-grid-sized level, not the
+    (possibly multi-gigatexel) render level."""
+    import moonrtx_tpu.engine.scene as scene_mod
+
+    s = _scene("off", shadows=True)
+    assert s.shadow_level() == max(s.mip_level(), 0)  # small map: uncapped
+    monkeypatch.setattr(scene_mod, "SHADOW_MAX_TEXELS", 40_000)
+    lvl = s.shadow_level()
+    assert lvl > s.mip_level()
+    h, w = s.mip_shapes[lvl]
+    assert h * w <= 40_000 or lvl == len(s.mips) - 1
+
+
+def test_albedo_level_floors_at_coarser_base():
+    """A color source at half the elevation resolution aligns level-for-
+    level with the height pyramid from its own base down."""
+    elev, albedo = synthesize_moon(360, 720, seed=3, n_craters=40)
+    alb_half = albedo[: 360 // 2 * 2, : 720 // 2 * 2].reshape(
+        180, 2, 360, 2, 3).mean(axis=(1, 3)).astype(np.float32)
+    rs = float(elev.max())
+    cfg = RenderConfig(observer=Observer(0.0, 0.0, 0), dt_local=DT0,
+                       width=64, height=48).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, alb_half, None)
+    assert s.alb_min_level == 1
+    assert s.albedo_level(0) == 1
+    assert s.albedo_mips[0] is s.albedo_mips[1]     # alias, zero HBM
+    assert s.albedo_mips[1].shape[0] == s.mip_shapes[1][0]
+    s.update_view()
+    img = s.render(1)
+    assert img.max() > 0
+
+
 def test_quantized_forces_windowed_backend():
     elev, albedo = synthesize_moon(180, 360, seed=3, n_craters=40)
     rs = float(elev.max())
