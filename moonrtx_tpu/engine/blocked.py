@@ -643,6 +643,9 @@ def _pack_sun_parts(cache: WindowCache, org: WindowOrigins,
     if swin.shape[2] < 2 * SWIN_W:
         # bounce disabled: restore the kernel's uniform shadow|bounce layout
         swin = jnp.pad(swin, ((0, 0), (0, 0), (0, 2 * SWIN_W - swin.shape[2])))
+    # the kernel samples swin as bf16 anyway; packing at bf16 halves the
+    # dominant per-time-step HBM traffic (~200 MB at 1080p)
+    swin = swin.astype(jnp.bfloat16)
     scal = jnp.stack([
         org.r0.astype(jnp.float32), org.c0.astype(jnp.float32),
         cache.hmean[:, 0], org.q,
@@ -914,6 +917,47 @@ def build_shadow_state_from_maps(smap, smap_params, geom: RayGeom,
     sw = build_shadow_windows(smap, smap_params, geom, bounce_map=bmap)
     swin_packed, scal = _pack_sun_parts(cache, org, sw)
     return sw, swin_packed, scal
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "ah", "aw", "max_qexp", "n_samples",
+    "n_coarse", "use_shadow", "interpret", "h_scale", "h_offset",
+    "a_scale"))
+def render_pose_pallas(mips, albedo_mips, slope_maps, smap, smap_params,
+                       bmap, background, maxmap,
+                       basis: CameraBasis, fp: FrameParams, jitters,
+                       height: int, width: int, h: int, w: int,
+                       ah: int, aw: int, h_min: float,
+                       max_qexp: int = 2, n_samples: int = 8,
+                       n_coarse: int = 12, use_shadow: bool = True,
+                       interpret: bool = False, h_scale: float = 1.0,
+                       h_offset: float = 0.0, a_scale: float = 1.0):
+    """The pose-change hot path in ONE device program: window origins +
+    cache extraction + pose/sun packing + shadow windows + the full
+    accumulation burst (the same fusion the sharded strip uses,
+    parallel/tiles.py). A camera move previously chained ~5 separate
+    dispatches; everything after the (sun-cached) shadow maps is now one.
+
+    Returns (rgb, hitbuf, org, cache, hwin_p, awin_p, swin_p, scal) so
+    the caller can keep the caches for subsequent frames and time steps.
+    """
+    geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
+                       h_min, maxmap=maxmap)
+    org = window_origins(geom0, h, w, mips[0].shape[1], ah, aw,
+                         albedo_mips[0].shape[1], max_qexp=max_qexp,
+                         slope_maps=slope_maps)
+    cache = extract_window_cache(mips, albedo_mips, org, h_scale=h_scale,
+                                 h_offset=h_offset, a_scale=a_scale)
+    sw = (build_shadow_windows(smap, smap_params, geom0, bounce_map=bmap)
+          if use_shadow else None)
+    hwin_p, awin_p = pack_pose_windows(cache)
+    swin_p, scal = _pack_sun_parts(cache, org, sw)
+    packed = PackedWindows(hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
+    rgb, hitbuf = _burst_core(packed, smap_params, background, maxmap,
+                              basis, fp, jitters, height, width, h, w,
+                              h_min, ah, aw, n_samples, n_coarse,
+                              use_shadow, interpret)
+    return rgb, hitbuf, org, cache, hwin_p, awin_p, swin_p, scal
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -527,16 +527,28 @@ class MoonScene:
             jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
                         jnp.float32)])
 
-        if (self.shadows_on and self._shadowwin is None
-                and self._origins is not None
-                and self._cache_level == level
-                and self._packed is not None):
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        pose_valid = (self._origins is not None
+                      and self._cache_level == level
+                      and self._packed is not None)
+        sun_valid = (not self.shadows_on) or (self._shadowwin is not None)
+
+        if pose_valid and sun_valid:
+            # nothing structural changed (e.g. brightness/gamma reset):
+            # just the burst
+            sparams = (self.shadow_args()[1] if self.shadows_on else None)
+            accum, hitbuf = blocked.render_accumulate_pallas(
+                self._packed, sparams,
+                self.background(), self.maxmap, self.basis(), self._fp,
+                jitters, self.height, self.width, h, w, self.h_min,
+                ah=ah, aw=aw, n_samples=n_samples,
+                use_shadow=self.shadows_on)
+        elif pose_valid:
             # time-step (Q/W) hot path: pose caches valid, only the sun
             # moved — shadow maps (2 programs) then ONE fused program for
             # windows + sun repack + the whole burst (docs/PERF.md:
             # dispatch economy; each dispatch ~30 ms over the tunnel)
-            alevel = self.albedo_level(level)
-            ah, aw = self.mip_shapes[alevel]
             smap, sparams = self.shadow_args()
             accum, hitbuf, swin_p, scal = blocked.render_timestep_pallas(
                 smap, sparams, self._bounce, self._wincache, self._origins,
@@ -547,19 +559,34 @@ class MoonScene:
             self._packed = self._packed._replace(swin=swin_p, scal=scal)
             self._shadowwin = blocked.FUSED_SHADOW_STATE
         else:
-            geom = blocked.block_rays(self.basis(), self._fp.rotation,
-                                      jnp.zeros(2, jnp.float32),
-                                      self.height, self.width, self.h_min,
-                                      maxmap=self.maxmap)
-            alevel = self._ensure_blocked_caches(level, geom)
-            ah, aw = self.mip_shapes[alevel]
-            sparams = (self.shadow_args()[1] if self.shadows_on else None)
-            accum, hitbuf = blocked.render_accumulate_pallas(
-                self._packed, sparams,
-                self.background(), self.maxmap, self.basis(), self._fp,
-                jitters, self.height, self.width, h, w, self.h_min,
-                ah=ah, aw=aw, n_samples=n_samples,
-                use_shadow=self.shadows_on)
+            # pose (or level) changed: origins + extraction + packing +
+            # shadow windows + burst, all in ONE fused program
+            max_qexp = min(2, len(self.mips) - 1 - level,
+                           len(self.albedo_mips) - 1 - alevel)
+            if self.shadows_on:
+                smap, sparams = self.shadow_args()
+            else:
+                smap, sparams = None, None
+            (accum, hitbuf, org, cache, hwin_p, awin_p, swin_p,
+             scal) = blocked.render_pose_pallas(
+                tuple(self.mips[level:level + max_qexp + 1]),
+                tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
+                self.slope_maps[level:level + max_qexp + 1],
+                smap, sparams, self._bounce, self.background(),
+                self.maxmap, self.basis(), self._fp, jitters,
+                self.height, self.width, h, w, ah, aw, self.h_min,
+                max_qexp=max_qexp, n_samples=n_samples,
+                use_shadow=self.shadows_on,
+                h_scale=self.h_scale, h_offset=self.h_offset,
+                a_scale=self.a_scale)
+            self._origins = org
+            self._wincache = cache
+            self._cache_level = level
+            self._window_drift = 0.0
+            self._packed = blocked.PackedWindows(
+                hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
+            self._shadowwin = (blocked.FUSED_SHADOW_STATE
+                               if self.shadows_on else None)
         self._accum = accum
         self._hitbuf = hitbuf
         self._accum_n = n_samples

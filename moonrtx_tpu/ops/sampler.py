@@ -87,12 +87,17 @@ def extract_windows(tex, r0, c0, wh: int, ww: int):
     return jax.vmap(ex)(r0, c0)
 
 
-def window_bilinear(windows, wy, wx):
+def window_bilinear(windows, wy, wx, mix_dtype=None):
     """MXU one-hot bilinear sampling from per-block windows.
 
     windows: (NBLK, WH, WW) or (NBLK, WH, WW, C)
     wy, wx:  (NBLK, B) window-local fractional coords (clamped to the window)
     returns  (NBLK, B) or (NBLK, B, C)
+
+    mix_dtype: dtype of the (NBLK, B, WW) row-mix intermediate — the
+    call's dominant memory traffic (gigabytes at shadow-scan shapes).
+    bf16 is safe whenever the window values are small residuals
+    (mean-centered), costing ~4e-3 relative on values ~1e-3.
     """
     wh = windows.shape[1]
     ww = windows.shape[2]
@@ -112,8 +117,9 @@ def window_bilinear(windows, wy, wx):
 
     if windows.ndim == 3:
         rowmix = jnp.einsum("nbh,nhw->nbw", wr, windows,
-                            preferred_element_type=jnp.float32)
-        return jnp.sum(rowmix * wc, axis=-1)
+                            preferred_element_type=(mix_dtype
+                                                    or jnp.float32))
+        return jnp.sum(rowmix.astype(jnp.float32) * wc, axis=-1)
     ch = windows.shape[3]
     flatw = windows.reshape(windows.shape[0], wh, ww * ch)
     rowmix = jnp.einsum("nbh,nhw->nbw", wr, flatw,

@@ -118,9 +118,13 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
     wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_,
                                        scale=scale, offset=offset)
     mean = jnp.mean(wins, axis=(1, 2))[:, None]
+    # mean-centered residuals survive a bf16 row-mix (the call's multi-GB
+    # intermediate at fine-band shapes) with ~4e-3 relative error on
+    # values that are already ~1e-3 of the radius
     vals = sampler.window_bilinear(wins - mean[..., None],
                                    rb - r0[:, None].astype(rb.dtype),
-                                   cb - c0[:, None].astype(cb.dtype)) + mean
+                                   cb - c0[:, None].astype(cb.dtype),
+                                   mix_dtype=jnp.bfloat16) + mean
     v = vals.reshape(n_theta // BH, n_phi // BW, BH, BW)
     return jnp.moveaxis(v, 1, 2).reshape(n_theta, n_phi)
 
@@ -176,7 +180,25 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     factor = jnp.where(m_max < 0.0, 1.0, factor)
     if alb_lum is None:
         return factor
-    if blocked_resample:
+    n_theta = int(theta.shape[0])
+    if blocked_resample and n_theta % 16 == 0 and n_phi % 128 == 0:
+        # the bounce emitter field is blurred over >= 2-cell scales, so
+        # the albedo resample (the scan's second-largest memory pass) runs
+        # on a half-resolution grid and is upsampled back — heights reuse
+        # the factor scan's own samples at zero extra cost
+        th_h = 0.5 * (theta[0::2, 0] + theta[1::2, 0])[:, None]
+        ph_h = ((2 * np.pi) * (2.0 * jnp.arange(n_phi // 2, dtype=jnp.float32)
+                               [None, :] + phi0 + 1.0) / n_phi_total)
+        st_h, ct_h = jnp.sin(th_h), jnp.cos(th_h)
+        dirs_h = (sun_basis[2][None, None, :] * ct_h[..., None]
+                  + sun_basis[0][None, None, :] * (st_h * jnp.cos(ph_h))[..., None]
+                  + sun_basis[1][None, None, :] * (st_h * jnp.sin(ph_h))[..., None])
+        lat_h, lon_h = unit_to_latlon(dirs_h)
+        row_h, col_h = sampler.latlon_to_rowcol(lat_h, lon_h, h, w)
+        alb_h = _resample_heights_blocked(alb_lum, h, w, row_h, col_h)
+        # nearest upsample (no blur): keeps wedge-sharded scans seam-free
+        alb_s = jnp.repeat(jnp.repeat(alb_h, 2, axis=0), 2, axis=1)
+    elif blocked_resample:
         alb_s = _resample_heights_blocked(alb_lum, h, w, row, col)
     else:
         alb_s = sampler.gather_bilinear(alb_lum, row, col)

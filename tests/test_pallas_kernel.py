@@ -106,3 +106,54 @@ def test_fused_timestep_matches_split_programs(scene):
     assert np.allclose(np.asarray(hit_f), np.asarray(hit_split))
     assert np.allclose(np.asarray(swin_f), np.asarray(swin_p))
     assert np.allclose(np.asarray(scal_f), np.asarray(scal))
+
+
+def test_fused_pose_program_matches_split(scene):
+    """render_pose_pallas (origins + extraction + packing + shadow windows
+    + burst in ONE program, the camera-move hot path) must reproduce the
+    split pipeline."""
+    import jax.numpy as jnp
+
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    max_qexp = min(2, len(scene.mips) - 1 - level,
+                   len(scene.albedo_mips) - 1 - alevel)
+    smap, sparams = scene.shadow_args()
+    jitters = jnp.zeros((1, 2), jnp.float32)
+
+    rgb_f, hit_f, org_f, cache_f, hwin_f, awin_f, swin_f, scal_f = \
+        blocked.render_pose_pallas(
+            tuple(scene.mips[level:level + max_qexp + 1]),
+            tuple(scene.albedo_mips[alevel:alevel + max_qexp + 1]),
+            scene.slope_maps[level:level + max_qexp + 1],
+            smap, sparams, scene._bounce, None, scene.maxmap,
+            scene.basis(), scene._fp, jitters,
+            scene.height, scene.width, h, w, ah, aw, scene.h_min,
+            max_qexp=max_qexp, n_samples=1, use_shadow=True,
+            interpret=True)
+
+    # split pipeline on the same state
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    scene._origins = None  # force the split rebuild
+    scene._ensure_blocked_caches(level, geom)
+    _, swin_s, scal_s = blocked.build_shadow_state_from_maps(
+        smap, sparams, geom, scene._wincache, scene._origins,
+        bmap=scene._bounce)
+    hwin_s, awin_s = blocked.pack_pose_windows(scene._wincache)
+    packed = blocked.PackedWindows(hwin=hwin_s, awin=awin_s,
+                                   swin=swin_s, scal=scal_s)
+    rgb_s, hit_s = blocked.render_accumulate_pallas(
+        packed, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min,
+        ah=ah, aw=aw, n_samples=1, use_shadow=True, interpret=True)
+
+    assert np.array_equal(np.asarray(org_f.r0), np.asarray(scene._origins.r0))
+    assert np.allclose(np.asarray(hwin_f), np.asarray(hwin_s))
+    assert np.allclose(np.asarray(swin_f), np.asarray(swin_s))
+    assert np.allclose(np.asarray(rgb_f), np.asarray(rgb_s))
+    assert np.allclose(np.asarray(hit_f), np.asarray(hit_s))
