@@ -365,8 +365,43 @@ def extract_window_cache(mips, albedo_mips, org: WindowOrigins,
     mips/albedo_mips: tuples of successively-coarser pyramid levels starting
     at the render level; a block with stride q = 2^k reads level index k.
     Quantized pyramids (int16 heights, uint8 albedo) decode through the
-    affine h_scale/h_offset and a_scale — windows are always f32."""
+    affine h_scale/h_offset and a_scale — windows are always f32.
+
+    On TPU, albedo windows come back in the fused kernel's channel-blocked
+    packed layout (ns, GROUP*AWIN_H, 3*AWIN_W) — pack_pose_windows then
+    has zero work to do; elsewhere the (nblk, AWIN_H, AWIN_W, 3) XLA
+    layout is kept (shade_blocks handles both)."""
+    from moonrtx_tpu.ops import extract as extract_ops
+
     qexp = jnp.round(jnp.log2(org.q)).astype(jnp.int32)
+    if (extract_ops._fast_ok() and mips[0].dtype in extract_ops._FAST_DTYPES
+            and albedo_mips[0].ndim == 3
+            and albedo_mips[0].dtype in extract_ops._FAST_DTYPES):
+        def _clamped(levels, r0, c0, wh, ww, qi):
+            hs_ = jnp.asarray([l.shape[0] for l in levels], jnp.int32)
+            ws_ = jnp.asarray([l.shape[1] for l in levels], jnp.int32)
+            return (jnp.maximum(jnp.minimum(r0, jnp.take(hs_, qi) - wh), 0),
+                    jnp.maximum(jnp.minimum(c0, jnp.take(ws_, qi) - ww), 0))
+
+        qi = jnp.clip(qexp, 0, len(mips) - 1)
+        rk, ck = _clamped(mips, org.r0, org.c0, WIN_H, WIN_W, qi)
+        hwin = extract_ops.extract_group_windows_tpu(
+            (tuple(mips),), qi, rk, ck, WIN_H, WIN_W,
+            scales=(h_scale,), offsets=(h_offset,), group=GROUP)
+        hwin = hwin.reshape(-1, GROUP, WIN_H, WIN_W).reshape(
+            -1, WIN_H, WIN_W)
+        aqi = jnp.clip(qexp, 0, len(albedo_mips) - 1)
+        ark, ack = _clamped(albedo_mips, org.ar0, org.ac0,
+                            AWIN_H, AWIN_W, aqi)
+        planes = tuple(tuple(lvl[:, :, ch] for lvl in albedo_mips)
+                       for ch in range(3))
+        awin = extract_ops.extract_group_windows_tpu(
+            planes, aqi, ark, ack, AWIN_H, AWIN_W,
+            scales=(a_scale,) * 3, group=GROUP)
+        hmean = jnp.mean(hwin, axis=(1, 2), keepdims=False)[:, None]
+        return WindowCache(hwin=hwin - hmean[..., None], hmean=hmean,
+                           awin=awin)
+
     hwin = _pick_level_windows(mips, qexp, org.r0, org.c0, WIN_H, WIN_W,
                                scale=h_scale, offset=h_offset)
     awin = _pick_level_windows(albedo_mips, qexp, org.ar0, org.ac0,
@@ -483,7 +518,15 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
     n = jnp.where(jnp.sum(n * p_c, axis=-1, keepdims=True) < 0.0, -n, n)
 
     awy, awx = _local_coords(lat, lon, ah, aw, org.ar0, org.ac0, org.q)
-    albedo = window_bilinear(cache.awin, awy, awx)
+    if cache.awin.ndim == 3:
+        # packed channel-blocked layout (ns, GROUP*AWIN_H, 3*AWIN_W)
+        aw3 = cache.awin.reshape(-1, GROUP, AWIN_H, 3 * AWIN_W).reshape(
+            -1, AWIN_H, 3 * AWIN_W)
+        albedo = jnp.stack(
+            [window_bilinear(aw3[:, :, m * AWIN_W:(m + 1) * AWIN_W],
+                             awy, awx) for m in range(3)], axis=-1)
+    else:
+        albedo = window_bilinear(cache.awin, awy, awx)
     return shade_lambert(albedo, n, p, fp, shadow,
                          sigma=org.sigma[:, None], bounce=bounce)
 
@@ -522,12 +565,42 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
         return m.reshape(m.shape[0] // 2, 2, m.shape[1] // 2, 2).mean(
             axis=(1, 3))
 
-    half = _decimate(shadow_map)
-    quarter = _decimate(half)
     sr0, sc0 = _origin_from_footprint(
         rq, cq, n_phi / sq, SWIN_H, SWIN_W,
         shadow_map.shape[0] / sq, shadow_map.shape[1] / sq)
     sqexp = jnp.round(jnp.log2(sq)).astype(jnp.int32)
+
+    from moonrtx_tpu.ops import extract as extract_ops
+    if extract_ops._fast_ok():
+        # grouped paired extraction straight to the fused kernel's bf16
+        # shadow|bounce layout: GROUP blocks per program, all DMAs issued
+        # before the first wait, both maps sharing origins — replaces two
+        # per-block extraction passes plus a concat plus the pack-time
+        # bf16 cast (the kernel samples swin as bf16 regardless)
+        smap16 = shadow_map.astype(jnp.bfloat16)
+        shalf = _decimate(smap16)
+        slv = (smap16, shalf, _decimate(shalf))
+        qi = jnp.clip(sqexp, 0, 2)
+        hs_ = jnp.asarray([l.shape[0] for l in slv], jnp.int32)
+        ws_ = jnp.asarray([l.shape[1] for l in slv], jnp.int32)
+        rk = jnp.maximum(jnp.minimum(sr0, jnp.take(hs_, qi) - SWIN_H), 0)
+        ck = jnp.maximum(jnp.minimum(sc0, jnp.take(ws_, qi) - SWIN_W), 0)
+        if bounce_map is None:
+            maps = (slv,)
+        else:
+            bmap16 = bounce_map.astype(jnp.bfloat16)
+            bhalf = _decimate(bmap16)
+            maps = (slv, (bmap16, bhalf, _decimate(bhalf)))
+        packed = extract_ops.extract_group_windows_tpu(
+            maps, qi, rk, ck, SWIN_H, SWIN_W, group=GROUP,
+            out_dtype=jnp.bfloat16)
+        swin = packed.reshape(-1, GROUP, SWIN_H,
+                              len(maps) * SWIN_W).reshape(
+            -1, SWIN_H, len(maps) * SWIN_W)
+        return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)
+
+    half = _decimate(shadow_map)
+    quarter = _decimate(half)
     swin = _pick_level_windows((shadow_map, half, quarter), sqexp,
                                sr0, sc0, SWIN_H, SWIN_W)
     if bounce_map is None:
@@ -668,6 +741,9 @@ def pack_pose_windows(cache: WindowCache):
     nblk = cache.hwin.shape[0]
     ns = nblk // GROUP
     hwin = cache.hwin.reshape(ns, GROUP * WIN_H, WIN_W)
+    if cache.awin.ndim == 3:
+        # TPU extraction already emitted the packed channel-blocked layout
+        return hwin + 0.0, cache.awin
     awin = jnp.moveaxis(cache.awin, 3, 2).reshape(nblk, AWIN_H, 3 * AWIN_W)
     awin = awin.reshape(ns, GROUP * AWIN_H, 3 * AWIN_W)
     return hwin + 0.0, awin + 0.0

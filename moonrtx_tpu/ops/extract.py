@@ -187,6 +187,158 @@ def extract_level_windows_tpu(levels, lvl_idx, r0, c0, wh: int, ww: int,
                          scale=scale, offset=offset, interpret=interpret)
 
 
+def _make_group_kernel(n_levels: int, n_maps: int, wh: int, ww: int,
+                       sh: int, sw: int, row_tile: int, group: int,
+                       scales, offsets, out_dtype):
+    def kernel(ra_ref, ca_ref, offr_ref, offc_ref, lvl_ref, *refs):
+        # refs: n_maps*n_levels ANY tex refs, out_ref, scratch, sem array
+        texs = refs[:n_maps * n_levels]
+        out_ref = refs[n_maps * n_levels]
+        scratch = refs[n_maps * n_levels + 1]
+        sems = refs[n_maps * n_levels + 2]
+        pid = pl.program_id(0)
+
+        # issue ALL group*n_maps DMAs before waiting on any: per-copy
+        # latency overlaps instead of serializing per grid iteration (the
+        # one-block-per-program kernel above spends most of its time in
+        # start->wait round trips)
+        for g in range(group):
+            i = pid * group + g
+            ra = pl.multiple_of(ra_ref[i], row_tile)
+            ca = pl.multiple_of(ca_ref[i], COL_TILE)
+            for k in range(n_levels):
+                @pl.when(lvl_ref[i] == k)
+                def _(k=k, g=g, ra=ra, ca=ca):
+                    for m in range(n_maps):
+                        pltpu.make_async_copy(
+                            texs[m * n_levels + k].at[pl.ds(ra, sh),
+                                                      pl.ds(ca, sw)],
+                            scratch.at[m * group + g],
+                            sems.at[m * group + g]).start()
+        for g in range(group):
+            i = pid * group + g
+            ra = pl.multiple_of(ra_ref[i], row_tile)
+            ca = pl.multiple_of(ca_ref[i], COL_TILE)
+            for m in range(n_maps):
+                # wait descriptor: same dst/sem (and byte count) as the
+                # one copy that fired for this (g, m); source level is
+                # irrelevant to the wait
+                pltpu.make_async_copy(
+                    texs[m * n_levels].at[pl.ds(ra, sh), pl.ds(ca, sw)],
+                    scratch.at[m * group + g],
+                    sems.at[m * group + g]).wait()
+
+        for g in range(group):
+            i = pid * group + g
+            offr = offr_ref[i]
+            offc = offc_ref[i]
+            jr = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 0)
+            ir = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 1)
+            rone = jnp.where(jr == offr + ir, 1.0, 0.0).astype(jnp.float32)
+            jc = jax.lax.broadcasted_iota(jnp.int32, (sw, ww), 0)
+            ic = jax.lax.broadcasted_iota(jnp.int32, (sw, ww), 1)
+            cone = jnp.where(jc == offc + ic, 1.0, 0.0).astype(jnp.float32)
+            outs = []
+            for m in range(n_maps):
+                slab = scratch[m * group + g]
+                if slab.dtype == jnp.uint8:
+                    slab = slab.astype(jnp.int16)
+                mix = jax.lax.dot_general(
+                    slab.astype(jnp.float32), rone, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (sw, wh)
+                out = jax.lax.dot_general(
+                    mix, cone, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # (wh, ww)
+                if scales[m] != 1.0:
+                    out = out * jnp.float32(scales[m])
+                if offsets[m] != 0.0:
+                    out = out + jnp.float32(offsets[m])
+                outs.append(out.astype(out_dtype))
+            # one full-lane-extent store per block (lane-offset stores are
+            # a Mosaic relayout hazard)
+            row = outs[0] if n_maps == 1 else jnp.concatenate(outs, axis=1)
+            out_ref[0, pl.ds(g * wh, wh), :] = row
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wh", "ww", "scales", "offsets", "group", "out_dtype", "interpret"))
+def _extract_group_impl(map_levels, lvl_idx, r0, c0, wh: int, ww: int,
+                        scales, offsets, group: int, out_dtype,
+                        interpret: bool = False):
+    n_maps = len(map_levels)
+    n_levels = len(map_levels[0])
+    nblk = r0.shape[0]
+    dtype = map_levels[0][0].dtype
+    row_tile = _row_tile(dtype)
+    sh = _round_up(wh + row_tile - 1, row_tile)
+    sw = _round_up(ww + COL_TILE - 1, COL_TILE)
+    padded = []
+    for levels in map_levels:
+        for lvl in levels:
+            h, w = lvl.shape
+            hp = _round_up(max(h, sh), row_tile) + row_tile
+            wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
+            padded.append(jnp.pad(lvl, ((0, hp - h), (0, wp - w))))
+
+    r0 = r0.astype(jnp.int32)
+    c0 = c0.astype(jnp.int32)
+    ra = (r0 // row_tile) * row_tile
+    ca = (c0 // COL_TILE) * COL_TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nblk // group,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_maps * n_levels),
+        out_specs=pl.BlockSpec((1, group * wh, n_maps * ww),
+                               lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((n_maps * group, sh, sw), dtype),
+                        pltpu.SemaphoreType.DMA((n_maps * group,))],
+    )
+    out = pl.pallas_call(
+        _make_group_kernel(n_levels, n_maps, wh, ww, sh, sw, row_tile,
+                           group, scales, offsets, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nblk // group, group * wh, n_maps * ww), out_dtype),
+        interpret=interpret,
+    )(ra, ca, r0 - ra, c0 - ca, lvl_idx.astype(jnp.int32), *padded)
+    return out
+
+
+def extract_group_windows_tpu(map_levels, lvl_idx, r0, c0, wh: int, ww: int,
+                              scales=None, offsets=None, group: int = 8,
+                              out_dtype=jnp.float32, interpret: bool = False):
+    """Grouped multi-map per-block window extraction (the fast path for
+    per-time-step shadow|bounce windows and per-pose height/albedo caches).
+
+    map_levels: tuple of maps, each a tuple of n_levels same-dtype 2-D
+    pyramid levels; all maps share lvl_idx/r0/c0 (block origins in the
+    block's own level coordinates, pre-clamped to [0, H_k-wh]x[0, W_k-ww]).
+
+    Returns (nblk // group, group*wh, n_maps*ww): `group` consecutive
+    blocks stacked along rows (the fused render kernel's packed layout —
+    group=engine.blocked.GROUP means zero repacking), map m in columns
+    [m*ww, (m+1)*ww). Per-map affine decode via scales/offsets; output cast
+    to out_dtype (bf16 for the shadow|bounce pack).
+
+    vs extract_level_windows_tpu: one program handles `group` blocks and
+    ALL maps, issuing every DMA before the first wait — per-copy latency
+    overlaps instead of serializing across nblk grid iterations.
+    """
+    n_maps = len(map_levels)
+    if scales is None:
+        scales = (1.0,) * n_maps
+    if offsets is None:
+        offsets = (0.0,) * n_maps
+    return _extract_group_impl(
+        tuple(tuple(l) for l in map_levels), lvl_idx, r0, c0, wh, ww,
+        tuple(scales), tuple(offsets), group, out_dtype, interpret)
+
+
 def _fast_ok() -> bool:
     # evaluated per call (cheap at trace time): a process that mixes
     # backends must not pin the first backend it saw forever

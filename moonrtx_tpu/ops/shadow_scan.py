@@ -115,8 +115,18 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
     c0 = jnp.clip((c_mid - WW_ * 0.5).astype(jnp.int32), 0,
                   tex.shape[1] - WW_)
     from moonrtx_tpu.ops import extract as extract_ops
-    wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_,
-                                       scale=scale, offset=offset)
+    if (extract_ops._fast_ok() and nb % 8 == 0
+            and tex.dtype in extract_ops._FAST_DTYPES):
+        # grouped extraction: 8 blocks per program with overlapped DMAs
+        # (the one-block-per-program path serializes a DMA start->wait
+        # round trip per block — launch latency, not bandwidth, bound)
+        wins = extract_ops.extract_group_windows_tpu(
+            ((tex,),), jnp.zeros((nb,), jnp.int32), r0, c0, WH_, WW_,
+            scales=(scale,), offsets=(offset,), group=8)
+        wins = wins.reshape(nb // 8, 8, WH_, WW_).reshape(nb, WH_, WW_)
+    else:
+        wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_,
+                                           scale=scale, offset=offset)
     mean = jnp.mean(wins, axis=(1, 2))[:, None]
     # mean-centered residuals survive a bf16 row-mix (the call's multi-GB
     # intermediate at fine-band shapes) with ~4e-3 relative error on

@@ -89,6 +89,82 @@ def test_extract_quantized_uint8_decodes():
     assert np.allclose(got, ref, atol=1e-7)
 
 
+def test_extract_group_windows_paired_levels():
+    """Grouped multi-map extraction (the fused shadow|bounce and pose-cache
+    path): per-block level select, shared origins across maps, packed
+    row-stacked layout, per-map affine decode, bf16 output cast."""
+    from moonrtx_tpu.ops.extract import extract_group_windows_tpu
+
+    rng = np.random.default_rng(7)
+    shapes = ((128, 260), (64, 130), (32, 65))
+    maps = tuple(
+        tuple(jnp.asarray(rng.random((h, w)).astype(np.float32))
+              for h, w in shapes)
+        for _ in range(2))
+    group, nblk, wh, ww = 4, 16, 8, 24
+    lvl = jnp.asarray(rng.integers(0, 3, nblk).astype(np.int32))
+    r0 = np.zeros(nblk, np.int32)
+    c0 = np.zeros(nblk, np.int32)
+    for b in range(nblk):
+        k = int(lvl[b])
+        r0[b] = rng.integers(0, shapes[k][0] - wh)
+        c0[b] = rng.integers(0, shapes[k][1] - ww)
+    got = np.asarray(extract_group_windows_tpu(
+        maps, lvl, jnp.asarray(r0), jnp.asarray(c0), wh, ww,
+        scales=(1.0, 2.0), offsets=(0.0, -0.5), group=group,
+        interpret=True))
+    assert got.shape == (nblk // group, group * wh, 2 * ww)
+    flat = got.reshape(nblk // group, group, wh, 2 * ww).reshape(
+        nblk, wh, 2 * ww)
+    for b in range(nblk):
+        k = int(lvl[b])
+        for m, (sc, of) in enumerate(((1.0, 0.0), (2.0, -0.5))):
+            ref = (np.asarray(maps[m][k])[r0[b]:r0[b] + wh,
+                                          c0[b]:c0[b] + ww] * sc + of)
+            assert np.allclose(flat[b, :, m * ww:(m + 1) * ww], ref,
+                               atol=1e-6), (b, m)
+
+
+def test_extract_group_windows_bf16_out():
+    from moonrtx_tpu.ops.extract import extract_group_windows_tpu
+
+    rng = np.random.default_rng(8)
+    tex = jnp.asarray(rng.random((64, 200)).astype(np.float32))
+    nblk, wh, ww = 8, 16, 32
+    r0 = jnp.asarray(rng.integers(0, 64 - wh, nblk).astype(np.int32))
+    c0 = jnp.asarray(rng.integers(0, 200 - ww, nblk).astype(np.int32))
+    got = np.asarray(extract_group_windows_tpu(
+        ((tex,),), jnp.zeros((nblk,), jnp.int32), r0, c0, wh, ww,
+        group=8, out_dtype=jnp.bfloat16, interpret=True))
+    assert got.dtype == jnp.bfloat16
+    ref = np.asarray(sampler.extract_windows(tex, r0, c0, wh, ww))
+    flat = got.astype(np.float32).reshape(1, 8, wh, ww).reshape(
+        nblk, wh, ww)
+    assert np.allclose(flat, ref, atol=4e-3)
+
+
+def test_extract_group_windows_uint8_planes():
+    """3 uint8 channel planes sharing origins (the pose albedo cache)."""
+    from moonrtx_tpu.ops.extract import extract_group_windows_tpu
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, (96, 140, 3)).astype(np.uint8)
+    planes = tuple((jnp.asarray(raw[:, :, ch]),) for ch in range(3))
+    nblk, wh, ww = 8, 8, 16
+    r0 = jnp.asarray(rng.integers(0, 96 - wh, nblk).astype(np.int32))
+    c0 = jnp.asarray(rng.integers(0, 140 - ww, nblk).astype(np.int32))
+    got = np.asarray(extract_group_windows_tpu(
+        planes, jnp.zeros((nblk,), jnp.int32), r0, c0, wh, ww,
+        scales=(1 / 255.0,) * 3, group=8, interpret=True))
+    flat = got.reshape(1, 8, wh, 3 * ww).reshape(nblk, wh, 3 * ww)
+    for b in range(nblk):
+        for ch in range(3):
+            ref = raw[int(r0[b]):int(r0[b]) + wh,
+                      int(c0[b]):int(c0[b]) + ww, ch] / 255.0
+            assert np.allclose(flat[b, :, ch * ww:(ch + 1) * ww], ref,
+                               atol=1e-6)
+
+
 def test_extract_level_windows_matches_blend():
     """In-kernel per-block level selection == the XLA per-level blend."""
     from moonrtx_tpu.ops.extract import extract_level_windows_tpu
@@ -112,3 +188,29 @@ def test_extract_level_windows_matches_blend():
         ref = np.asarray(levels[k])[int(r0[b]):int(r0[b]) + wh,
                                     int(c0[b]):int(c0[b]) + ww]
         assert np.array_equal(got[b], ref), b
+
+
+def test_scan_resample_grouped_matches_fallback(monkeypatch):
+    """shadow_scan._resample_heights_blocked: grouped fast path (forced on,
+    interpret mode) == ungrouped XLA fallback."""
+    import moonrtx_tpu.ops.extract as extract_ops
+    from moonrtx_tpu.ops import shadow_scan
+
+    rng = np.random.default_rng(11)
+    h, w = 128, 256
+    tex = jnp.asarray(rng.random((h, w + 4)).astype(np.float32))
+    n_theta, n_phi = 32, 256
+    row = jnp.asarray(
+        rng.uniform(0, h - 1, (n_theta, n_phi)).astype(np.float32))
+    col = jnp.asarray(
+        rng.uniform(0, w - 1, (n_theta, n_phi)).astype(np.float32))
+    ref = np.asarray(shadow_scan._resample_heights_blocked(
+        tex, h, w, row, col))
+    orig_group = extract_ops.extract_group_windows_tpu
+    monkeypatch.setattr(extract_ops, "_fast_ok", lambda: True)
+    monkeypatch.setattr(
+        extract_ops, "extract_group_windows_tpu",
+        lambda *a, **k: orig_group(*a, **{**k, "interpret": True}))
+    got = np.asarray(shadow_scan._resample_heights_blocked(
+        tex, h, w, row, col))
+    assert np.allclose(got, ref, atol=1e-5)

@@ -157,3 +157,102 @@ def test_fused_pose_program_matches_split(scene):
     assert np.allclose(np.asarray(swin_f), np.asarray(swin_s))
     assert np.allclose(np.asarray(rgb_f), np.asarray(rgb_s))
     assert np.allclose(np.asarray(hit_f), np.asarray(hit_s))
+
+
+def test_grouped_fastpath_matches_xla_caches(scene, monkeypatch):
+    """The TPU grouped-extraction fast path (packed channel-blocked awin,
+    bf16 paired shadow|bounce windows) must reproduce the XLA cache path.
+    Forced on here with the kernels in interpret mode."""
+    from moonrtx_tpu.ops import extract as extract_ops
+
+    orig_group = extract_ops.extract_group_windows_tpu
+    monkeypatch.setattr(
+        extract_ops, "extract_group_windows_tpu",
+        lambda *a, **k: orig_group(*a, **{**k, "interpret": True}))
+
+    def _set_fast(v):
+        # _fast_ok is a trace-time branch inside jitted cache builders;
+        # drop their traces so the flip is actually observed
+        monkeypatch.setattr(extract_ops, "_fast_ok", lambda: v)
+        blocked.extract_window_cache.clear_cache()
+        blocked.build_shadow_windows.clear_cache()
+
+    _set_fast(True)
+
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    max_qexp = min(2, len(scene.mips) - 1 - level,
+                   len(scene.albedo_mips) - 1 - alevel)
+    mips = tuple(scene.mips[level:level + max_qexp + 1])
+    amips = tuple(scene.albedo_mips[alevel:alevel + max_qexp + 1])
+    org = blocked.window_origins(geom, h, w, mips[0].shape[1], ah, aw,
+                                 amips[0].shape[1], max_qexp=max_qexp,
+                                 slope_maps=scene.slope_maps[
+                                     level:level + max_qexp + 1])
+    cache_fast = blocked.extract_window_cache(
+        mips, amips, org, h_scale=scene.h_scale, h_offset=scene.h_offset,
+        a_scale=scene.a_scale)
+    _set_fast(False)
+    cache_ref = blocked.extract_window_cache(
+        mips, amips, org, h_scale=scene.h_scale, h_offset=scene.h_offset,
+        a_scale=scene.a_scale)
+    _set_fast(True)
+
+    assert np.allclose(np.asarray(cache_fast.hwin),
+                       np.asarray(cache_ref.hwin), atol=1e-6)
+    assert np.allclose(np.asarray(cache_fast.hmean),
+                       np.asarray(cache_ref.hmean), atol=1e-6)
+    # packed channel-blocked awin == moveaxis-packed XLA awin
+    assert cache_fast.awin.ndim == 3
+    hp_f, ap_f = blocked.pack_pose_windows(cache_fast)
+    hp_r, ap_r = blocked.pack_pose_windows(cache_ref)
+    assert np.allclose(np.asarray(ap_f), np.asarray(ap_r), atol=1e-6)
+    assert np.allclose(np.asarray(hp_f), np.asarray(hp_r), atol=1e-6)
+
+    # paired bf16 shadow|bounce windows == XLA f32 windows (bf16 quantum)
+    smap, sparams = scene.shadow_args()
+    sw_fast = blocked.build_shadow_windows(smap, sparams, geom,
+                                           bounce_map=scene._bounce)
+    _set_fast(False)
+    sw_ref = blocked.build_shadow_windows(smap, sparams, geom,
+                                          bounce_map=scene._bounce)
+    _set_fast(True)
+    assert sw_fast.swin.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(sw_fast.sr0), np.asarray(sw_ref.sr0))
+    assert np.allclose(np.asarray(sw_fast.swin).astype(np.float32),
+                       np.asarray(sw_ref.swin), atol=5e-3)
+
+    # the packed tensors drive the fused kernel to the same image
+    swp_f, scal_f = blocked._pack_sun_parts(cache_fast, org, sw_fast)
+    packed_f = blocked.PackedWindows(hwin=hp_f, awin=ap_f, swin=swp_f,
+                                     scal=scal_f)
+    swp_r, scal_r = blocked._pack_sun_parts(cache_ref, org, sw_ref)
+    packed_r = blocked.PackedWindows(hwin=hp_r, awin=ap_r, swin=swp_r,
+                                     scal=scal_r)
+    jitters = jnp.zeros((1, 2), jnp.float32)
+    rgb_f, hit_f = blocked.render_accumulate_pallas(
+        packed_f, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min,
+        ah=ah, aw=aw, n_samples=1, use_shadow=True, interpret=True)
+    rgb_r, hit_r = blocked.render_accumulate_pallas(
+        packed_r, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min,
+        ah=ah, aw=aw, n_samples=1, use_shadow=True, interpret=True)
+    assert np.allclose(np.asarray(hit_f), np.asarray(hit_r), atol=1e-5)
+    assert np.abs(np.asarray(rgb_f) - np.asarray(rgb_r)).max() < 2e-2
+
+    # shade_blocks handles the packed awin layout (blocked-XLA on TPU)
+    hit, t_hit, lat, lon, p = blocked.march_blocks(
+        cache_fast, org, geom, h, w, jnp.float32(0.0))
+    shadow = jnp.ones_like(t_hit)
+    rgb_b_f = blocked.shade_blocks(cache_fast, org, h, w, ah, aw, lat, lon,
+                                   p, scene._fp, shadow)
+    rgb_b_r = blocked.shade_blocks(cache_ref, org, h, w, ah, aw, lat, lon,
+                                   p, scene._fp, shadow)
+    assert np.allclose(np.asarray(rgb_b_f), np.asarray(rgb_b_r), atol=1e-4)
