@@ -129,8 +129,11 @@ def main():
         sync()
     latency_ms = (time.time() - t0) / reps * 1000.0
 
-    # interactive time step (Q/W): ephemeris + shadow/bounce map rebuild +
-    # window/pack rebuild + one-sample frame, synced
+    # interactive time step (Q/W): ephemeris + shadow map rebuild +
+    # window/pack rebuild + one-sample frame, synced. The bounce
+    # (indirect-light) map drift-reuses across small steps
+    # (engine/scene.py BOUNCE_REUSE_DEG), so a held-key animation step
+    # and the periodic full rebuild are reported separately.
     from datetime import timedelta
     steps = []
     for _ in range(3):
@@ -140,6 +143,19 @@ def main():
         sync()
         steps.append(time.time() - t0)
     time_step_ms = sorted(steps)[1] * 1000.0
+
+    # periodic full-rebuild step (every ~4th held-key step): same 15-min
+    # step but with the bounce drift threshold tripped, so the bounce
+    # pyramid program runs too
+    rebuilds = []
+    for _ in range(2):
+        scene._bounce_basis = None  # trip the drift threshold
+        t0 = time.time()
+        scene.update_view(scene.dt_local + timedelta(minutes=15))
+        scene.render_accumulation_burst(1)
+        sync()
+        rebuilds.append(time.time() - t0)
+    time_step_rebuild_ms = min(rebuilds) * 1000.0
 
     # without exact shadows
     scene.shadows_on = False
@@ -164,6 +180,7 @@ def main():
         "frame_time_no_shadows_ms": round(dt_fast * 1000.0, 2),
         "fresh_frame_latency_ms": round(latency_ms, 1),
         "time_step_latency_ms": round(time_step_ms, 1),
+        "time_step_rebuild_ms": round(time_step_rebuild_ms, 1),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

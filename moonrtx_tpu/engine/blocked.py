@@ -91,6 +91,13 @@ class RayGeom(NamedTuple):
     t_end: jnp.ndarray     # (NBLK, B)
     hit_outer: jnp.ndarray # (NBLK, B) bool
     dirs_scene: jnp.ndarray  # (H, W, 3) for the background/sun-disk pass
+    # per-block local max-height bound the chords were clipped against
+    # (from the maxmap sampling, or passed in pre-computed). Nearly
+    # pose-local: the maxmap's 3x3 dilation over ~4 deg cells keeps a
+    # cached bound conservative across time-step rotations, which
+    # invalidate the window caches (and this) after ~0.25 deg anyway —
+    # reusing it removes a 1.5M-index gather from every time step.
+    h_bound: Optional[jnp.ndarray] = None
 
 
 class WindowOrigins(NamedTuple):
@@ -218,7 +225,8 @@ def block_rays(basis: CameraBasis, rotation, jitter,
     t_enter = jnp.where(hit_out, t_enter, mean_enter)
     t_end = jnp.where(hit_out, t_end, mean_enter)
     return RayGeom(db=db, ob=ob, t_enter=t_enter, t_end=t_end,
-                   hit_outer=hit_out, dirs_scene=dirs_scene)
+                   hit_outer=hit_out, dirs_scene=dirs_scene,
+                   h_bound=h_bound)
 
 
 def _footprint(rows, cols, wrap_w):
@@ -873,7 +881,7 @@ def render_accumulate_pallas(packed: PackedWindows,
                              aw: Optional[int] = None,
                              n_samples: int = 8, n_coarse: int = 12,
                              use_shadow: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False, hbound=None):
     """N jittered accumulation samples in ONE device program: per sample,
     jittered ray generation -> fused Pallas march+shade -> running mean.
     Returns (rgb_mean, hitbuf of sample 0).
@@ -888,14 +896,15 @@ def render_accumulate_pallas(packed: PackedWindows,
                        jitters, height, width, h, w, h_min,
                        ah if ah is not None else h,
                        aw if aw is not None else w,
-                       n_samples, n_coarse, use_shadow, interpret)
+                       n_samples, n_coarse, use_shadow, interpret,
+                       hbound=hbound)
 
 
 def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
                 basis: CameraBasis, fp: FrameParams, jitters,
                 height: int, width: int, h: int, w: int, h_min: float,
                 ah: int, aw: int, n_samples: int, n_coarse: int,
-                use_shadow: bool, interpret: bool = False):
+                use_shadow: bool, interpret: bool = False, hbound=None):
     from moonrtx_tpu.ops import pallas_march as pk
 
     ob = mat3t_apply(fp.rotation, basis.eye)
@@ -903,26 +912,13 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
                             2.0 * basis.tan_half_fov / height, ah, aw)
 
     geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
-                       h_min, maxmap=maxmap)
+                       h_min, maxmap=maxmap, h_bound=hbound)
     nblk = geom0.db.shape[0]
     ns = nblk // GROUP
-    # recover the per-block bound from geom0's tightened chords is not
-    # possible; recompute it once here for reuse across samples
-    h_bound = None
-    if maxmap is not None:
-        mh, mw = maxmap.shape
-        step = max(geom0.db.shape[1] // 16, 1)
-        fr = jnp.linspace(0.0, 1.0, 6, dtype=jnp.float32)
-        t_s = (geom0.t_enter[:, ::step][..., None]
-               + (geom0.t_end - geom0.t_enter)[:, ::step][..., None] * fr)
-        p_s = geom0.ob + t_s[..., None] * geom0.db[:, ::step][..., None, :]
-        lat_s, lon_s = unit_to_latlon(p_s)
-        rows = jnp.clip(((90.0 - lat_s) / 180.0 * mh).astype(jnp.int32),
-                        0, mh - 1)
-        cols = jnp.clip((((lon_s + 180.0) % 360.0) / 360.0 * mw
-                         ).astype(jnp.int32), 0, mw - 1)
-        hs = jnp.take(maxmap.reshape(-1), rows * mw + cols)
-        h_bound = jnp.max(hs.reshape(nblk, -1), axis=-1) + 3e-4
+    # per-block bound for the jittered samples: block_rays keeps the one
+    # it clipped geom0 against (computed from the maxmap, or the cached
+    # pose-local bound passed in — see RayGeom.h_bound)
+    h_bound = geom0.h_bound
 
     def run_kernel(geom):
         dbx = geom.db[..., 0].reshape(ns, GROUP, BLOCK)
@@ -1032,8 +1028,10 @@ def render_pose_pallas(mips, albedo_mips, slope_maps, smap, smap_params,
     rgb, hitbuf = _burst_core(packed, smap_params, background, maxmap,
                               basis, fp, jitters, height, width, h, w,
                               h_min, ah, aw, n_samples, n_coarse,
-                              use_shadow, interpret)
-    return rgb, hitbuf, org, cache, hwin_p, awin_p, swin_p, scal
+                              use_shadow, interpret,
+                              hbound=geom0.h_bound)
+    return (rgb, hitbuf, org, cache, hwin_p, awin_p, swin_p, scal,
+            geom0.h_bound)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1046,7 +1044,7 @@ def render_timestep_pallas(smap, smap_params, bmap,
                            height: int, width: int, h: int, w: int,
                            h_min: float, ah: int, aw: int,
                            n_samples: int = 8, n_coarse: int = 12,
-                           interpret: bool = False):
+                           interpret: bool = False, hbound=None):
     """The time-step (Q/W) hot path in ONE device program: shadow/bounce
     windows from the freshly-scanned maps + sun-side repack + the full
     accumulation burst. The maps (shadow_scan) stay separate programs —
@@ -1057,14 +1055,71 @@ def render_timestep_pallas(smap, smap_params, bmap,
 
     Returns (rgb_mean, hitbuf, swin_packed, scal) so the caller can cache
     the sun-side pack for subsequent pose-stable frames.
+
+    hbound: cached pose-local per-block chord bound (RayGeom.h_bound) —
+    skips the maxmap gather inside ray setup when supplied.
     """
     geom0 = block_rays(basis, fp.rotation, jitters[0], height, width,
-                       h_min, maxmap=maxmap)
+                       h_min, maxmap=maxmap, h_bound=hbound)
     sw = build_shadow_windows(smap, smap_params, geom0, bounce_map=bmap)
     swin_p, scal = _pack_sun_parts(cache, org, sw)
     packed = PackedWindows(hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
     rgb, hitbuf = _burst_core(packed, smap_params, background, maxmap,
                               basis, fp, jitters, height, width, h, w,
                               h_min, ah, aw, n_samples, n_coarse, True,
-                              interpret)
+                              interpret, hbound=geom0.h_bound)
     return rgb, hitbuf, swin_p, scal
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "h", "w", "ah", "aw", "sh", "sw",
+    "n_coarse_scan", "n_fine", "n_phi", "n_samples", "n_coarse",
+    "h_scale", "h_offset", "interpret"))
+def render_timestep_scan_pallas(stex, bmap, sun_basis, sun_ang_radius,
+                                cache: WindowCache, org: WindowOrigins,
+                                hwin_p, awin_p, background, maxmap,
+                                basis: CameraBasis, fp: FrameParams, jitters,
+                                height: int, width: int, h: int, w: int,
+                                h_min: float, ah: int, aw: int,
+                                sh: int, sw: int,
+                                n_coarse_scan: int, n_fine: int, n_phi: int,
+                                n_samples: int = 1, n_coarse: int = 12,
+                                h_scale: float = 1.0, h_offset: float = 0.0,
+                                interpret: bool = False, hbound=None):
+    """The drift-reuse time step (the common held-key Q/W step) in ONE
+    device program: sun-frame shadow scan (factor only — the bounce map is
+    the drift-reused cache, engine/scene.py BOUNCE_REUSE_DEG) + shadow/
+    bounce windows + sun-side repack + the burst. One dispatch instead of
+    two, which matters at ~20 ms of launch latency per program through the
+    tunnel.
+
+    The scan output feeds the GROUPED Pallas window extraction — a single
+    opaque operand — so this fusion avoids the XLA buffer-analysis blowup
+    that forbids fusing the scan with the ~16k-slice XLA window path or
+    with the bounce pyramid (docs/PERF.md). Bounce-rebuild steps take the
+    split-program path (shadow_scan.build_shadow_and_bounce +
+    render_timestep_pallas).
+
+    stex: the shadow-level heightfield mip; (sh, sw) its unpadded shape.
+    Returns (rgb_mean, hitbuf, swin_packed, scal, smap) — smap so the
+    caller can cache it for pose-change reuse.
+    """
+    from moonrtx_tpu.ops import shadow_scan
+
+    factor = shadow_scan.scan_wedge(
+        stex, sun_basis, sun_ang_radius, sh, sw,
+        n_coarse_scan, n_fine, n_phi, 0, n_phi, blocked_resample=True,
+        h_scale=h_scale, h_offset=h_offset)
+    smap = jnp.concatenate([factor, factor[:, :shadow_scan.PHI_PAD]],
+                           axis=1)
+    smap_params = shadow_scan.ShadowMapParams(
+        axis_x=sun_basis[0], axis_y=sun_basis[1], axis_z=sun_basis[2],
+        n_coarse=jnp.float32(n_coarse_scan), n_fine=jnp.float32(n_fine),
+        n_phi=jnp.float32(n_phi),
+        sun_ang_radius=jnp.asarray(sun_ang_radius, jnp.float32))
+    rgb, hitbuf, swin_p, scal = render_timestep_pallas.__wrapped__(
+        smap, smap_params, bmap, cache, org, hwin_p, awin_p, background,
+        maxmap, basis, fp, jitters, height, width, h, w, h_min, ah, aw,
+        n_samples=n_samples, n_coarse=n_coarse, interpret=interpret,
+        hbound=hbound)
+    return rgb, hitbuf, swin_p, scal, smap

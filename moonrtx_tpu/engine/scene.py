@@ -55,6 +55,31 @@ SHADOW_MAX_TEXELS = 20 * 1024 * 1024
 # quantizing; finer entries alias it (zero extra HBM).
 ALB_MAX_W = 16384
 
+# One-bounce irradiance maps are reused across time steps while the
+# sun-frame rotation since their build stays under this angle. The field's
+# own blur scale is >= 2 scan cells (~0.1-0.2 deg of arc), so drifts below
+# the threshold are inside its intrinsic resolution; a 15-min Q/W step
+# moves the sun ~0.13 deg, so held-key animation rebuilds the bounce about
+# every 4th step and the shadow factor map (the exact-terminator feature)
+# every step.
+BOUNCE_REUSE_DEG = 0.5
+
+
+def _sun_frame_basis_np(sun_unit: np.ndarray) -> np.ndarray:
+    """Host mirror of ops.shadow_scan.sun_frame_basis (rows = x, y, z)."""
+    z = sun_unit / np.linalg.norm(sun_unit)
+    helper = (np.array([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9
+              else np.array([1.0, 0.0, 0.0]))
+    x = np.cross(helper, z)
+    x = x / np.linalg.norm(x)
+    return np.stack([x, np.cross(z, x), z])
+
+
+def _rotation_angle_deg(a: np.ndarray, b: np.ndarray) -> float:
+    """Angle of the relative rotation between two orthonormal bases."""
+    cosang = (np.trace(a @ b.T) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+
 
 def default_camera() -> Camera:
     """Ephemeris-independent default view (reference moon_renderer.py:190-198)."""
@@ -209,11 +234,14 @@ class MoonScene:
         self._background = None
         self._shadow = None          # (shadow_map, params) or None
         self._bounce = None          # one-bounce irradiance map or None
+        self._bounce_basis = None    # sun-frame basis the bounce was built in
+        self._bounce_key = None      # (level, accuracy) of the cached bounce
         self._shadow_dirty = True
         self.indirect_light = bool(getattr(config, "indirect_light", True))
         self._alb_lum = {}           # level -> albedo-luminance map (cached)
         # blocked-backend caches
         self._origins = None         # WindowOrigins (per pose+level+rotation)
+        self._hbound = None          # per-block chord bound (pose-local)
         self._wincache = None        # WindowCache
         self._shadowwin = None       # ShadowWindows
         self._packed = None          # PackedWindows (pallas kernel layout)
@@ -267,6 +295,7 @@ class MoonScene:
                 self._origins = None
         if self._origins is None:
             self._window_drift = 0.0
+            self._hbound = None  # chord bound drifts with the rotation too
         self._shadowwin = None  # sun-frame coordinates always move
         self.reset_accumulation()
         return e
@@ -283,6 +312,7 @@ class MoonScene:
         self._basis = None
         self._background = None
         self._origins = None
+        self._hbound = None
         self.reset_accumulation()
 
     def set_view_orientation(self, orientation: str) -> None:
@@ -290,6 +320,7 @@ class MoonScene:
         self._basis = None
         self._background = None
         self._origins = None
+        self._hbound = None
         self.reset_accumulation()
 
     def reset_accumulation(self) -> None:
@@ -355,6 +386,15 @@ class MoonScene:
             self._alb_lum[level] = m
         return self._alb_lum[level]
 
+    def _sun_state(self) -> tuple[np.ndarray, float]:
+        """(unit sun direction in the body frame, solar angular radius),
+        computed on host — reading _fp fields back from the device would
+        stall the async dispatch pipeline mid-step."""
+        sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
+            light_mod.calculate_light_pos(self.ephem))
+        ang = math.asin(C.SUN_RADIUS_KM / self.ephem.sun_distance)
+        return sun_body / np.linalg.norm(sun_body), ang
+
     def shadow_args(self):
         """Current (shadow_map, params), rebuilt lazily on time change
         (with the one-bounce irradiance map into self._bounce)."""
@@ -365,24 +405,49 @@ class MoonScene:
             level = self.shadow_level()
             tex = self.mips[level]
             h, w = self.mip_shapes[level]
-            sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
-                light_mod.calculate_light_pos(self.ephem))
-            sun = jnp.asarray(sun_body / np.linalg.norm(sun_body), jnp.float32)
-            # host-side recompute — reading _fp.sun_ang_radius back from
-            # the device would stall the async dispatch pipeline mid-step
-            ang = math.asin(C.SUN_RADIUS_KM / self.ephem.sun_distance)
+            sun_unit, ang = self._sun_state()
+            sun = jnp.asarray(sun_unit, jnp.float32)
             acc = self.shadow_accuracy if self.shadows_on else 1
             if self.indirect_light:
-                smap, params, bmap = shadow_scan.build_shadow_and_bounce(
-                    tex, self.alb_lum(level), h, w, sun, ang, accuracy=acc,
-                    h_scale=self.h_scale, h_offset=self.h_offset)
-                self._shadow = (smap, params)
-                self._bounce = bmap
+                # The bounce (indirect-light) field is blurred over >= 2
+                # scan cells (~0.1-0.2 deg of arc), so sun drifts well
+                # inside that scale cannot change it perceptibly — reuse
+                # the cached map across small time steps (Q/W held-key
+                # animation) and rebuild only once the accumulated
+                # sun-frame rotation since its build exceeds the
+                # threshold. The shadow factor map always rebuilds: the
+                # terminator's motion IS the feature (reference
+                # moon_renderer.py:62-76). Drift is measured against the
+                # basis at BUILD time, so repeated small steps accumulate
+                # and force an exact rebuild; any jump (date dialog,
+                # "now") exceeds the threshold immediately.
+                basis_np = _sun_frame_basis_np(sun_unit)
+                reuse = (
+                    self._bounce is not None
+                    and self._bounce_basis is not None
+                    and self._bounce_key == (level, acc)
+                    and _rotation_angle_deg(basis_np, self._bounce_basis)
+                    <= BOUNCE_REUSE_DEG)
+                if reuse:
+                    self._shadow = shadow_scan.build_shadow_map(
+                        tex, h, w, sun, ang, accuracy=acc,
+                        h_scale=self.h_scale, h_offset=self.h_offset)
+                else:
+                    smap, params, bmap = shadow_scan.build_shadow_and_bounce(
+                        tex, self.alb_lum(level), h, w, sun, ang,
+                        accuracy=acc,
+                        h_scale=self.h_scale, h_offset=self.h_offset)
+                    self._shadow = (smap, params)
+                    self._bounce = bmap
+                    self._bounce_basis = basis_np
+                    self._bounce_key = (level, acc)
             else:
                 self._shadow = shadow_scan.build_shadow_map(
                     tex, h, w, sun, ang, accuracy=acc,
                     h_scale=self.h_scale, h_offset=self.h_offset)
                 self._bounce = None
+                self._bounce_basis = None
+                self._bounce_key = None
             self._shadow_dirty = False
         return self._shadow
 
@@ -409,6 +474,11 @@ class MoonScene:
             self._cache_level = level
             self._shadowwin = None
             self._packed = None
+        if geom.h_bound is not None:
+            # pose-local chord bound: reused by every burst/time step until
+            # the window-drift policy invalidates the origins (blocked.
+            # RayGeom.h_bound)
+            self._hbound = geom.h_bound
         if (self._shadowwin is blocked.FUSED_SHADOW_STATE
                 and self.backend != "pallas"):
             self._shadowwin = None  # sentinel is meaningless off-pallas
@@ -441,6 +511,48 @@ class MoonScene:
                 self._wincache, self._origins,
                 self._shadowwin if self.shadows_on else None)
         return alevel
+
+    def _merged_timestep(self, jitters, n_samples: int, h: int, w: int,
+                         ah: int, aw: int):
+        """Run the one-program drift-reuse time step if eligible: shadows
+        dirty, indirect light on, cached bounce map within BOUNCE_REUSE_DEG
+        of the current sun frame. Returns (accum, hitbuf, swin_p, scal) or
+        None (caller falls back to the split-program path)."""
+        from moonrtx_tpu.ops import shadow_scan
+
+        if not (self.shadows_on and self.displaced and self._shadow_dirty
+                and self.indirect_light and self._bounce is not None
+                and self._bounce_basis is not None):
+            return None
+        slevel = self.shadow_level()
+        acc = self.shadow_accuracy
+        if self._bounce_key != (slevel, acc):
+            return None
+        sun_unit, ang = self._sun_state()
+        basis_np = _sun_frame_basis_np(sun_unit)
+        if _rotation_angle_deg(basis_np, self._bounce_basis) \
+                > BOUNCE_REUSE_DEG:
+            return None
+        ncs, nf, nph = shadow_scan._resolution(acc)
+        sh_, sw_ = self.mip_shapes[slevel]
+        accum, hitbuf, swin_p, scal, smap = blocked.render_timestep_scan_pallas(
+            self.mips[slevel], self._bounce,
+            jnp.asarray(basis_np, jnp.float32), jnp.float32(ang),
+            self._wincache, self._origins, self._packed.hwin,
+            self._packed.awin, self.background(), self.maxmap,
+            self.basis(), self._fp, jitters, self.height, self.width,
+            h, w, self.h_min, ah, aw, sh_, sw_, ncs, nf, nph,
+            n_samples=n_samples, h_scale=self.h_scale,
+            h_offset=self.h_offset, hbound=self._hbound)
+        params = shadow_scan.ShadowMapParams(
+            axis_x=jnp.asarray(basis_np[0], jnp.float32),
+            axis_y=jnp.asarray(basis_np[1], jnp.float32),
+            axis_z=jnp.asarray(basis_np[2], jnp.float32),
+            n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
+            n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
+        self._shadow = (smap, params)
+        self._shadow_dirty = False
+        return accum, hitbuf, swin_p, scal
 
     def render_accumulation_frame(self):
         """Render one accumulation sample and fold it into the running mean."""
@@ -543,19 +655,26 @@ class MoonScene:
                 self.background(), self.maxmap, self.basis(), self._fp,
                 jitters, self.height, self.width, h, w, self.h_min,
                 ah=ah, aw=aw, n_samples=n_samples,
-                use_shadow=self.shadows_on)
+                use_shadow=self.shadows_on, hbound=self._hbound)
         elif pose_valid:
             # time-step (Q/W) hot path: pose caches valid, only the sun
-            # moved — shadow maps (2 programs) then ONE fused program for
-            # windows + sun repack + the whole burst (docs/PERF.md:
-            # dispatch economy; each dispatch ~30 ms over the tunnel)
-            smap, sparams = self.shadow_args()
-            accum, hitbuf, swin_p, scal = blocked.render_timestep_pallas(
-                smap, sparams, self._bounce, self._wincache, self._origins,
-                self._packed.hwin, self._packed.awin, self.background(),
-                self.maxmap, self.basis(), self._fp, jitters,
-                self.height, self.width, h, w, self.h_min, ah, aw,
-                n_samples=n_samples)
+            # moved. Drift-reuse steps (bounce map still fresh enough —
+            # the common held-key case) run scan + windows + repack +
+            # burst in ONE program; bounce-rebuild steps run the shadow
+            # map programs then the fused windows+repack+burst program
+            # (docs/PERF.md: dispatch economy, ~20 ms launch latency per
+            # program through the tunnel).
+            merged = self._merged_timestep(jitters, n_samples, h, w, ah, aw)
+            if merged is not None:
+                accum, hitbuf, swin_p, scal = merged
+            else:
+                smap, sparams = self.shadow_args()
+                accum, hitbuf, swin_p, scal = blocked.render_timestep_pallas(
+                    smap, sparams, self._bounce, self._wincache,
+                    self._origins, self._packed.hwin, self._packed.awin,
+                    self.background(), self.maxmap, self.basis(), self._fp,
+                    jitters, self.height, self.width, h, w, self.h_min,
+                    ah, aw, n_samples=n_samples, hbound=self._hbound)
             self._packed = self._packed._replace(swin=swin_p, scal=scal)
             self._shadowwin = blocked.FUSED_SHADOW_STATE
         else:
@@ -568,7 +687,7 @@ class MoonScene:
             else:
                 smap, sparams = None, None
             (accum, hitbuf, org, cache, hwin_p, awin_p, swin_p,
-             scal) = blocked.render_pose_pallas(
+             scal, hbound) = blocked.render_pose_pallas(
                 tuple(self.mips[level:level + max_qexp + 1]),
                 tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
                 self.slope_maps[level:level + max_qexp + 1],
@@ -583,6 +702,7 @@ class MoonScene:
             self._wincache = cache
             self._cache_level = level
             self._window_drift = 0.0
+            self._hbound = hbound
             self._packed = blocked.PackedWindows(
                 hwin=hwin_p, awin=awin_p, swin=swin_p, scal=scal)
             self._shadowwin = (blocked.FUSED_SHADOW_STATE

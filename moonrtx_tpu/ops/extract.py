@@ -19,9 +19,11 @@ HBM intermediates:
 2. **In-VMEM one-hot recompaction**: the exact (wh, ww) window is cut
    from the superwindow by two small MXU contractions against one-hot
    shift matrices built from iota — selection rows have exactly one 1.0,
-   and HIGHEST precision makes the result bit-exact f32 (verified against
-   sampler.extract_windows in tests). Same "gather = one-hot matmul"
-   move as the render sampler (ops/sampler.py), but VMEM-resident.
+   so the result is bit-exact at a precision matched to the data's
+   mantissa width (_mix_mode: one bf16 pass for bf16/uint8, bf16_3x for
+   int16, HIGHEST for f32; verified against sampler.extract_windows in
+   tests). Same "gather = one-hot matmul" move as the render sampler
+   (ops/sampler.py), but VMEM-resident.
 3. **Per-block mip-level select** (extract_level_windows): blocks carry a
    stride level q = 2^k (engine/blocked.py); a guarded DMA per level
    fetches each block's window from its own level in ONE pass over the
@@ -64,6 +66,54 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _mix_mode(dtype) -> str:
+    """MXU strategy for EXACT one-hot recompaction of this data dtype.
+
+    Every output element of a one-hot contraction is a single product
+    ``1.0 * v`` accumulated in f32, so the MXU pass count only has to
+    reproduce v's mantissa, not full f32 dot semantics:
+
+    - "bf16" (bf16 / uint8 data, <= 8 significant bits): one DEFAULT
+      bf16 pass is exact — 6x fewer MXU passes than HIGHEST;
+    - "split16" (int16 data, <= 16 significant bits): v = hi + lo with
+      both halves exact bf16; two DEFAULT passes (hi*1 + lo*1) rebuild v
+      exactly (Mosaic rejects Precision.HIGH, so the split is manual);
+    - "f32": full-mantissa HIGHEST as before.
+    """
+    d = jnp.dtype(dtype)
+    if d == jnp.bfloat16 or d.itemsize == 1:
+        return "bf16"
+    if d == jnp.int16:
+        return "split16"
+    return "f32"
+
+
+def _onehot_select(a, one, mode: str):
+    """Contract dim 0 of ``a`` against an f32 one-hot matrix, exactly,
+    with the cheapest MXU pass count for the data width (_mix_mode)."""
+    dims = (((0,), (0,)), ((), ()))
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), one.astype(jnp.bfloat16), dims,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+    if mode == "split16":
+        a = a.astype(jnp.float32)
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ob = one.astype(jnp.bfloat16)
+        return (jax.lax.dot_general(
+                    hi, ob, dims, precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    lo, ob, dims, precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32))
+    return jax.lax.dot_general(
+        a.astype(jnp.float32), one, dims,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int,
                  row_tile: int):
     def kernel(ra_ref, ca_ref, offr_ref, offc_ref, lvl_ref, *refs):
@@ -83,9 +133,11 @@ def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int,
                 cp.start()
                 cp.wait()
 
-        # in-VMEM one-hot recompaction (bit-exact under HIGHEST)
+        # in-VMEM one-hot recompaction (bit-exact at the dtype's matched
+        # MXU pass count, see _mix_mode)
         offr = offr_ref[i]
         offc = offc_ref[i]
+        mode = _mix_mode(scratch.dtype)
         jr = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 0)
         ir = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 1)
         rone = jnp.where(jr == offr + ir, 1.0, 0.0).astype(jnp.float32)
@@ -93,17 +145,15 @@ def _make_kernel(n_levels: int, wh: int, ww: int, sh: int, sw: int,
         if slab.dtype == jnp.uint8:
             # Mosaic has no uint8->f32 lowering; hop through int16
             slab = slab.astype(jnp.int16)
-        mix = jax.lax.dot_general(
-            slab.astype(jnp.float32), rone, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (sw, wh)
+        if slab.dtype == jnp.int16:
+            slab = slab.astype(jnp.float32)
+        mix = _onehot_select(slab, rone, mode)           # (sw, wh)
         jc = jax.lax.broadcasted_iota(jnp.int32, (sw, ww), 0)
         ic = jax.lax.broadcasted_iota(jnp.int32, (sw, ww), 1)
         cone = jnp.where(jc == offc + ic, 1.0, 0.0).astype(jnp.float32)
-        out = jax.lax.dot_general(
-            mix, cone, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (wh, ww)
+        # mix holds exact one-term sums of data-width values, so the
+        # second selection runs at the same reduced pass count
+        out = _onehot_select(mix, cone, mode)            # (wh, ww)
         out_ref[0] = out
 
     return kernel
@@ -232,6 +282,7 @@ def _make_group_kernel(n_levels: int, n_maps: int, wh: int, ww: int,
             i = pid * group + g
             offr = offr_ref[i]
             offc = offc_ref[i]
+            mode = _mix_mode(scratch.dtype)
             jr = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 0)
             ir = jax.lax.broadcasted_iota(jnp.int32, (sh, wh), 1)
             rone = jnp.where(jr == offr + ir, 1.0, 0.0).astype(jnp.float32)
@@ -243,14 +294,12 @@ def _make_group_kernel(n_levels: int, n_maps: int, wh: int, ww: int,
                 slab = scratch[m * group + g]
                 if slab.dtype == jnp.uint8:
                     slab = slab.astype(jnp.int16)
-                mix = jax.lax.dot_general(
-                    slab.astype(jnp.float32), rone, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (sw, wh)
-                out = jax.lax.dot_general(
-                    mix, cone, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (wh, ww)
+                if slab.dtype == jnp.int16:
+                    slab = slab.astype(jnp.float32)
+                mix = _onehot_select(slab, rone, mode)       # (sw, wh)
+                # mix holds exact one-term sums of data-width values: the
+                # second selection runs at the same reduced pass count
+                out = _onehot_select(mix, cone, mode)        # (wh, ww)
                 if scales[m] != 1.0:
                     out = out * jnp.float32(scales[m])
                 if offsets[m] != 0.0:

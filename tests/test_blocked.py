@@ -137,3 +137,53 @@ def test_window_centering_is_exact(scenes):
     assert np.allclose(hw[b], win_direct, atol=1e-6)
     # strided blocks exist at the limb and carry q == 2
     assert set(np.unique(q)) <= {1.0, 2.0}
+
+
+def test_bounce_map_drift_reuse():
+    """The bounce map is reused across small time steps and rebuilt once
+    the accumulated sun drift exceeds BOUNCE_REUSE_DEG (the shadow factor
+    map rebuilds every step regardless)."""
+    from datetime import timedelta
+
+    from moonrtx_tpu.engine import scene as scene_mod
+
+    elev, albedo = synthesize_moon(180, 360, seed=3, n_craters=40)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=96, height=72, shadow_accuracy=2,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    assert s.indirect_light
+    s.shadows_on = True
+    s.update_view()
+    smap0, _ = s.shadow_args()
+    b0 = s._bounce
+    assert b0 is not None
+
+    # one 15-min step: sun drifts ~0.13 deg — bounce reused, shadow fresh
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    smap1, _ = s.shadow_args()
+    assert s._bounce is b0
+    assert smap1 is not smap0
+
+    # keep stepping: accumulated drift passes the threshold within ~5 steps
+    steps = 0
+    while s._bounce is b0 and steps < 10:
+        s.update_view(s.dt_local + timedelta(minutes=15))
+        s.shadow_args()
+        steps += 1
+    assert 1 <= steps <= 6, steps
+
+    # a jump far exceeding the threshold rebuilds immediately
+    b1 = s._bounce
+    s.update_view(s.dt_local + timedelta(days=2))
+    s.shadow_args()
+    assert s._bounce is not b1
+
+    # disabling indirect light drops the cache
+    s.indirect_light = False
+    s._shadow_dirty = True
+    s.shadow_args()
+    assert s._bounce is None

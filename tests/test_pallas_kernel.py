@@ -123,7 +123,7 @@ def test_fused_pose_program_matches_split(scene):
     smap, sparams = scene.shadow_args()
     jitters = jnp.zeros((1, 2), jnp.float32)
 
-    rgb_f, hit_f, org_f, cache_f, hwin_f, awin_f, swin_f, scal_f = \
+    rgb_f, hit_f, org_f, cache_f, hwin_f, awin_f, swin_f, scal_f, _hb = \
         blocked.render_pose_pallas(
             tuple(scene.mips[level:level + max_qexp + 1]),
             tuple(scene.albedo_mips[alevel:alevel + max_qexp + 1]),
@@ -256,3 +256,83 @@ def test_grouped_fastpath_matches_xla_caches(scene, monkeypatch):
     rgb_b_r = blocked.shade_blocks(cache_ref, org, h, w, ah, aw, lat, lon,
                                    p, scene._fp, shadow)
     assert np.allclose(np.asarray(rgb_b_f), np.asarray(rgb_b_r), atol=1e-4)
+
+
+def test_merged_scan_timestep_matches_split(scene, monkeypatch):
+    """The one-program drift-reuse time step (scan fused with windows +
+    repack + burst) must reproduce the split-program path. Forced fast
+    paths, kernels in interpret mode."""
+    from moonrtx_tpu.ops import extract as extract_ops
+    from moonrtx_tpu.ops import shadow_scan
+
+    orig_group = extract_ops.extract_group_windows_tpu
+    monkeypatch.setattr(
+        extract_ops, "extract_group_windows_tpu",
+        lambda *a, **k: orig_group(*a, **{**k, "interpret": True}))
+
+    def _set_fast(v):
+        monkeypatch.setattr(extract_ops, "_fast_ok", lambda: v)
+        blocked.extract_window_cache.clear_cache()
+        blocked.build_shadow_windows.clear_cache()
+        shadow_scan._build.clear_cache()
+        blocked.render_timestep_pallas.clear_cache()
+        blocked.render_timestep_scan_pallas.clear_cache()
+
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    scene._ensure_blocked_caches(level, geom)
+    scene.shadow_args()
+    slevel = scene.shadow_level()
+    stex = scene.mips[slevel]
+    sh_, sw_ = scene.mip_shapes[slevel]
+    sun_unit, ang = scene._sun_state()
+    from moonrtx_tpu.engine.scene import _sun_frame_basis_np
+    basis_np = _sun_frame_basis_np(sun_unit)
+    ncs, nf, nph = shadow_scan._resolution(scene.shadow_accuracy)
+    jitters = jnp.zeros((1, 2), jnp.float32)
+    hwin_p, awin_p = blocked.pack_pose_windows(scene._wincache)
+
+    _set_fast(True)
+    rgb_m, hit_m, swin_m, scal_m, smap_m = blocked.render_timestep_scan_pallas(
+        stex, scene._bounce, jnp.asarray(basis_np, jnp.float32),
+        jnp.float32(ang), scene._wincache, scene._origins, hwin_p, awin_p,
+        scene.background(), scene.maxmap, scene.basis(), scene._fp,
+        jitters, scene.height, scene.width, h, w, scene.h_min, ah, aw,
+        sh_, sw_, ncs, nf, nph, n_samples=1,
+        h_scale=scene.h_scale, h_offset=scene.h_offset, interpret=True)
+
+    # split path: XLA-built map (same basis as the merged program — the
+    # host/device basis computations differ in the last ulp, which moves
+    # scan samples at steep shadow boundaries), then the fused
+    # windows+repack+burst
+    _set_fast(False)
+    smap_s = shadow_scan._build(
+        stex, jnp.asarray(basis_np, jnp.float32), jnp.float32(ang),
+        sh_, sw_, ncs, nf, nph, h_scale=scene.h_scale,
+        h_offset=scene.h_offset)
+    sparams = shadow_scan.ShadowMapParams(
+        axis_x=jnp.asarray(basis_np[0], jnp.float32),
+        axis_y=jnp.asarray(basis_np[1], jnp.float32),
+        axis_z=jnp.asarray(basis_np[2], jnp.float32),
+        n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
+        n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
+    rgb_s, hit_s, swin_s, scal_s = blocked.render_timestep_pallas(
+        smap_s, sparams, scene._bounce, scene._wincache, scene._origins,
+        hwin_p, awin_p, scene.background(), scene.maxmap, scene.basis(),
+        scene._fp, jitters, scene.height, scene.width, h, w, scene.h_min,
+        ah, aw, n_samples=1, interpret=True)
+    _set_fast(True)
+
+    # identical scan math either side; only window extraction differs
+    assert np.allclose(np.asarray(smap_m), np.asarray(smap_s), atol=1e-5)
+    assert np.allclose(np.asarray(scal_m), np.asarray(scal_s), atol=1e-5)
+    assert np.allclose(np.asarray(swin_m).astype(np.float32),
+                       np.asarray(swin_s).astype(np.float32), atol=5e-3)
+    assert np.allclose(np.asarray(hit_m), np.asarray(hit_s), atol=1e-5)
+    assert np.abs(np.asarray(rgb_m) - np.asarray(rgb_s)).max() < 2e-2
