@@ -1,6 +1,13 @@
-"""Multi-device scaling: mesh construction and image-tile sharding."""
+"""Multi-device scaling: mesh construction, image-tile sharding, and
+heightfield band sharding (HBM scaling for maps bigger than one chip)."""
 
 from moonrtx_tpu.parallel.mesh import TILE_AXIS, make_mesh, replicated, row_sharded
+from moonrtx_tpu.parallel.hfshard import (
+    BAND_HALO,
+    band_heights,
+    render_burst_pallas_hfshard,
+    shard_bands,
+)
 from moonrtx_tpu.parallel.tiles import (
     build_shadow_map_sharded,
     render_burst_pallas_sharded,
@@ -11,4 +18,6 @@ __all__ = [
     "TILE_AXIS", "make_mesh", "replicated", "row_sharded",
     "render_frame_sharded", "build_shadow_map_sharded",
     "render_burst_pallas_sharded",
+    "BAND_HALO", "band_heights", "shard_bands",
+    "render_burst_pallas_hfshard",
 ]

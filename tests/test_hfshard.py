@@ -1,0 +1,113 @@
+"""Heightfield band sharding (parallel/hfshard.py) on the virtual 8-device
+CPU mesh: per-device latitude bands + halo, one-owner window extraction,
+psum_scatter cache assembly. Parity target: the replicated-map sharded
+burst (parallel/tiles.py) — extraction windows must be bit-identical, so
+tolerances here are float-noise only."""
+
+from datetime import datetime, timezone
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonrtx_tpu.config import RenderConfig
+from moonrtx_tpu.data.synth import synthesize_moon
+from moonrtx_tpu.engine.scene import MoonScene
+from moonrtx_tpu.parallel import (
+    BAND_HALO,
+    band_heights,
+    make_mesh,
+    render_burst_pallas_hfshard,
+    render_burst_pallas_sharded,
+    shard_bands,
+)
+from moonrtx_tpu.types import Observer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    # 512-row map: every pyramid level height (512/256/128/64) divides the
+    # 8-way mesh, the band-sharding precondition
+    elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=120)
+    rs = float(elev.max())
+    elev = (elev / rs).astype(np.float32)
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=2,
+    ).validate()
+    scene = MoonScene(cfg, elev, rs, albedo, None)
+    scene.shadows_on = True
+    scene.update_view()
+    return scene
+
+
+def test_shard_bands_roundtrip(setup):
+    """Bands cover the level: owned rows tile it exactly, halo rows mirror
+    the next band's head."""
+    scene = setup
+    mesh = make_mesh(8)
+    level = np.asarray(scene.mips[scene.mip_level()])
+    band_h, bh = band_heights(level.shape[0], 8)
+    banded = np.asarray(shard_bands(mesh, level))
+    assert banded.shape == (8, bh) + level.shape[1:]
+    rebuilt = np.concatenate([banded[d, :band_h] for d in range(8)], axis=0)
+    assert np.array_equal(rebuilt, level)
+    # halo of band d == head of band d+1 (shared rows)
+    for d in range(7):
+        assert np.array_equal(banded[d, band_h:],
+                              banded[d + 1, :BAND_HALO])
+
+
+def _banded_inputs(scene, mesh):
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    nlevel = min(level + 1, len(scene.mips) - 1)
+    nalevel = min(alevel + 1, len(scene.albedo_mips) - 1)
+    bmips = tuple(shard_bands(mesh, np.asarray(scene.mips[k]))
+                  for k in (level, nlevel))
+    balb = tuple(shard_bands(mesh, np.asarray(scene.albedo_mips[k]))
+                 for k in (alevel, nalevel))
+    reps = (scene.mips[level], scene.mips[nlevel],
+            scene.albedo_mips[alevel], scene.albedo_mips[nalevel])
+    return bmips, balb, reps, (h, w, ah, aw)
+
+
+def test_hfshard_matches_replicated_no_shadows(setup):
+    scene = setup
+    mesh = make_mesh(8)
+    bmips, balb, reps, (h, w, ah, aw) = _banded_inputs(scene, mesh)
+    jitters = jnp.zeros((1, 2), jnp.float32)
+    args = (scene.maxmap, scene.basis(), scene._fp, jitters,
+            scene.height, scene.width, h, w, ah, aw, scene.h_min)
+    rgb_hf, hit_hf = render_burst_pallas_hfshard(
+        mesh, bmips, balb, *args, n_samples=1, use_shadow=False,
+        interpret=True)
+    rgb_rep, hit_rep = render_burst_pallas_sharded(
+        mesh, *reps, *args, n_samples=1, use_shadow=False, interpret=True)
+    # identical kernels; extraction must be bit-equal after psum of
+    # disjoint owners — only accumulation float noise remains
+    assert np.allclose(np.asarray(rgb_hf), np.asarray(rgb_rep), atol=1e-5)
+    assert np.allclose(np.asarray(hit_hf), np.asarray(hit_rep), atol=1e-4)
+
+
+def test_hfshard_matches_replicated_with_shadows(setup):
+    scene = setup
+    mesh = make_mesh(8)
+    smap, sparams = scene.shadow_args()
+    assert scene._bounce is not None
+    bmips, balb, reps, (h, w, ah, aw) = _banded_inputs(scene, mesh)
+    jitters = jnp.zeros((1, 2), jnp.float32)
+    args = (scene.maxmap, scene.basis(), scene._fp, jitters,
+            scene.height, scene.width, h, w, ah, aw, scene.h_min)
+    kw = dict(smap_params=sparams, bounce_map=scene._bounce,
+              n_samples=1, use_shadow=True, interpret=True)
+    rgb_hf, _ = render_burst_pallas_hfshard(
+        mesh, bmips, balb, *args, shadow_map=smap, **kw)
+    rgb_rep, _ = render_burst_pallas_sharded(
+        mesh, *reps, *args, shadow_map=smap, **kw)
+    assert np.allclose(np.asarray(rgb_hf), np.asarray(rgb_rep), atol=1e-5)
