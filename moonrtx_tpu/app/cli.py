@@ -113,6 +113,10 @@ def parse_args(argv=None):
                         help="Disable one-bounce terrain interreflection "
                              "(the analog of the reference's path-traced "
                              "indirect segments)")
+    parser.add_argument("--devices", type=int, default=1,
+                        help="Device-mesh width for multi-chip rendering: "
+                             "1 = single device, 0 = all local devices, "
+                             "N = exactly N (fails if unavailable)")
     return parser.parse_args(argv)
 
 
@@ -282,6 +286,7 @@ def config_from_args(args) -> RenderConfig:
         backend=args.backend,
         accumulation_frames=args.accumulation_frames,
         indirect_light=not args.no_indirect_light,
+        devices=args.devices,
     )
     try:
         cfg.validate()
@@ -334,6 +339,14 @@ def check_accelerator() -> bool:
 
 
 def main(argv=None):
+    # Some PJRT plugins (e.g. tunneled TPU backends) ignore the
+    # JAX_PLATFORMS environment variable; MOONRTX_PLATFORM pins the
+    # platform through jax.config before the first device touch so
+    # CPU-only runs work everywhere.
+    plat = os.environ.get("MOONRTX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = parse_args(argv)
     cfg = config_from_args(args)
     if not check_accelerator():

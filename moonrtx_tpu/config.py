@@ -52,6 +52,10 @@ class RenderConfig:
     # one-bounce terrain interreflection (the stand-in for the reference's
     # path-traced indirect segments, moon_renderer.py:441-445)
     indirect_light: bool = True
+    # device-mesh width for multi-chip rendering: 1 = single device,
+    # 0 = auto (all local devices), N = exactly N (image rows + shadow-scan
+    # phi wedges shard over the mesh; ICI gathers the frame)
+    devices: int = 1
 
     def validate(self) -> "RenderConfig":
         """Range-check every field (reference main.py:298-332)."""
@@ -89,4 +93,7 @@ class RenderConfig:
             raise ConfigError(f"Invalid backend '{self.backend}'.")
         if self.quantize not in ("auto", "off", "i16"):
             raise ConfigError(f"Invalid quantize mode '{self.quantize}'.")
+        if self.devices < 0 or int(self.devices) != self.devices:
+            raise ConfigError("Invalid devices count. Must be 0 (auto) or a "
+                              "positive integer.")
         return self

@@ -200,12 +200,17 @@ class MoonScene:
                         if starmap is not None else None)
 
         # scene state; internal render size padded to the block grid
-        # (display crops back to the requested size)
+        # (display crops back to the requested size). With a device mesh
+        # the height additionally pads to equal row strips per device.
+        n_req = int(getattr(config, "devices", 1))
+        if n_req == 0:
+            n_req = len(jax.devices())
         self.out_width = config.width
         self.out_height = config.height
         w_mult = blocked.BLOCK_W * blocked.GROUP  # pallas groups 8 blocks
         self.width = -(-config.width // w_mult) * w_mult
-        self.height = -(-config.height // blocked.BLOCK_H) * blocked.BLOCK_H
+        h_mult = blocked.BLOCK_H * max(n_req, 1)
+        self.height = -(-config.height // h_mult) * h_mult
         self.dt_local: Optional[datetime] = config.dt_local
         self.brightness = config.brightness
         self.gamma = config.gamma
@@ -227,6 +232,14 @@ class MoonScene:
             # the gather reference path has no decode plumbing; quantized
             # (large-map) scenes always render through the windowed paths
             self.backend = "blocked"
+
+        # device mesh: image rows + shadow-scan phi wedges shard over it,
+        # the frame comes back over ICI (parallel/tiles.py). devices=N is
+        # a hard request — make_mesh fails loudly on a degraded mesh.
+        self.mesh = None
+        if n_req > 1:
+            from moonrtx_tpu.parallel import make_mesh
+            self.mesh = make_mesh(n_req)
 
         self.ephem: Optional[MoonEphemeris] = None
         self._fp: Optional[FrameParams] = None
@@ -395,6 +408,37 @@ class MoonScene:
         ang = math.asin(C.SUN_RADIUS_KM / self.ephem.sun_distance)
         return sun_body / np.linalg.norm(sun_body), ang
 
+    def _shadow_args_mesh(self, tex, h, w, sun_unit, ang, acc):
+        """Mesh-mode shadow rebuild: phi-wedge-sharded scan + ICI gather
+        (parallel/tiles.py). Returns True when it handled the rebuild,
+        None to fall through to the single-device programs (no mesh, or a
+        phi grid that does not divide the mesh)."""
+        if self.mesh is None:
+            return None
+        from moonrtx_tpu.ops import shadow_scan
+        from moonrtx_tpu.parallel import TILE_AXIS, build_shadow_map_sharded
+
+        ncs, nf, nph = shadow_scan._resolution(acc)
+        if nph % self.mesh.shape[TILE_AXIS]:
+            return None
+        basis_np = _sun_frame_basis_np(np.asarray(sun_unit))
+        smap, bmap = build_shadow_map_sharded(
+            self.mesh, tex, jnp.asarray(basis_np, jnp.float32),
+            jnp.float32(ang), h, w, ncs, nf, nph,
+            alb_lum=(self.alb_lum(self.shadow_level())
+                     if self.indirect_light else None))
+        params = shadow_scan.ShadowMapParams(
+            axis_x=jnp.asarray(basis_np[0], jnp.float32),
+            axis_y=jnp.asarray(basis_np[1], jnp.float32),
+            axis_z=jnp.asarray(basis_np[2], jnp.float32),
+            n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
+            n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
+        self._shadow = (smap, params)
+        self._bounce = bmap
+        self._bounce_basis = None  # mesh mode rebuilds per time change
+        self._bounce_key = None
+        return True
+
     def shadow_args(self):
         """Current (shadow_map, params), rebuilt lazily on time change
         (with the one-bounce irradiance map into self._bounce)."""
@@ -408,6 +452,10 @@ class MoonScene:
             sun_unit, ang = self._sun_state()
             sun = jnp.asarray(sun_unit, jnp.float32)
             acc = self.shadow_accuracy if self.shadows_on else 1
+            mesh_scan = self._shadow_args_mesh(tex, h, w, sun_unit, ang, acc)
+            if mesh_scan is not None:
+                self._shadow_dirty = False
+                return self._shadow
             if self.indirect_light:
                 # The bounce (indirect-light) field is blurred over >= 2
                 # scan cells (~0.1-0.2 deg of arc), so sun drifts well
@@ -567,7 +615,10 @@ class MoonScene:
         else:
             jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
 
-        if self.backend in ("blocked", "pallas") and self.displaced:
+        if self.mesh is not None and self.displaced:
+            rgb, hitbuf = self._render_sharded(jitter[None, :], 1)
+            out = render_mod.RenderOutput(rgb=rgb, hitbuf=hitbuf)
+        elif self.backend in ("blocked", "pallas") and self.displaced:
             geom = blocked.block_rays(self.basis(), self._fp.rotation, jitter,
                                       self.height, self.width, self.h_min,
                                       maxmap=self.maxmap)
@@ -620,13 +671,41 @@ class MoonScene:
         """Accumulate up to n_frames samples and return the display image
         (uint8 RGB)."""
         n = n_frames if n_frames is not None else self.config.accumulation_frames
-        if (self.backend == "pallas" and self.displaced
-                and self._accum_n == 0 and n > 0):
+        if ((self.backend == "pallas" or self.mesh is not None)
+                and self.displaced and self._accum_n == 0 and n > 0):
             self.render_accumulation_burst(n)
             return self.display()
         while self._accum_n < n:
             self.render_accumulation_frame()
         return self.display()
+
+    def _render_sharded(self, jitters, n_samples: int):
+        """One sharded burst over the device mesh: row strips + window
+        extraction + fused kernel inside shard_map (parallel/tiles.py);
+        the shadow map comes from the phi-wedge-sharded scan. Pose caches
+        are not used — extraction reruns per burst (mesh mode trades the
+        single-device cache machinery for N-chip scale)."""
+        from moonrtx_tpu.parallel import render_burst_pallas_sharded
+
+        level = self.mip_level()
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        nlevel = min(level + 1, len(self.mips) - 1)
+        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        smap = sparams = None
+        if self.shadows_on:
+            smap, sparams = self.shadow_args()
+        return render_burst_pallas_sharded(
+            self.mesh, self.mips[level], self.mips[nlevel],
+            self.albedo_mips[alevel], self.albedo_mips[nalevel],
+            self.maxmap, self.basis(), self._fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            shadow_map=smap, smap_params=sparams, bounce_map=self._bounce,
+            n_samples=n_samples, use_shadow=self.shadows_on,
+            interpret=jax.default_backend() != "tpu",
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            a_scale=self.a_scale)
 
     def render_accumulation_burst(self, n_samples: int) -> None:
         """All accumulation samples in one device program (pallas backend)."""
@@ -638,6 +717,11 @@ class MoonScene:
             jnp.zeros((1, 2), jnp.float32),
             jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
                         jnp.float32)])
+        if self.mesh is not None and self.displaced:
+            self._accum, self._hitbuf = self._render_sharded(
+                jitters, n_samples)
+            self._accum_n = n_samples
+            return
 
         alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]

@@ -1,0 +1,76 @@
+"""Scene-level device-mesh mode (config.devices > 1): accumulation bursts
+run through the sharded pipeline (parallel/tiles.py) and shadow maps
+through the phi-wedge-sharded scan — end-to-end through MoonScene on the
+virtual 8-device CPU mesh."""
+
+from datetime import datetime, timedelta, timezone
+
+import jax
+import numpy as np
+import pytest
+
+from moonrtx_tpu.config import ConfigError, RenderConfig
+from moonrtx_tpu.data.synth import synthesize_moon
+from moonrtx_tpu.engine.scene import MoonScene
+from moonrtx_tpu.types import Observer
+
+
+def _cfg(**kw):
+    base = dict(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=2,
+    )
+    base.update(kw)
+    return RenderConfig(**base).validate()
+
+
+@pytest.fixture(scope="module")
+def maps():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    elev, albedo = synthesize_moon(360, 720, seed=11, n_craters=100)
+    rs = float(elev.max())
+    return (elev / rs).astype(np.float32), rs, albedo
+
+
+def test_mesh_scene_matches_single_device(maps):
+    elev, rs, albedo = maps
+    single = MoonScene(_cfg(), elev, rs, albedo, None)
+    single.shadows_on = True
+    single.update_view()
+    img_single = single.render(2)
+
+    meshed = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+    assert meshed.mesh is not None
+    meshed.shadows_on = True
+    meshed.update_view()
+    img_mesh = meshed.render(2)
+
+    assert img_mesh.shape == img_single.shape
+    d = np.abs(img_mesh.astype(np.float32) - img_single.astype(np.float32))
+    # strip-local ray origins differ at fp rounding; display is uint8
+    assert np.percentile(d, 99) < 6.0
+    assert d.mean() < 1.0
+
+    # time change: the phi-wedge-sharded scan rebuilds the shadow/bounce
+    # maps and the next frame renders
+    meshed.update_view(meshed.dt_local + timedelta(minutes=15))
+    img2 = meshed.render(1)
+    assert img2.max() > 0
+    assert meshed._bounce is not None  # sharded scan returned the bounce map
+
+    # picking runs off the sharded hit buffer
+    hit = meshed.get_hit_at(64, 64)
+    assert hit is not None
+
+
+def test_mesh_devices_auto_and_validation(maps):
+    elev, rs, albedo = maps
+    # devices=0 resolves to all local devices
+    sc = MoonScene(_cfg(devices=0), elev, rs, albedo, None)
+    assert sc.mesh is not None and sc.mesh.devices.size == len(jax.devices())
+    with pytest.raises(ConfigError):
+        _cfg(devices=-2)
+    # an unavailable explicit mesh fails loudly (make_mesh raises)
+    with pytest.raises(Exception):
+        MoonScene(_cfg(devices=64), elev, rs, albedo, None)
