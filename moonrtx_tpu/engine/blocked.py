@@ -1101,15 +1101,17 @@ def render_timestep_scan_pallas(stex, bmap, sun_basis, sun_ang_radius,
     render_timestep_pallas).
 
     stex: the shadow-level heightfield mip; (sh, sw) its unpadded shape.
-    Returns (rgb_mean, hitbuf, swin_packed, scal, smap) — smap so the
-    caller can cache it for pose-change reuse.
+    Returns (rgb_mean, hitbuf, swin_packed, scal, smap, hs) — smap so the
+    caller can cache it for pose-change reuse, hs (scan-grid heights) so a
+    drift-threshold crossing can dispatch shadow_scan.bounce_refresh
+    behind the frame without a second scan.
     """
     from moonrtx_tpu.ops import shadow_scan
 
-    factor = shadow_scan.scan_wedge(
+    factor, hs = shadow_scan.scan_wedge(
         stex, sun_basis, sun_ang_radius, sh, sw,
         n_coarse_scan, n_fine, n_phi, 0, n_phi, blocked_resample=True,
-        h_scale=h_scale, h_offset=h_offset)
+        h_scale=h_scale, h_offset=h_offset, return_heights=True)
     smap = jnp.concatenate([factor, factor[:, :shadow_scan.PHI_PAD]],
                            axis=1)
     smap_params = shadow_scan.ShadowMapParams(
@@ -1122,4 +1124,4 @@ def render_timestep_scan_pallas(stex, bmap, sun_basis, sun_ang_radius,
         maxmap, basis, fp, jitters, height, width, h, w, h_min, ah, aw,
         n_samples=n_samples, n_coarse=n_coarse, interpret=interpret,
         hbound=hbound)
-    return rgb, hitbuf, swin_p, scal, smap
+    return rgb, hitbuf, swin_p, scal, smap, hs

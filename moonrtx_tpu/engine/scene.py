@@ -64,6 +64,14 @@ ALB_MAX_W = 16384
 # every step.
 BOUNCE_REUSE_DEG = 0.5
 
+# Crossing BOUNCE_REUSE_DEG during held-key animation does NOT stall the
+# frame on a bounce rebuild: the step renders with the cached map and a
+# shadow_scan.bounce_refresh is dispatched BEHIND it (reusing the frame's
+# own scan), so the next step picks up the fresh map. The stale map is
+# used up to threshold + one step (~0.63 deg); beyond this cap (a time
+# JUMP — date dialog, "now") the rebuild is synchronous for correctness.
+BOUNCE_ASYNC_MAX_DEG = 4 * BOUNCE_REUSE_DEG
+
 
 def _sun_frame_basis_np(sun_unit: np.ndarray) -> np.ndarray:
     """Host mirror of ops.shadow_scan.sun_frame_basis (rows = x, y, z)."""
@@ -346,6 +354,13 @@ class MoonScene:
             self._basis = camera_basis(self.camera, self.view_orientation)
         return self._basis
 
+    @staticmethod
+    def _interp() -> bool:
+        """Pallas interpret mode: Mosaic compiles only on real TPU
+        backends; anywhere else (CPU tests of the pallas scene path) the
+        kernels run interpreted with identical semantics."""
+        return jax.default_backend() not in ("tpu", "axon")
+
     def mip_level(self) -> int:
         """Footprint-matched mip level for the current view."""
         eye = np.asarray(self.camera.eye)
@@ -563,9 +578,12 @@ class MoonScene:
     def _merged_timestep(self, jitters, n_samples: int, h: int, w: int,
                          ah: int, aw: int):
         """Run the one-program drift-reuse time step if eligible: shadows
-        dirty, indirect light on, cached bounce map within BOUNCE_REUSE_DEG
-        of the current sun frame. Returns (accum, hitbuf, swin_p, scal) or
-        None (caller falls back to the split-program path)."""
+        dirty, indirect light on, cached bounce map within
+        BOUNCE_ASYNC_MAX_DEG of the current sun frame. Past
+        BOUNCE_REUSE_DEG a bounce_refresh is dispatched BEHIND the frame
+        (reusing its scan), so held-key animation never waits on the
+        bounce pyramid. Returns (accum, hitbuf, swin_p, scal) or None
+        (caller falls back to the synchronous split-program path)."""
         from moonrtx_tpu.ops import shadow_scan
 
         if not (self.shadows_on and self.displaced and self._shadow_dirty
@@ -578,28 +596,43 @@ class MoonScene:
             return None
         sun_unit, ang = self._sun_state()
         basis_np = _sun_frame_basis_np(sun_unit)
-        if _rotation_angle_deg(basis_np, self._bounce_basis) \
-                > BOUNCE_REUSE_DEG:
+        drift = _rotation_angle_deg(basis_np, self._bounce_basis)
+        if drift > BOUNCE_ASYNC_MAX_DEG:
             return None
         ncs, nf, nph = shadow_scan._resolution(acc)
+        if drift > BOUNCE_REUSE_DEG \
+                and not shadow_scan.half_grid_ok(ncs, nf, nph):
+            return None  # refresh program needs the half-res alb grid
         sh_, sw_ = self.mip_shapes[slevel]
-        accum, hitbuf, swin_p, scal, smap = blocked.render_timestep_scan_pallas(
+        sun_basis = jnp.asarray(basis_np, jnp.float32)
+        (accum, hitbuf, swin_p, scal, smap,
+         hs) = blocked.render_timestep_scan_pallas(
             self.mips[slevel], self._bounce,
-            jnp.asarray(basis_np, jnp.float32), jnp.float32(ang),
+            sun_basis, jnp.float32(ang),
             self._wincache, self._origins, self._packed.hwin,
             self._packed.awin, self.background(), self.maxmap,
             self.basis(), self._fp, jitters, self.height, self.width,
             h, w, self.h_min, ah, aw, sh_, sw_, ncs, nf, nph,
             n_samples=n_samples, h_scale=self.h_scale,
-            h_offset=self.h_offset, hbound=self._hbound)
+            h_offset=self.h_offset, hbound=self._hbound,
+            interpret=self._interp())
         params = shadow_scan.ShadowMapParams(
-            axis_x=jnp.asarray(basis_np[0], jnp.float32),
-            axis_y=jnp.asarray(basis_np[1], jnp.float32),
-            axis_z=jnp.asarray(basis_np[2], jnp.float32),
+            axis_x=sun_basis[0], axis_y=sun_basis[1], axis_z=sun_basis[2],
             n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
             n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
         self._shadow = (smap, params)
         self._shadow_dirty = False
+        if drift > BOUNCE_REUSE_DEG:
+            # refresh the bounce map asynchronously behind the frame: the
+            # device renders the frame first (program order), the rebuild
+            # fills the gap before the next step, and the Python-side
+            # cache swaps to the new (not-yet-materialized) array now so
+            # the next merged step consumes it directly
+            self._bounce = shadow_scan.bounce_refresh(
+                smap, hs, self.alb_lum(slevel), sun_basis,
+                sh_, sw_, ncs, nf, nph)
+            self._bounce_basis = basis_np
+            self._bounce_key = (slevel, acc)
         return accum, hitbuf, swin_p, scal
 
     def render_accumulation_frame(self):
@@ -640,7 +673,8 @@ class MoonScene:
                     self._packed, sparams, self.background(), self.maxmap,
                     self.basis(), self._fp, jitter[None, :],
                     self.height, self.width, h, w, self.h_min,
-                    ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on)
+                    ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on,
+                    interpret=self._interp())
                 out = render_mod.RenderOutput(rgb=rgb1, hitbuf=hitbuf1)
             else:
                 out = blocked.render_frame_blocked(
@@ -703,7 +737,7 @@ class MoonScene:
             self.height, self.width, h, w, ah, aw, self.h_min,
             shadow_map=smap, smap_params=sparams, bounce_map=self._bounce,
             n_samples=n_samples, use_shadow=self.shadows_on,
-            interpret=jax.default_backend() != "tpu",
+            interpret=self._interp(),
             h_scale=self.h_scale, h_offset=self.h_offset,
             a_scale=self.a_scale)
 
@@ -739,7 +773,8 @@ class MoonScene:
                 self.background(), self.maxmap, self.basis(), self._fp,
                 jitters, self.height, self.width, h, w, self.h_min,
                 ah=ah, aw=aw, n_samples=n_samples,
-                use_shadow=self.shadows_on, hbound=self._hbound)
+                use_shadow=self.shadows_on, hbound=self._hbound,
+                interpret=self._interp())
         elif pose_valid:
             # time-step (Q/W) hot path: pose caches valid, only the sun
             # moved. Drift-reuse steps (bounce map still fresh enough —
@@ -758,7 +793,8 @@ class MoonScene:
                     self._origins, self._packed.hwin, self._packed.awin,
                     self.background(), self.maxmap, self.basis(), self._fp,
                     jitters, self.height, self.width, h, w, self.h_min,
-                    ah, aw, n_samples=n_samples, hbound=self._hbound)
+                    ah, aw, n_samples=n_samples, hbound=self._hbound,
+                    interpret=self._interp())
             self._packed = self._packed._replace(swin=swin_p, scal=scal)
             self._shadowwin = blocked.FUSED_SHADOW_STATE
         else:
@@ -781,7 +817,7 @@ class MoonScene:
                 max_qexp=max_qexp, n_samples=n_samples,
                 use_shadow=self.shadows_on,
                 h_scale=self.h_scale, h_offset=self.h_offset,
-                a_scale=self.a_scale)
+                a_scale=self.a_scale, interpret=self._interp())
             self._origins = org
             self._wincache = cache
             self._cache_level = level

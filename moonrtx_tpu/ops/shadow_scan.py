@@ -139,10 +139,39 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
     return jnp.moveaxis(v, 1, 2).reshape(n_theta, n_phi)
 
 
+def half_grid_ok(n_coarse: int, n_fine: int, n_phi: int) -> bool:
+    """True when the half-resolution albedo-resample grid exists for this
+    scan resolution (scan_wedge's fast alb path and bounce_refresh)."""
+    return (n_coarse + n_fine) % 16 == 0 and n_phi % 128 == 0
+
+
+def resample_alb_half(alb_lum, sun_basis, h: int, w: int,
+                      n_coarse: int, n_fine: int,
+                      n_phi_total: int, phi0, n_phi: int):
+    """Albedo-luminance on the scan grid via a half-resolution resample +
+    nearest upsample (the bounce emitter field is blurred over >= 2-cell
+    scales, so half resolution is free accuracy-wise and halves the
+    scan's second-largest memory pass)."""
+    theta = jnp.asarray(np.deg2rad(_theta_grid(n_coarse, n_fine)))[:, None]
+    th_h = 0.5 * (theta[0::2, 0] + theta[1::2, 0])[:, None]
+    ph_h = ((2 * np.pi) * (2.0 * jnp.arange(n_phi // 2, dtype=jnp.float32)
+                           [None, :] + phi0 + 1.0) / n_phi_total)
+    st_h, ct_h = jnp.sin(th_h), jnp.cos(th_h)
+    dirs_h = (sun_basis[2][None, None, :] * ct_h[..., None]
+              + sun_basis[0][None, None, :] * (st_h * jnp.cos(ph_h))[..., None]
+              + sun_basis[1][None, None, :] * (st_h * jnp.sin(ph_h))[..., None])
+    lat_h, lon_h = unit_to_latlon(dirs_h)
+    row_h, col_h = sampler.latlon_to_rowcol(lat_h, lon_h, h, w)
+    alb_h = _resample_heights_blocked(alb_lum, h, w, row_h, col_h)
+    # nearest upsample (no blur): keeps wedge-sharded scans seam-free
+    return jnp.repeat(jnp.repeat(alb_h, 2, axis=0), 2, axis=1)
+
+
 def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
                n_coarse: int, n_fine: int, n_phi_total: int,
                phi0, n_phi: int, blocked_resample: bool = False,
-               alb_lum=None, h_scale: float = 1.0, h_offset: float = 0.0):
+               alb_lum=None, h_scale: float = 1.0, h_offset: float = 0.0,
+               return_heights: bool = False):
     """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
 
     The running max along theta is local to each meridian, so wedges are
@@ -152,7 +181,9 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     With alb_lum (an albedo-luminance map at the same (h, w) level, padded
     like tex), also returns the per-cell heights and resampled albedo for
     the one-bounce irradiance map (bounce_from_parts): returns
-    (factor, heights, albedo_lum) instead of just factor."""
+    (factor, heights, albedo_lum) instead of just factor. With
+    return_heights (and no alb_lum), returns (factor, heights) — the
+    heights feed an asynchronous bounce_refresh without a second scan."""
     theta = jnp.asarray(np.deg2rad(_theta_grid(n_coarse, n_fine)))[:, None]
     phi = ((2 * np.pi) * (jnp.arange(n_phi, dtype=jnp.float32)[None, :]
                           + phi0 + 0.5) / n_phi_total)
@@ -189,25 +220,13 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     # subsolar cap: no blockers possible at theta ~ 0
     factor = jnp.where(m_max < 0.0, 1.0, factor)
     if alb_lum is None:
+        if return_heights:
+            return factor, hs
         return factor
     n_theta = int(theta.shape[0])
     if blocked_resample and n_theta % 16 == 0 and n_phi % 128 == 0:
-        # the bounce emitter field is blurred over >= 2-cell scales, so
-        # the albedo resample (the scan's second-largest memory pass) runs
-        # on a half-resolution grid and is upsampled back — heights reuse
-        # the factor scan's own samples at zero extra cost
-        th_h = 0.5 * (theta[0::2, 0] + theta[1::2, 0])[:, None]
-        ph_h = ((2 * np.pi) * (2.0 * jnp.arange(n_phi // 2, dtype=jnp.float32)
-                               [None, :] + phi0 + 1.0) / n_phi_total)
-        st_h, ct_h = jnp.sin(th_h), jnp.cos(th_h)
-        dirs_h = (sun_basis[2][None, None, :] * ct_h[..., None]
-                  + sun_basis[0][None, None, :] * (st_h * jnp.cos(ph_h))[..., None]
-                  + sun_basis[1][None, None, :] * (st_h * jnp.sin(ph_h))[..., None])
-        lat_h, lon_h = unit_to_latlon(dirs_h)
-        row_h, col_h = sampler.latlon_to_rowcol(lat_h, lon_h, h, w)
-        alb_h = _resample_heights_blocked(alb_lum, h, w, row_h, col_h)
-        # nearest upsample (no blur): keeps wedge-sharded scans seam-free
-        alb_s = jnp.repeat(jnp.repeat(alb_h, 2, axis=0), 2, axis=1)
+        alb_s = resample_alb_half(alb_lum, sun_basis, h, w, n_coarse,
+                                  n_fine, n_phi_total, phi0, n_phi)
     elif blocked_resample:
         alb_s = _resample_heights_blocked(alb_lum, h, w, row, col)
     else:
@@ -393,6 +412,25 @@ def _build_aux(tex, alb_lum, sun_basis, sun_ang_radius,
 
 @functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "n_phi"))
 def _bounce_jit(smap, hs, alb_s, n_coarse: int, n_fine: int, n_phi: int):
+    factor = smap[:, :n_phi]
+    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
+    return jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
+                                             "n_phi"))
+def bounce_refresh(smap, hs, alb_lum, sun_basis, h: int, w: int,
+                   n_coarse: int, n_fine: int, n_phi: int):
+    """Rebuild the one-bounce irradiance map from an already-scanned
+    (smap, hs) pair: half-res albedo resample + the bounce pyramid in ONE
+    program. Dispatched asynchronously BEHIND a rendered frame (the
+    drift-reuse threshold crossing, engine/scene.py BOUNCE_REUSE_DEG), it
+    reuses the frame's own scan instead of paying a second one — the
+    held-key Q/W animation never waits on the bounce pyramid.
+
+    Requires half_grid_ok(n_coarse, n_fine, n_phi)."""
+    alb_s = resample_alb_half(alb_lum, sun_basis, h, w, n_coarse, n_fine,
+                              n_phi, 0, n_phi)
     factor = smap[:, :n_phi]
     bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
     return jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1)

@@ -299,7 +299,8 @@ def test_merged_scan_timestep_matches_split(scene, monkeypatch):
     hwin_p, awin_p = blocked.pack_pose_windows(scene._wincache)
 
     _set_fast(True)
-    rgb_m, hit_m, swin_m, scal_m, smap_m = blocked.render_timestep_scan_pallas(
+    (rgb_m, hit_m, swin_m, scal_m, smap_m,
+     hs_m) = blocked.render_timestep_scan_pallas(
         stex, scene._bounce, jnp.asarray(basis_np, jnp.float32),
         jnp.float32(ang), scene._wincache, scene._origins, hwin_p, awin_p,
         scene.background(), scene.maxmap, scene.basis(), scene._fp,
@@ -336,3 +337,90 @@ def test_merged_scan_timestep_matches_split(scene, monkeypatch):
                        np.asarray(swin_s).astype(np.float32), atol=5e-3)
     assert np.allclose(np.asarray(hit_m), np.asarray(hit_s), atol=1e-5)
     assert np.abs(np.asarray(rgb_m) - np.asarray(rgb_s)).max() < 2e-2
+
+    # async bounce refresh from the merged program's own scan outputs must
+    # reproduce the synchronous build_shadow_and_bounce pyramid
+    alb_lum = scene.alb_lum(slevel)
+    smap_a, hs_a, alb_s = shadow_scan._build_aux(
+        stex, alb_lum, jnp.asarray(basis_np, jnp.float32), jnp.float32(ang),
+        sh_, sw_, ncs, nf, nph, h_scale=scene.h_scale,
+        h_offset=scene.h_offset)
+    bmap_sync = shadow_scan._bounce_jit(smap_a, hs_a, alb_s, ncs, nf, nph)
+    bmap_async = shadow_scan.bounce_refresh(
+        smap_m, hs_m, alb_lum, jnp.asarray(basis_np, jnp.float32),
+        sh_, sw_, ncs, nf, nph)
+    assert np.allclose(np.asarray(bmap_async), np.asarray(bmap_sync),
+                       atol=2e-3)
+
+
+def _rot_x(deg: float) -> np.ndarray:
+    a = np.deg2rad(deg)
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+
+
+def test_scene_pallas_async_bounce_refresh(monkeypatch):
+    """Scene-level pallas path on CPU (interpret mode): a held-key time
+    step that crosses BOUNCE_REUSE_DEG renders with the cached bounce map
+    and dispatches bounce_refresh behind the frame (no synchronous
+    rebuild); a time jump past BOUNCE_ASYNC_MAX_DEG takes the synchronous
+    split path."""
+    from datetime import timedelta, timezone as tz
+
+    from moonrtx_tpu.engine import scene as scene_mod
+    from moonrtx_tpu.ops import shadow_scan
+
+    elev, albedo = synthesize_moon(360, 720, seed=5, n_craters=150)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=4,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    s.backend = "pallas"
+    s.shadows_on = True
+    s.update_view()
+    s.render(1)  # stands the packed-window pipeline up (pose program)
+    assert s._packed is not None and s._bounce is not None
+
+    calls = {"refresh": 0, "sync": 0}
+    orig_refresh = shadow_scan.bounce_refresh
+    orig_sync = shadow_scan.build_shadow_and_bounce
+
+    def spy_refresh(*a, **k):
+        calls["refresh"] += 1
+        return orig_refresh(*a, **k)
+
+    def spy_sync(*a, **k):
+        calls["sync"] += 1
+        return orig_sync(*a, **k)
+
+    monkeypatch.setattr(shadow_scan, "bounce_refresh", spy_refresh)
+    monkeypatch.setattr(shadow_scan, "build_shadow_and_bounce", spy_sync)
+
+    # drift under the reuse threshold: merged step, no rebuild of any kind
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    img = s.render(1)
+    assert img.max() > 0
+    assert calls == {"refresh": 0, "sync": 0}
+
+    # drift just past the reuse threshold: the frame still renders from
+    # the merged program; the bounce refresh is dispatched behind it
+    s._bounce_basis = (_rot_x(0.8) @ s._bounce_basis.T).T
+    old_bounce = s._bounce
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    img = s.render(1)
+    assert img.max() > 0
+    assert calls["refresh"] == 1 and calls["sync"] == 0
+    assert s._bounce is not old_bounce
+    cur_basis = scene_mod._sun_frame_basis_np(s._sun_state()[0])
+    assert scene_mod._rotation_angle_deg(s._bounce_basis, cur_basis) < 1e-6
+    assert np.asarray(s._bounce).shape == np.asarray(old_bounce).shape
+
+    # a jump past the async cap: synchronous rebuild for correctness
+    s._bounce_basis = (_rot_x(5.0) @ s._bounce_basis.T).T
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    img = s.render(1)
+    assert img.max() > 0
+    assert calls["refresh"] == 1 and calls["sync"] == 1
