@@ -31,6 +31,11 @@ def main():
     from datetime import datetime, timezone
 
     import jax
+    # MOONRTX_PLATFORM pins the backend before first device touch (some
+    # PJRT plugins ignore the JAX_PLATFORMS env var) — CPU smoke tests
+    plat = os.environ.get("MOONRTX_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     _enable_compile_cache()
     import jax.numpy as jnp
 
@@ -55,10 +60,13 @@ def main():
     elevation, radius_scale = load_elevation_data(None, downscale=1,
                                                   synth_shape=synth_shape)
     albedo = load_color_data(None, 1, synth_shape=alb_shape)
+    # MOONRTX_BENCH_SIZE=WxH overrides the 1080p frame (CPU smoke tests)
+    bw, bh = (int(v) for v in
+              os.environ.get("MOONRTX_BENCH_SIZE", "1920x1080").split("x"))
     cfg = RenderConfig(
         observer=Observer(50.06, 19.94, 219),
         dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
-        width=1920, height=1080, shadow_accuracy=10, backend="pallas",
+        width=bw, height=bh, shadow_accuracy=10, backend="pallas",
     ).validate()
     scene = MoonScene(cfg, elevation, radius_scale, albedo, None)
     map_texels = elevation.shape[0] * elevation.shape[1]
@@ -104,7 +112,8 @@ def main():
     geom.t_enter.block_until_ready()
     print(f"# rays ready {time.time()-t0:.0f}s", file=sys.stderr)
     scene._ensure_blocked_caches(level, geom)
-    scene._packed.scal.block_until_ready()
+    if scene._packed is not None:  # pallas path (CPU smoke falls back to
+        scene._packed.scal.block_until_ready()  # the XLA blocked backend)
     print(f"# window caches + shadow state ready {time.time()-t0:.0f}s",
           file=sys.stderr)
     scene.render_accumulation_burst(n)
@@ -165,6 +174,30 @@ def main():
         rebuilds.append(time.time() - t0)
     time_step_rebuild_ms = sorted(rebuilds)[1] * 1000.0
 
+    # held-key steady state: consecutive 15-min steps including the
+    # periodic drift-threshold crossings, which now refresh the bounce
+    # map asynchronously BEHIND the frame (engine/scene.py
+    # BOUNCE_ASYNC_MAX_DEG) instead of stalling it. Per-step sync: the
+    # app reads each frame back to display it. Warm the refresh program
+    # variant with a forced crossing first.
+    a = np.deg2rad(0.8)
+    ca, sa = np.cos(a), np.sin(a)
+    rot = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]], np.float64)
+    if scene._bounce_basis is not None:
+        scene._bounce_basis = (rot @ scene._bounce_basis.T).T
+    scene.update_view(scene.dt_local + timedelta(minutes=15))
+    scene.render_accumulation_burst(1)
+    sync()
+    n_held = 8
+    held = []
+    for _ in range(n_held):
+        t0 = time.time()
+        scene.update_view(scene.dt_local + timedelta(minutes=15))
+        scene.render_accumulation_burst(1)
+        sync()
+        held.append(time.time() - t0)
+    time_step_held_mean_ms = sum(held) / n_held * 1000.0
+
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
@@ -189,6 +222,7 @@ def main():
         "fresh_frame_latency_ms": round(latency_ms, 1),
         "time_step_latency_ms": round(time_step_ms, 1),
         "time_step_rebuild_ms": round(time_step_rebuild_ms, 1),
+        "time_step_held_mean_ms": round(time_step_held_mean_ms, 1),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

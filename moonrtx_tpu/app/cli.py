@@ -99,6 +99,11 @@ def parse_args(argv=None):
     parser.add_argument("--height", type=int, default=1080, help="Render height")
     parser.add_argument("--backend", type=str, default="auto",
                         help="Render backend: auto | blocked | reference | pallas")
+    parser.add_argument("--photometric", type=str, default="lambert",
+                        help="Surface photometric function: lambert "
+                             "(reference-matching diffuse) | lunar "
+                             "(McEwen lunar-Lambert — the real regolith's "
+                             "flat-bright full-Moon look)")
     parser.add_argument("--headless", action="store_true",
                         help="Render one view to an image file and exit")
     parser.add_argument("--save", type=str, default=None,
@@ -287,6 +292,7 @@ def config_from_args(args) -> RenderConfig:
         accumulation_frames=args.accumulation_frames,
         indirect_light=not args.no_indirect_light,
         devices=args.devices,
+        photometric=args.photometric,
     )
     try:
         cfg.validate()
@@ -314,6 +320,8 @@ def print_startup(cfg: RenderConfig) -> None:
     print(f"  Parallactic Mode: {'ON' if cfg.parallactic_mode else 'OFF'}")
     print(f"  Shadow Accuracy: {cfg.shadow_accuracy}")
     print(f"  Backend: {cfg.backend}")
+    if cfg.photometric != "lambert":
+        print(f"  Photometric: {cfg.photometric}")
     if cfg.initial_camera is not None:
         print("  Location, time and view set from --init-view parameter value")
     print()

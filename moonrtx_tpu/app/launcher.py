@@ -171,6 +171,7 @@ def run_launcher() -> None:
     parallactic_var = tk.BooleanVar(value=False)
     shadow_var = tk.StringVar(value="10")
     backend_var = tk.StringVar(value="auto")
+    photometric_var = tk.StringVar(value="lambert")
     size_var = tk.StringVar(value="1920x1080")
 
     tk.Entry(add_row("Downscale:"), textvariable=downscale_var,
@@ -190,6 +191,9 @@ def run_launcher() -> None:
              width=4).pack(side=tk.LEFT)
     ttk.Combobox(add_row("Backend:"), textvariable=backend_var,
                  values=["auto", "pallas", "blocked", "reference"],
+                 width=10, state="readonly").pack(side=tk.LEFT)
+    ttk.Combobox(add_row("Photometric:"), textvariable=photometric_var,
+                 values=["lambert", "lunar"],
                  width=10, state="readonly").pack(side=tk.LEFT)
     tk.Entry(add_row("Size:"), textvariable=size_var,
              width=10).pack(side=tk.LEFT)
@@ -224,6 +228,7 @@ def run_launcher() -> None:
             "parallactic_mode": bool(parallactic_var.get()),
             "shadow_accuracy": int(shadow_var.get()),
             "backend": backend_var.get(),
+            "photometric": photometric_var.get(),
             "width": int(w), "height": int(h),
             "elevation_file": elevfile_var.get().strip(),
             "color_file": colorfile_var.get().strip(),
@@ -257,6 +262,8 @@ def run_launcher() -> None:
             parallactic_var.set(bool(v["parallactic_mode"]))
         if "backend" in v:
             backend_var.set(v["backend"])
+        if "photometric" in v:
+            photometric_var.set(v["photometric"])
         if "width" in v and "height" in v:
             size_var.set(f"{v['width']}x{v['height']}")
         for key, var in (("elevation_file", elevfile_var),
@@ -330,6 +337,7 @@ def run_launcher() -> None:
                 "--time-step-minutes", str(v["time_step_minutes"]),
                 "--shadow-accuracy", str(v["shadow_accuracy"]),
                 "--backend", v["backend"],
+                "--photometric", v.get("photometric", "lambert"),
                 "--width", str(v["width"]), "--height", str(v["height"])]
         if v["init_view"]:
             argv += ["--init-view", v["init_view"]]

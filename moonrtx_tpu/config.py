@@ -56,6 +56,11 @@ class RenderConfig:
     # 0 = auto (all local devices), N = exactly N (image rows + shadow-scan
     # phi wedges shard over the mesh; ICI gathers the frame)
     devices: int = 1
+    # surface photometric function: "lambert" = pure diffuse (matches the
+    # reference's OptiX shading); "lunar" = McEwen lunar-Lambert blend
+    # (Lommel-Seeliger back-scattering — the real regolith's flat-bright
+    # full-Moon look; engine/light.py lunar_lambert_blend)
+    photometric: str = "lambert"
 
     def validate(self) -> "RenderConfig":
         """Range-check every field (reference main.py:298-332)."""
@@ -91,6 +96,10 @@ class RenderConfig:
             raise ConfigError("Invalid render size.")
         if self.backend not in ("auto", "blocked", "reference", "mxu", "pallas"):
             raise ConfigError(f"Invalid backend '{self.backend}'.")
+        if self.photometric not in ("lambert", "lunar"):
+            raise ConfigError(
+                f"Invalid photometric function '{self.photometric}'. "
+                "Must be 'lambert' or 'lunar'.")
         if self.quantize not in ("auto", "off", "i16"):
             raise ConfigError(f"Invalid quantize mode '{self.quantize}'.")
         if self.devices < 0 or int(self.devices) != self.devices:

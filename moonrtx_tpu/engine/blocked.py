@@ -536,7 +536,8 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
     else:
         albedo = window_bilinear(cache.awin, awy, awx)
     return shade_lambert(albedo, n, p, fp, shadow,
-                         sigma=org.sigma[:, None], bounce=bounce)
+                         sigma=org.sigma[:, None], bounce=bounce,
+                         view_db=None if geom is None else geom.db)
 
 
 # ---- shadow windows ---------------------------------------------------------
@@ -776,6 +777,8 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
 
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
     ahf, awf = jnp.float32(ah), jnp.float32(aw)
+    lblend = (jnp.float32(0.0) if fp.lunar_blend is None
+              else jnp.asarray(fp.lunar_blend, jnp.float32))
     if use_shadow and smap_params is not None:
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
@@ -785,14 +788,14 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
                        smap_params.axis_z[0], smap_params.axis_z[1],
                        smap_params.axis_z[2],
                        smap_params.axis_x[0], smap_params.axis_x[1],
-                       smap_params.axis_x[2], pix_ang, ahf, awf]
+                       smap_params.axis_x[2], pix_ang, ahf, awf, lblend]
     else:
         z = jnp.float32(0.0)
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
                        fp.irradiance, z, z, jnp.float32(1.0),
                        z, z, jnp.float32(1.0), jnp.float32(1.0), z, z,
-                       pix_ang, ahf, awf]
+                       pix_ang, ahf, awf, lblend]
     return jnp.broadcast_to(
         jnp.stack([jnp.asarray(v, jnp.float32)
                    for v in params_list])[:, None, None],

@@ -82,3 +82,25 @@ def sun_irradiance_factor(brightness: int, ephem: MoonEphemeris) -> float:
     """
     sin_ang = sun_light_radius(ephem) / C.SUN_LIGHT_DISTANCE
     return float(brightness * C.SUN_BRIGHTNESS_SCALE * sin_ang * sin_ang)
+
+
+def lunar_lambert_blend(phase_angle_deg: float) -> float:
+    """Lunar-Lambert limb-darkening parameter L(alpha).
+
+    The lunar regolith is not Lambertian: near full Moon the disk looks
+    almost uniformly bright (Lommel-Seeliger back-scattering), while a
+    Lambert sphere would darken strongly toward the limb. McEwen's (1991,
+    "Photometric functions for photoclinometry") lunar-Lambert model
+    blends the two, I = A * (2L*mu0/(mu0+mu_e) + (1-L)*mu0), with L a
+    function of phase angle alone — and the phase angle is constant
+    across the lunar disk to <0.5 deg, so L is one host scalar per frame.
+    Cubic fit to McEwen's tabulated Moon values, clamped to [0, 1]:
+    L(0)=1 (pure Lommel-Seeliger at opposition), decreasing toward pure
+    Lambert at large phase. The reference's OptiX engine shades pure
+    diffuse (Lambert); --photometric lunar is this framework's
+    physically-better option, --photometric lambert (default) matches
+    the reference.
+    """
+    a = float(phase_angle_deg)
+    lval = 1.0 - 0.019 * a + 2.42e-4 * a * a - 1.46e-6 * a * a * a
+    return float(min(1.0, max(0.0, lval)))

@@ -42,6 +42,13 @@ class FrameParams(NamedTuple):
     sun_disk_radius: jnp.ndarray # scalar
     irradiance: jnp.ndarray      # scalar linear irradiance factor
     sun_ang_radius: jnp.ndarray  # scalar, radians (penumbra width)
+    # lunar-Lambert blend L(alpha) for --photometric lunar (None = pure
+    # Lambert, the reference's diffuse model): the Moon's regolith is not
+    # Lambertian — Lommel-Seeliger scattering flattens the full-Moon disk.
+    # L depends only on the phase angle (constant across the disk to
+    # <0.5 deg), so it is one host scalar per frame (engine/light.py
+    # lunar_lambert_blend).
+    lunar_blend: Optional[jnp.ndarray] = None
 
 
 class RenderOutput(NamedTuple):
@@ -160,14 +167,16 @@ def soft_ndotl(mu, sigma):
 
 
 def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
-                  sigma=None, bounce=None):
+                  sigma=None, bounce=None, view_db=None):
     """Diffuse shading with the area light's irradiance calibration.
 
     sigma: optional per-pixel normal-tilt stddev for roughness-compensated
     shading (see soft_ndotl). bounce: optional one-bounce terrain
     irradiance (ops.shadow_scan.bounce_from_parts units: adds to
     n.l * shadow before the irradiance scale — the stand-in for the
-    reference's path-traced indirect segments, moon_renderer.py:441-445)."""
+    reference's path-traced indirect segments, moon_renderer.py:441-445).
+    view_db: per-pixel unit ray directions in the body frame; required for
+    the lunar-Lambert blend (fp.lunar_blend), ignored otherwise."""
     light_body = mat3t_apply(fp.rotation, fp.light_pos)
     to_light = normalize(light_body - p_body)
     mu = jnp.sum(n_body * to_light, axis=-1)
@@ -176,6 +185,12 @@ def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
     else:
         ndotl = jnp.where(sigma > 1e-6, soft_ndotl(mu, sigma),
                           jnp.maximum(mu, 0.0))
+    if fp.lunar_blend is not None and view_db is not None:
+        # lunar-Lambert (McEwen): L*2*mu0/(mu0+mu_e) + (1-L)*mu0, with
+        # mu_e = cos(emission) = -n.view; L=0 degenerates to exact Lambert
+        mu_e = jnp.maximum(-jnp.sum(n_body * view_db, axis=-1), 0.02)
+        ls = 2.0 * ndotl / (ndotl + mu_e + 1e-6)
+        ndotl = fp.lunar_blend * ls + (1.0 - fp.lunar_blend) * ndotl
     term = ndotl * shadow
     if bounce is not None:
         term = term + bounce
@@ -239,7 +254,8 @@ def render_frame(tex, albedo_tex, background, shadow_fn_args,
     else:
         shadow = jnp.ones_like(t_hit)
 
-    rgb = shade_lambert(albedo, n_body, p, fp, shadow, bounce=bounce)
+    rgb = shade_lambert(albedo, n_body, p, fp, shadow, bounce=bounce,
+                        view_db=db)
 
     disk = sun_disk_hit(basis.eye, dirs_scene, fp)
     if background is None:

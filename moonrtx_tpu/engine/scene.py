@@ -298,6 +298,9 @@ class MoonScene:
                 light_mod.sun_irradiance_factor(self.brightness, e)),
             sun_ang_radius=jnp.float32(
                 math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
+            lunar_blend=(
+                jnp.float32(light_mod.lunar_lambert_blend(e.phase_angle))
+                if self.config.photometric == "lunar" else None),
         )
         self._shadow_dirty = True
         # Body-frame footprints move with the rotation; sampling windows

@@ -44,13 +44,15 @@ SW = blocked.SWIN_W
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
 
-# params vector layout (19, 128) broadcast rows:
+# params vector layout (20, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
 #  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
 #  16 pixel angular size (for the footprint-matched normal stencil)
 #  17-18 albedo level rows/cols (the albedo pyramid may start coarser
 #  than the heightfield — engine.scene alb_min_level)
-N_PARAMS = 19
+#  19 lunar-Lambert blend L(alpha) (0 = pure Lambert; engine/light.py
+#  lunar_lambert_blend, engine/render.py shade_lambert)
+N_PARAMS = 20
 
 
 def _atan2(y, x):
@@ -312,6 +314,12 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         pdf = 0.39894228 * jnp.exp(-0.5 * jnp.minimum(xs * xs, 120.0))
         soft = jnp.maximum(mu * cdf + s_eff * pdf, 0.0)
         ndotl = jnp.where(sigma > 1e-6, soft, jnp.maximum(mu, 0.0))
+        # lunar-Lambert blend (engine.render.shade_lambert): mu_e from the
+        # ray direction already in registers; L=0 is exact Lambert
+        lblend = P(19)
+        mu_e = jnp.maximum(-(nX * dbx + nY * dby + nZ * dbz), 0.02)
+        ls = 2.0 * ndotl / (ndotl + mu_e + 1e-6)
+        ndotl = lblend * ls + (1.0 - lblend) * ndotl
         hitf = jnp.logical_and(found, active)
         lum = jnp.where(hitf, irradiance * (ndotl * shadow + bounce), 0.0)
 
