@@ -104,6 +104,11 @@ def parse_args(argv=None):
                              "(reference-matching diffuse) | lunar "
                              "(McEwen lunar-Lambert — the real regolith's "
                              "flat-bright full-Moon look)")
+    parser.add_argument("--no-eclipse-shading", action="store_true",
+                        help="Disable physical lunar-eclipse shading "
+                             "(umbra/penumbra + red refracted light); "
+                             "matches the reference, which renders an "
+                             "ordinary full Moon during eclipses")
     parser.add_argument("--headless", action="store_true",
                         help="Render one view to an image file and exit")
     parser.add_argument("--save", type=str, default=None,
@@ -293,6 +298,7 @@ def config_from_args(args) -> RenderConfig:
         indirect_light=not args.no_indirect_light,
         devices=args.devices,
         photometric=args.photometric,
+        eclipse_shading=not args.no_eclipse_shading,
     )
     try:
         cfg.validate()

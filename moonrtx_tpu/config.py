@@ -61,6 +61,12 @@ class RenderConfig:
     # (Lommel-Seeliger back-scattering — the real regolith's flat-bright
     # full-Moon look; engine/light.py lunar_lambert_blend)
     photometric: str = "lambert"
+    # lunar-eclipse shading: attenuate solar irradiance per shaded point by
+    # the visible-sun fraction against the Earth's disk (umbra/penumbra +
+    # red refracted light; the reference has no Earth in its scene and
+    # renders an ordinary full Moon during eclipses). Zero effect outside
+    # real eclipses — the coverage term self-gates on angular separation.
+    eclipse_shading: bool = True
 
     def validate(self) -> "RenderConfig":
         """Range-check every field (reference main.py:298-332)."""

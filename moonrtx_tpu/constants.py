@@ -72,3 +72,21 @@ EPHEMERIS_END_YEAR = 2051
 # lunar surface. 2*pi*1737.4/360 = 30.323 km/deg of arc; the reference uses
 # diameter/60.647 (= radius in degrees), data_loader.py:97.
 FEATURE_KM_PER_DEG = 60.647
+
+# ---- lunar eclipse shading ---------------------------------------------------
+# The reference has no Earth in its scene, so it renders an ordinary full
+# Moon during a lunar eclipse. Here each shaded point attenuates the solar
+# irradiance by the visible-sun fraction against the Earth's disk (umbra/
+# penumbra emerge from the circle-overlap geometry; the Earth direction's
+# ~0.25 deg parallax across the lunar surface is what moves the shadow edge
+# over the disk). Coverage is exactly zero more than aE+aS from the
+# anti-umbral axis, so the term is always-on and free outside eclipses.
+EARTH_RADIUS_KM = 6371.0
+# Umbral shadows observed during eclipses are ~2% larger than the
+# geometric Earth disk (atmospheric refraction; classical Chauvenet rule).
+UMBRA_ENLARGEMENT = 1.02
+# Sunlight refracted through the Earth's atmosphere into the umbra is deep
+# red ("blood moon"). Physically it is 1e-3..1e-4 of direct sunlight —
+# invisible at normal exposure — so, like every planetarium renderer, the
+# tint is display-calibrated: fully eclipsed light = UMBRA_TINT x direct.
+UMBRA_TINT = (0.045, 0.009, 0.003)

@@ -779,6 +779,12 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
     ahf, awf = jnp.float32(ah), jnp.float32(aw)
     lblend = (jnp.float32(0.0) if fp.lunar_blend is None
               else jnp.asarray(fp.lunar_blend, jnp.float32))
+    if fp.eclipse is not None:
+        ecl = [fp.eclipse[0], fp.eclipse[1], fp.eclipse[2],
+               fp.eclipse[3], fp.eclipse[4], fp.sun_ang_radius]
+    else:
+        ecl = [jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+               jnp.float32(1.0), jnp.float32(0.0), fp.sun_ang_radius]
     if use_shadow and smap_params is not None:
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
@@ -788,14 +794,15 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
                        smap_params.axis_z[0], smap_params.axis_z[1],
                        smap_params.axis_z[2],
                        smap_params.axis_x[0], smap_params.axis_x[1],
-                       smap_params.axis_x[2], pix_ang, ahf, awf, lblend]
+                       smap_params.axis_x[2], pix_ang, ahf, awf,
+                       lblend] + ecl
     else:
         z = jnp.float32(0.0)
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],
                        fp.irradiance, z, z, jnp.float32(1.0),
                        z, z, jnp.float32(1.0), jnp.float32(1.0), z, z,
-                       pix_ang, ahf, awf, lblend]
+                       pix_ang, ahf, awf, lblend] + ecl
     return jnp.broadcast_to(
         jnp.stack([jnp.asarray(v, jnp.float32)
                    for v in params_list])[:, None, None],

@@ -14,6 +14,7 @@ epsilon-proportional step, moon_renderer.py:62-76).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -49,6 +50,12 @@ class FrameParams(NamedTuple):
     # <0.5 deg), so it is one host scalar per frame (engine/light.py
     # lunar_lambert_blend).
     lunar_blend: Optional[jnp.ndarray] = None
+    # lunar-eclipse shading: (5,) f32 [earth_dir_body xyz, earth distance
+    # in scene units, earth angular radius in rad (0 disables)]. Coverage
+    # of the solar disk by the Earth's disk, per shaded point — umbra and
+    # penumbra emerge from the circle-overlap geometry (constants.py
+    # "lunar eclipse shading"). None = reference behavior (no Earth).
+    eclipse: Optional[jnp.ndarray] = None
 
 
 class RenderOutput(NamedTuple):
@@ -166,6 +173,49 @@ def soft_ndotl(mu, sigma):
     return jnp.maximum(mu * cdf + s * pdf, 0.0)
 
 
+def _acos_stable(x):
+    return jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
+def sun_coverage(sep, r_sun, r_earth):
+    """Fraction of the solar disk occulted by the Earth disk (flat-circle
+    lens overlap; all args radians). Exactly 0 outside contact, exactly 1
+    in totality, smooth lens area between."""
+    d = jnp.clip(sep, jnp.abs(r_earth - r_sun) + 1e-7, r_sun + r_earth - 1e-7)
+    c1 = jnp.clip((d * d + r_sun * r_sun - r_earth * r_earth)
+                  / (2.0 * d * r_sun), -1.0, 1.0)
+    c2 = jnp.clip((d * d + r_earth * r_earth - r_sun * r_sun)
+                  / (2.0 * d * r_earth), -1.0, 1.0)
+    tri = ((-d + r_sun + r_earth) * (d + r_sun - r_earth)
+           * (d - r_sun + r_earth) * (d + r_sun + r_earth))
+    lens = (r_sun * r_sun * _acos_stable(c1)
+            + r_earth * r_earth * _acos_stable(c2)
+            - 0.5 * jnp.sqrt(jnp.maximum(tri, 0.0)))
+    cov = lens / (math.pi * r_sun * r_sun)
+    cov = jnp.where(sep >= r_sun + r_earth, 0.0, cov)
+    cov = jnp.where(sep <= r_earth - r_sun, 1.0, cov)
+    return jnp.clip(cov, 0.0, 1.0)
+
+
+def eclipse_rgb_factor(fp: FrameParams, p_body, to_light):
+    """(..., 3) multiplicative irradiance factor for lunar-eclipse shading,
+    or None when fp.eclipse is unset. to_light: (..., 3) unit vectors to
+    the light (the sun's per-point parallax is negligible; the Earth's
+    ~0.25 deg parallax across the surface is the moving shadow edge)."""
+    if fp.eclipse is None:
+        return None
+    e_vec = fp.eclipse[:3] * fp.eclipse[3] - p_body
+    e_dir = normalize(e_vec)
+    cosd = jnp.sum(e_dir * to_light, axis=-1)
+    cross = jnp.cross(e_dir, to_light)
+    sind = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross, axis=-1), 0.0))
+    sep = jnp.arctan2(sind, cosd)
+    cov = sun_coverage(sep, fp.sun_ang_radius, fp.eclipse[4])
+    f = 1.0 - cov
+    tint = jnp.asarray(C.UMBRA_TINT, jnp.float32)
+    return f[..., None] + cov[..., None] * tint
+
+
 def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
                   sigma=None, bounce=None, view_db=None):
     """Diffuse shading with the area light's irradiance calibration.
@@ -194,7 +244,11 @@ def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
     term = ndotl * shadow
     if bounce is not None:
         term = term + bounce
-    return albedo * (fp.irradiance * term)[..., None]
+    rgb = albedo * (fp.irradiance * term)[..., None]
+    ecl = eclipse_rgb_factor(fp, p_body, to_light)
+    if ecl is not None:
+        rgb = rgb * ecl
+    return rgb
 
 
 def sun_disk_hit(eye, dirs_scene, fp: FrameParams):

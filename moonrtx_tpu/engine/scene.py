@@ -73,6 +73,21 @@ BOUNCE_REUSE_DEG = 0.5
 BOUNCE_ASYNC_MAX_DEG = 4 * BOUNCE_REUSE_DEG
 
 
+def _eclipse_params(e) -> np.ndarray:
+    """(5,) lunar-eclipse shading params for FrameParams.eclipse: Earth
+    direction in the body frame (= the sub-Earth point, i.e. geocentric
+    libration), Earth distance in scene units, and the refraction-enlarged
+    Earth angular radius. Coverage self-gates on angular separation, so
+    these are always set; the term only bites during an actual eclipse."""
+    lat = math.radians(e.libr_lat_geo)
+    lon = math.radians(e.libr_long_geo)
+    cl = math.cos(lat)
+    d_units = e.distance / C.MOON_RADIUS_KM * C.MOON_RADIUS
+    e_ang = math.asin(C.EARTH_RADIUS_KM * C.UMBRA_ENLARGEMENT / e.distance)
+    return np.array([cl * math.sin(lon), -cl * math.cos(lon),
+                     math.sin(lat), d_units, e_ang], np.float32)
+
+
 def _sun_frame_basis_np(sun_unit: np.ndarray) -> np.ndarray:
     """Host mirror of ops.shadow_scan.sun_frame_basis (rows = x, y, z)."""
     z = sun_unit / np.linalg.norm(sun_unit)
@@ -301,6 +316,8 @@ class MoonScene:
             lunar_blend=(
                 jnp.float32(light_mod.lunar_lambert_blend(e.phase_angle))
                 if self.config.photometric == "lunar" else None),
+            eclipse=(jnp.asarray(_eclipse_params(e), jnp.float32)
+                     if self.config.eclipse_shading else None),
         )
         self._shadow_dirty = True
         # Body-frame footprints move with the rotation; sampling windows

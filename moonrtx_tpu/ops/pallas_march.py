@@ -44,7 +44,7 @@ SW = blocked.SWIN_W
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
 
-# params vector layout (20, 128) broadcast rows:
+# params vector layout (26, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
 #  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
 #  16 pixel angular size (for the footprint-matched normal stencil)
@@ -52,7 +52,10 @@ DEG2RAD = math.pi / 180.0
 #  than the heightfield — engine.scene alb_min_level)
 #  19 lunar-Lambert blend L(alpha) (0 = pure Lambert; engine/light.py
 #  lunar_lambert_blend, engine/render.py shade_lambert)
-N_PARAMS = 20
+#  20-22 earth dir (body) | 23 earth distance (scene units) | 24 earth
+#  angular radius rad (0 = eclipse shading off) | 25 sun angular radius
+#  rad — lunar-eclipse attenuation (engine/render.py eclipse_rgb_factor)
+N_PARAMS = 26
 
 
 def _atan2(y, x):
@@ -323,9 +326,47 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         hitf = jnp.logical_and(found, active)
         lum = jnp.where(hitf, irradiance * (ndotl * shadow + bounce), 0.0)
 
-        r_ref[0] = alb_r * lum
-        g_ref[0] = alb_g * lum
-        b_ref[0] = alb_b * lum
+        # lunar-eclipse attenuation (engine.render.eclipse_rgb_factor):
+        # visible-sun fraction against the Earth's disk per shaded point;
+        # exactly 1 outside eclipses (coverage self-gates on separation)
+        eux, euy, euz = P(20), P(21), P(22)
+        edist, e_ang, s_ang = P(23), P(24), P(25)
+        evx = eux * edist - px
+        evy = euy * edist - py
+        evz = euz * edist - pz
+        inv_e = jax.lax.rsqrt(jnp.maximum(
+            evx * evx + evy * evy + evz * evz, 1e-20))
+        ex_, ey_, ez_ = evx * inv_e, evy * inv_e, evz * inv_e
+        lx_, ly_, lz_ = tlx * inv_l, tly * inv_l, tlz * inv_l
+        cosd = ex_ * lx_ + ey_ * ly_ + ez_ * lz_
+        crx = ey_ * lz_ - ez_ * ly_
+        cry = ez_ * lx_ - ex_ * lz_
+        crz = ex_ * ly_ - ey_ * lx_
+        sind = jnp.sqrt(jnp.maximum(crx * crx + cry * cry + crz * crz, 0.0))
+        sep = _atan2(sind, cosd)
+
+        def acos_(x):
+            return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+        d = jnp.clip(sep, jnp.abs(e_ang - s_ang) + 1e-7,
+                     s_ang + e_ang - 1e-7)
+        c1 = jnp.clip((d * d + s_ang * s_ang - e_ang * e_ang)
+                      / (2.0 * d * s_ang), -1.0, 1.0)
+        c2 = jnp.clip((d * d + e_ang * e_ang - s_ang * s_ang)
+                      / (2.0 * d * e_ang), -1.0, 1.0)
+        tri = ((-d + s_ang + e_ang) * (d + s_ang - e_ang)
+               * (d - s_ang + e_ang) * (d + s_ang + e_ang))
+        lens = (s_ang * s_ang * acos_(c1) + e_ang * e_ang * acos_(c2)
+                - 0.5 * jnp.sqrt(jnp.maximum(tri, 0.0)))
+        cov = lens / (math.pi * s_ang * s_ang)
+        cov = jnp.where(sep >= s_ang + e_ang, 0.0, cov)
+        cov = jnp.where(sep <= e_ang - s_ang, 1.0, cov)
+        cov = jnp.clip(cov, 0.0, 1.0)
+        fvis = 1.0 - cov
+
+        r_ref[0] = alb_r * lum * (fvis + cov * C.UMBRA_TINT[0])
+        g_ref[0] = alb_g * lum * (fvis + cov * C.UMBRA_TINT[1])
+        b_ref[0] = alb_b * lum * (fvis + cov * C.UMBRA_TINT[2])
         hit_ref[0] = hitf.astype(jnp.float32)
         thit_ref[0] = jnp.where(hitf, t_hit, 0.0)
         px_ref[0] = jnp.where(hitf, px, 0.0)
