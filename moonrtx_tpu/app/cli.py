@@ -109,6 +109,10 @@ def parse_args(argv=None):
                              "(umbra/penumbra + red refracted light); "
                              "matches the reference, which renders an "
                              "ordinary full Moon during eclipses")
+    parser.add_argument("--no-earthshine", action="store_true",
+                        help="Disable earthshine (the da Vinci glow on "
+                             "the crescent Moon's night side); matches "
+                             "the reference's pure-black night side")
     parser.add_argument("--headless", action="store_true",
                         help="Render one view to an image file and exit")
     parser.add_argument("--save", type=str, default=None,
@@ -299,6 +303,7 @@ def config_from_args(args) -> RenderConfig:
         devices=args.devices,
         photometric=args.photometric,
         eclipse_shading=not args.no_eclipse_shading,
+        earthshine=not args.no_earthshine,
     )
     try:
         cfg.validate()

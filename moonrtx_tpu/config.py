@@ -67,6 +67,11 @@ class RenderConfig:
     # renders an ordinary full Moon during eclipses). Zero effect outside
     # real eclipses — the coverage term self-gates on angular separation.
     eclipse_shading: bool = True
+    # earthshine: Lambert term toward the Earth lighting the night side
+    # (the da Vinci glow on the crescent Moon's dark limb), scaled by the
+    # Earth's illuminated fraction; display-calibrated
+    # (constants.EARTHSHINE_RELATIVE). The reference's night side is black.
+    earthshine: bool = True
 
     def validate(self) -> "RenderConfig":
         """Range-check every field (reference main.py:298-332)."""

@@ -90,3 +90,11 @@ UMBRA_ENLARGEMENT = 1.02
 # invisible at normal exposure — so, like every planetarium renderer, the
 # tint is display-calibrated: fully eclipsed light = UMBRA_TINT x direct.
 UMBRA_TINT = (0.045, 0.009, 0.003)
+# Earthshine (the "da Vinci glow" lighting the crescent Moon's night
+# side). Physically the full Earth illuminates the Moon at ~1e-4 of
+# direct sunlight — invisible at normal Moon exposure — so, like the
+# umbral tint, the scale is display-calibrated: irradiance relative to
+# direct sunlight at FULL Earth; scaled by the Earth's illuminated
+# fraction (1 - cos(moon phase angle))/2 per frame (engine/light.py
+# earthshine_fraction). The reference renders the night side pure black.
+EARTHSHINE_RELATIVE = 0.012

@@ -779,12 +779,13 @@ def _kernel_params(ob, fp: FrameParams, smap_params, use_shadow: bool,
     ahf, awf = jnp.float32(ah), jnp.float32(aw)
     lblend = (jnp.float32(0.0) if fp.lunar_blend is None
               else jnp.asarray(fp.lunar_blend, jnp.float32))
-    if fp.eclipse is not None:
-        ecl = [fp.eclipse[0], fp.eclipse[1], fp.eclipse[2],
-               fp.eclipse[3], fp.eclipse[4], fp.sun_ang_radius]
+    if fp.earth is not None:
+        ecl = [fp.earth[0], fp.earth[1], fp.earth[2], fp.earth[3],
+               fp.earth[4], fp.sun_ang_radius, fp.earth[5]]
     else:
         ecl = [jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
-               jnp.float32(1.0), jnp.float32(0.0), fp.sun_ang_radius]
+               jnp.float32(1.0), jnp.float32(0.0), fp.sun_ang_radius,
+               jnp.float32(0.0)]
     if use_shadow and smap_params is not None:
         params_list = [ob[0], ob[1], ob[2],
                        light_body[0], light_body[1], light_body[2],

@@ -104,3 +104,14 @@ def lunar_lambert_blend(phase_angle_deg: float) -> float:
     a = float(phase_angle_deg)
     lval = 1.0 - 0.019 * a + 2.42e-4 * a * a - 1.46e-6 * a * a * a
     return float(min(1.0, max(0.0, lval)))
+
+
+def earthshine_fraction(phase_angle_deg: float) -> float:
+    """Illuminated fraction of the Earth as seen from the Moon.
+
+    The Earth's phase seen from the Moon is the supplement of the Moon's
+    phase seen from Earth: full Earth over the new Moon (strongest
+    earthshine, the "da Vinci glow"), new Earth over the full Moon (none).
+    fraction = (1 - cos(moon phase angle)) / 2.
+    """
+    return 0.5 * (1.0 - math.cos(math.radians(float(phase_angle_deg))))

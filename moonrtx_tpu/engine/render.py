@@ -50,12 +50,15 @@ class FrameParams(NamedTuple):
     # <0.5 deg), so it is one host scalar per frame (engine/light.py
     # lunar_lambert_blend).
     lunar_blend: Optional[jnp.ndarray] = None
-    # lunar-eclipse shading: (5,) f32 [earth_dir_body xyz, earth distance
-    # in scene units, earth angular radius in rad (0 disables)]. Coverage
-    # of the solar disk by the Earth's disk, per shaded point — umbra and
-    # penumbra emerge from the circle-overlap geometry (constants.py
-    # "lunar eclipse shading"). None = reference behavior (no Earth).
-    eclipse: Optional[jnp.ndarray] = None
+    # Earth-dependent light terms: (6,) f32 [earth_dir_body xyz, earth
+    # distance in scene units, earth angular radius in rad (0 disables
+    # eclipse shading), earthshine irradiance relative to direct sunlight
+    # (0 disables)]. Eclipse: coverage of the solar disk by the Earth's
+    # disk per shaded point — umbra and penumbra emerge from the
+    # circle-overlap geometry (constants.py "lunar eclipse shading").
+    # Earthshine: Lambert term toward the Earth lighting the night side
+    # (the da Vinci glow). None = reference behavior (no Earth at all).
+    earth: Optional[jnp.ndarray] = None
 
 
 class RenderOutput(NamedTuple):
@@ -197,23 +200,32 @@ def sun_coverage(sep, r_sun, r_earth):
     return jnp.clip(cov, 0.0, 1.0)
 
 
-def eclipse_rgb_factor(fp: FrameParams, p_body, to_light):
-    """(..., 3) multiplicative irradiance factor for lunar-eclipse shading,
-    or None when fp.eclipse is unset. to_light: (..., 3) unit vectors to
-    the light (the sun's per-point parallax is negligible; the Earth's
-    ~0.25 deg parallax across the surface is the moving shadow edge)."""
-    if fp.eclipse is None:
-        return None
-    e_vec = fp.eclipse[:3] * fp.eclipse[3] - p_body
+def earth_light_terms(fp: FrameParams, p_body, to_light, n_body):
+    """Earth-dependent light terms, or (None, None) when fp.earth is unset.
+
+    Returns (eclipse_rgb, earthshine): eclipse_rgb is the (..., 3)
+    multiplicative factor on DIRECT solar irradiance (visible-sun fraction
+    against the Earth disk + red refracted umbral light — the sun's
+    per-point parallax is negligible; the Earth's ~0.25 deg parallax
+    across the surface is the moving shadow edge); earthshine is the
+    (...,) ADDITIVE term (relative to direct sunlight) lighting the night
+    side from the Earth's direction — not attenuated by the eclipse factor
+    (earthlight is not blocked by the Earth)."""
+    if fp.earth is None:
+        return None, None
+    e_vec = fp.earth[:3] * fp.earth[3] - p_body
     e_dir = normalize(e_vec)
     cosd = jnp.sum(e_dir * to_light, axis=-1)
     cross = jnp.cross(e_dir, to_light)
     sind = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross, axis=-1), 0.0))
     sep = jnp.arctan2(sind, cosd)
-    cov = sun_coverage(sep, fp.sun_ang_radius, fp.eclipse[4])
+    cov = sun_coverage(sep, fp.sun_ang_radius, fp.earth[4])
     f = 1.0 - cov
     tint = jnp.asarray(C.UMBRA_TINT, jnp.float32)
-    return f[..., None] + cov[..., None] * tint
+    eclipse_rgb = f[..., None] + cov[..., None] * tint
+    earthshine = fp.earth[5] * jnp.maximum(
+        jnp.sum(n_body * e_dir, axis=-1), 0.0)
+    return eclipse_rgb, earthshine
 
 
 def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
@@ -245,9 +257,9 @@ def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
     if bounce is not None:
         term = term + bounce
     rgb = albedo * (fp.irradiance * term)[..., None]
-    ecl = eclipse_rgb_factor(fp, p_body, to_light)
+    ecl, earthshine = earth_light_terms(fp, p_body, to_light, n_body)
     if ecl is not None:
-        rgb = rgb * ecl
+        rgb = rgb * ecl + albedo * (fp.irradiance * earthshine)[..., None]
     return rgb
 
 

@@ -73,19 +73,24 @@ BOUNCE_REUSE_DEG = 0.5
 BOUNCE_ASYNC_MAX_DEG = 4 * BOUNCE_REUSE_DEG
 
 
-def _eclipse_params(e) -> np.ndarray:
-    """(5,) lunar-eclipse shading params for FrameParams.eclipse: Earth
-    direction in the body frame (= the sub-Earth point, i.e. geocentric
-    libration), Earth distance in scene units, and the refraction-enlarged
-    Earth angular radius. Coverage self-gates on angular separation, so
-    these are always set; the term only bites during an actual eclipse."""
+def _earth_params(e, eclipse: bool, earthshine: bool) -> np.ndarray:
+    """(6,) Earth-light params for FrameParams.earth: Earth direction in
+    the body frame (= the sub-Earth point, i.e. geocentric libration),
+    Earth distance in scene units, the refraction-enlarged Earth angular
+    radius (0 disables eclipse shading — otherwise coverage self-gates on
+    angular separation and only bites during an actual eclipse), and the
+    earthshine irradiance relative to direct sunlight (0 disables)."""
     lat = math.radians(e.libr_lat_geo)
     lon = math.radians(e.libr_long_geo)
     cl = math.cos(lat)
     d_units = e.distance / C.MOON_RADIUS_KM * C.MOON_RADIUS
-    e_ang = math.asin(C.EARTH_RADIUS_KM * C.UMBRA_ENLARGEMENT / e.distance)
+    e_ang = (math.asin(C.EARTH_RADIUS_KM * C.UMBRA_ENLARGEMENT / e.distance)
+             if eclipse else 0.0)
+    es = (C.EARTHSHINE_RELATIVE
+          * light_mod.earthshine_fraction(e.phase_angle)
+          if earthshine else 0.0)
     return np.array([cl * math.sin(lon), -cl * math.cos(lon),
-                     math.sin(lat), d_units, e_ang], np.float32)
+                     math.sin(lat), d_units, e_ang, es], np.float32)
 
 
 def _sun_frame_basis_np(sun_unit: np.ndarray) -> np.ndarray:
@@ -316,8 +321,11 @@ class MoonScene:
             lunar_blend=(
                 jnp.float32(light_mod.lunar_lambert_blend(e.phase_angle))
                 if self.config.photometric == "lunar" else None),
-            eclipse=(jnp.asarray(_eclipse_params(e), jnp.float32)
-                     if self.config.eclipse_shading else None),
+            earth=(jnp.asarray(_earth_params(
+                       e, self.config.eclipse_shading,
+                       self.config.earthshine), jnp.float32)
+                   if (self.config.eclipse_shading
+                       or self.config.earthshine) else None),
         )
         self._shadow_dirty = True
         # Body-frame footprints move with the rotation; sampling windows

@@ -44,7 +44,7 @@ SW = blocked.SWIN_W
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
 
-# params vector layout (26, 128) broadcast rows:
+# params vector layout (27, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
 #  8 n_smap_fine | 9 n_phi | 10-12 sun axis z | 13-15 sun axis x
 #  16 pixel angular size (for the footprint-matched normal stencil)
@@ -54,8 +54,9 @@ DEG2RAD = math.pi / 180.0
 #  lunar_lambert_blend, engine/render.py shade_lambert)
 #  20-22 earth dir (body) | 23 earth distance (scene units) | 24 earth
 #  angular radius rad (0 = eclipse shading off) | 25 sun angular radius
-#  rad — lunar-eclipse attenuation (engine/render.py eclipse_rgb_factor)
-N_PARAMS = 26
+#  rad | 26 earthshine irradiance relative to direct sunlight (0 = off)
+#  — Earth-dependent light terms (engine/render.py earth_light_terms)
+N_PARAMS = 27
 
 
 def _atan2(y, x):
@@ -326,9 +327,10 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         hitf = jnp.logical_and(found, active)
         lum = jnp.where(hitf, irradiance * (ndotl * shadow + bounce), 0.0)
 
-        # lunar-eclipse attenuation (engine.render.eclipse_rgb_factor):
-        # visible-sun fraction against the Earth's disk per shaded point;
-        # exactly 1 outside eclipses (coverage self-gates on separation)
+        # Earth-dependent light terms (engine.render.earth_light_terms):
+        # lunar-eclipse attenuation (visible-sun fraction against the
+        # Earth's disk per shaded point; exactly 1 outside eclipses —
+        # coverage self-gates on separation) + earthshine on the night side
         eux, euy, euz = P(20), P(21), P(22)
         edist, e_ang, s_ang = P(23), P(24), P(25)
         evx = eux * edist - px
@@ -364,9 +366,15 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         cov = jnp.clip(cov, 0.0, 1.0)
         fvis = 1.0 - cov
 
-        r_ref[0] = alb_r * lum * (fvis + cov * C.UMBRA_TINT[0])
-        g_ref[0] = alb_g * lum * (fvis + cov * C.UMBRA_TINT[1])
-        b_ref[0] = alb_b * lum * (fvis + cov * C.UMBRA_TINT[2])
+        # earthshine (da Vinci glow): Lambert toward the Earth, additive,
+        # not attenuated by the eclipse factor (earthlight is not blocked
+        # by the Earth); e_dir is already in registers from the eclipse
+        mu_e_dir = jnp.maximum(nX * ex_ + nY * ey_ + nZ * ez_, 0.0)
+        lum_es = jnp.where(hitf, irradiance * P(26) * mu_e_dir, 0.0)
+
+        r_ref[0] = alb_r * (lum * (fvis + cov * C.UMBRA_TINT[0]) + lum_es)
+        g_ref[0] = alb_g * (lum * (fvis + cov * C.UMBRA_TINT[1]) + lum_es)
+        b_ref[0] = alb_b * (lum * (fvis + cov * C.UMBRA_TINT[2]) + lum_es)
         hit_ref[0] = hitf.astype(jnp.float32)
         thit_ref[0] = jnp.where(hitf, t_hit, 0.0)
         px_ref[0] = jnp.where(hitf, px, 0.0)

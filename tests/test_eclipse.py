@@ -17,7 +17,7 @@ import pytest
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.config import RenderConfig
 from moonrtx_tpu.engine.render import sun_coverage
-from moonrtx_tpu.engine.scene import MoonScene, _eclipse_params
+from moonrtx_tpu.engine.scene import MoonScene, _earth_params
 from moonrtx_tpu.types import Observer
 
 OBS = Observer(50.06, 19.94, 219)
@@ -43,7 +43,7 @@ def _center_coverage(dt):
     from moonrtx_tpu.engine import light as lm
 
     e = calculate_ephemeris(dt, OBS, False)
-    p = _eclipse_params(e)
+    p = _earth_params(e, eclipse=True, earthshine=False)
     sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
         lm.calculate_light_pos(e))
     sun_u = sun_body / np.linalg.norm(sun_body)
@@ -126,3 +126,54 @@ def test_cli_eclipse_flag():
     assert config_from_args(parse_args(argv)).eclipse_shading is True
     cfg = config_from_args(parse_args(argv + ["--no-eclipse-shading"]))
     assert cfg.eclipse_shading is False
+
+
+# ---- earthshine (da Vinci glow) ---------------------------------------------
+
+CRESCENT = datetime(2024, 4, 11, 19, 30, tzinfo=timezone.utc)
+
+
+def _render_es(dt, earthshine: bool, width=160, height=160):
+    h, w = 180, 360
+    tex = np.ones((h, w), np.float32)
+    albedo = np.full((h, w, 3), 0.35, np.float32)
+    cfg = RenderConfig(observer=OBS, dt_local=dt, width=width, height=height,
+                       shadow_accuracy=4,
+                       earthshine=earthshine).validate()
+    s = MoonScene(cfg, tex, 1.0, albedo, None)
+    s.backend = "blocked"
+    s.shadows_on = False
+    s.update_view()
+    s.render(1)
+    return np.asarray(s._accum), np.asarray(s._hitbuf)[..., 3] > 0
+
+
+def test_earthshine_fraction():
+    from moonrtx_tpu.engine.light import earthshine_fraction
+
+    assert earthshine_fraction(0.0) == 0.0      # full Moon: new Earth
+    assert earthshine_fraction(180.0) == 1.0    # new Moon: full Earth
+    assert abs(earthshine_fraction(90.0) - 0.5) < 1e-12
+
+
+def test_earthshine_lights_crescent_night_side():
+    img_on, hit = _render_es(CRESCENT, True)
+    img_off, _ = _render_es(CRESCENT, False)
+    lum_on = img_on.max(axis=-1)
+    lum_off = img_off.max(axis=-1)
+    # the dark side: hit pixels that are (near) black without earthshine
+    dark = hit & (lum_off < 1e-5)
+    assert dark.sum() > hit.sum() * 0.3   # a crescent has a big night side
+    assert float(lum_on[dark].mean()) > 1e-4          # visibly lit now
+    assert float(lum_on[dark].mean()) < 0.05 * float(
+        lum_on[hit & ~dark].mean())                   # but much dimmer
+    # nothing on the lit side got darker
+    assert float((img_on - img_off).min()) > -1e-6
+
+
+def test_earthshine_negligible_at_full_moon():
+    img_on, hit = _render_es(PLAIN_FULL, True)
+    img_off, _ = _render_es(PLAIN_FULL, False)
+    # new Earth over the full Moon: fraction ~ 5e-4 of an already
+    # display-calibrated 1.2% term
+    assert float(np.abs(img_on - img_off).max()) < 1e-4
