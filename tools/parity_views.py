@@ -53,7 +53,9 @@ VIEWS = [
     ("archimedes", "Archimedes", "Archimedes with neighbours"),
     ("grid", None, "Selenographic grid and labels (full disk, grid on)"),
     ("timocharis", "Timocharis", "Lonely Timocharis"),
-    ("rima_hesiodus", "Rima Hesiodus", "Rima Hesiodus and Rupes Recta"),
+    # the rille itself is not a catalog entry (neither here nor in the
+    # reference CSV) — frame its parent crater, where the rille begins
+    ("rima_hesiodus", "Hesiodus", "Rima Hesiodus and Rupes Recta"),
     ("maria", None, "Maria (full disk)"),
     ("mare_smythii", "Mare Smythii", "Mare Smythii"),
     ("theophilus", "Theophilus", "Theophilus"),
@@ -191,6 +193,12 @@ def render_view(scene, feature, grid=False, zoom_frac=0.25):
 
 
 def main():
+    # pin the platform BEFORE the first device touch — some PJRT plugins
+    # (tunneled TPU backends) ignore the JAX_PLATFORMS env var
+    plat = os.environ.get("MOONRTX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     small = "--small" in sys.argv
     tiny = "--tiny" in sys.argv
     only = None
@@ -223,7 +231,11 @@ def main():
         cfg = RenderConfig(
             observer=OBSERVER, dt_local=dt, width=size[0], height=size[1],
             shadow_accuracy=2 if tiny else 4 if small else 10,
-            accumulation_frames=1 if tiny else 2 if small else 8).validate()
+            accumulation_frames=1 if tiny else 2 if small else 8,
+            # reference-parity mode: the reference's night side is black;
+            # earthshine would trip the luminance-threshold terminator
+            # detector deep into the dark side
+            earthshine=False, eclipse_shading=False).validate()
         scene = MoonScene(cfg, elevation, radius_scale, albedo, None)
         scene.features = sorted(feats.values(), key=lambda x: x.angular_radius)
         scene.update_view()
