@@ -172,6 +172,8 @@ def run_launcher() -> None:
     shadow_var = tk.StringVar(value="10")
     backend_var = tk.StringVar(value="auto")
     photometric_var = tk.StringVar(value="lambert")
+    eclipse_var = tk.BooleanVar(value=True)
+    earthshine_var = tk.BooleanVar(value=True)
     size_var = tk.StringVar(value="1920x1080")
 
     tk.Entry(add_row("Downscale:"), textvariable=downscale_var,
@@ -195,6 +197,10 @@ def run_launcher() -> None:
     ttk.Combobox(add_row("Photometric:"), textvariable=photometric_var,
                  values=["lambert", "lunar"],
                  width=10, state="readonly").pack(side=tk.LEFT)
+    tk.Checkbutton(add_row("Eclipse shading:"),
+                   variable=eclipse_var).pack(side=tk.LEFT)
+    tk.Checkbutton(add_row("Earthshine:"),
+                   variable=earthshine_var).pack(side=tk.LEFT)
     tk.Entry(add_row("Size:"), textvariable=size_var,
              width=10).pack(side=tk.LEFT)
 
@@ -229,6 +235,8 @@ def run_launcher() -> None:
             "shadow_accuracy": int(shadow_var.get()),
             "backend": backend_var.get(),
             "photometric": photometric_var.get(),
+            "eclipse_shading": bool(eclipse_var.get()),
+            "earthshine": bool(earthshine_var.get()),
             "width": int(w), "height": int(h),
             "elevation_file": elevfile_var.get().strip(),
             "color_file": colorfile_var.get().strip(),
@@ -264,6 +272,10 @@ def run_launcher() -> None:
             backend_var.set(v["backend"])
         if "photometric" in v:
             photometric_var.set(v["photometric"])
+        if "eclipse_shading" in v:
+            eclipse_var.set(bool(v["eclipse_shading"]))
+        if "earthshine" in v:
+            earthshine_var.set(bool(v["earthshine"]))
         if "width" in v and "height" in v:
             size_var.set(f"{v['width']}x{v['height']}")
         for key, var in (("elevation_file", elevfile_var),
@@ -339,6 +351,10 @@ def run_launcher() -> None:
                 "--backend", v["backend"],
                 "--photometric", v.get("photometric", "lambert"),
                 "--width", str(v["width"]), "--height", str(v["height"])]
+        if not v.get("eclipse_shading", True):
+            argv += ["--no-eclipse-shading"]
+        if not v.get("earthshine", True):
+            argv += ["--no-earthshine"]
         if v["init_view"]:
             argv += ["--init-view", v["init_view"]]
         else:
