@@ -115,6 +115,10 @@ def parse_args(argv=None):
                              "the reference's pure-black night side")
     parser.add_argument("--headless", action="store_true",
                         help="Render one view to an image file and exit")
+    parser.add_argument("--timelapse-frames", type=int, default=1,
+                        help="With --headless: render this many frames "
+                             "stepping --time-step-minutes between them "
+                             "(saved as <stem>_NNNN.png)")
     parser.add_argument("--save", type=str, default=None,
                         help="Output path for --headless (default: the "
                              "view-state filename + .png)")
@@ -373,9 +377,14 @@ def main(argv=None):
     print_startup(cfg)
 
     if args.headless:
-        from moonrtx_tpu.app.headless import render_headless
-        render_headless(cfg, save_path=args.save,
-                        n_frames=args.accumulation_frames)
+        if args.timelapse_frames > 1:
+            from moonrtx_tpu.app.headless import render_timelapse
+            render_timelapse(cfg, args.save, args.timelapse_frames,
+                             n_frames=args.accumulation_frames)
+        else:
+            from moonrtx_tpu.app.headless import render_headless
+            render_headless(cfg, save_path=args.save,
+                            n_frames=args.accumulation_frames)
         return
 
     from moonrtx_tpu.app.window import run_window

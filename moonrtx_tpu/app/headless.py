@@ -73,3 +73,35 @@ def render_headless(config: RenderConfig, save_path: Optional[str] = None,
                                                    : scene.out_width],
                gamma=scene.gamma)
     return save_path
+
+
+def render_timelapse(config: RenderConfig, save_path: Optional[str],
+                     timelapse_frames: int,
+                     n_frames: Optional[int] = None) -> list[str]:
+    """Render a frame sequence stepping time by config.time_step_minutes
+    between frames (the Q/W hot path, reference moon_renderer.py:638-664,
+    driven headlessly) and save <stem>_NNNN<ext>. Returns the paths.
+
+    No reference equivalent — the reference can auto-advance on screen but
+    cannot export a sequence; assemble with e.g.
+    `ffmpeg -i moon_%04d.png timelapse.mp4`."""
+    from datetime import timedelta
+
+    scene = build_scene(config, with_starmap=True)
+    scene.update_view()
+    if save_path is None:
+        save_path = default_screenshot_name(scene) + ".png"
+    stem, ext = os.path.splitext(save_path)
+    paths = []
+    for i in range(timelapse_frames):
+        if i:
+            scene.update_view(scene.dt_local + timedelta(
+                minutes=config.time_step_minutes))
+        img = scene.render(n_frames)
+        p = f"{stem}_{i:04d}{ext or '.png'}"
+        save_image(img, p,
+                   linear_hdr=np.asarray(scene._accum)[: scene.out_height,
+                                                       : scene.out_width],
+                   gamma=scene.gamma)
+        paths.append(p)
+    return paths

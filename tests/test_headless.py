@@ -60,3 +60,36 @@ def test_render_headless_and_restore(tmp_path):
 
     t16 = cv2.imread(tiff, cv2.IMREAD_UNCHANGED)
     assert t16.dtype == np.uint16
+
+
+def test_render_timelapse_sequence(tmp_path):
+    """Timelapse export: N frames stepping --time-step-minutes apart; the
+    terminator moves between frames (the Q/W hot path driven headlessly)."""
+    from PIL import Image
+
+    from moonrtx_tpu.app.headless import render_timelapse
+
+    out = str(tmp_path / "moon.png")
+    cfg = config_from_args(parse_args([
+        "--lat", "50.0614", "--lon", "19.9365",
+        "--time", "2024-04-15T21:00:00Z", "--no-download",
+        "--width", "128", "--height", "96", "--shadow-accuracy", "2",
+        "--time-step-minutes", "720",
+    ]))
+    paths = render_timelapse(cfg, out, timelapse_frames=3, n_frames=1)
+    assert [os.path.basename(p) for p in paths] == [
+        "moon_0000.png", "moon_0001.png", "moon_0002.png"]
+    frames = [np.asarray(Image.open(p)).astype(np.int16) for p in paths]
+    for f in frames:
+        assert f.shape == (96, 128, 3) and f.mean() > 1.0
+    # 12 h sun motion: successive frames differ substantially
+    assert np.abs(frames[1] - frames[0]).mean() > 0.5
+    assert np.abs(frames[2] - frames[1]).mean() > 0.5
+
+
+def test_cli_timelapse_flag():
+    args = parse_args(["--lat", "1", "--lon", "2", "--no-download",
+                       "--timelapse-frames", "5"])
+    assert args.timelapse_frames == 5
+    assert parse_args(["--lat", "1", "--lon", "2",
+                       "--no-download"]).timelapse_frames == 1
