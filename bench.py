@@ -27,6 +27,31 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _probe_device(
+        timeout_s: float = float(os.environ.get("MOONRTX_PROBE_TIMEOUT",
+                                                600.0))) -> None:
+    """Fail fast (with a diagnostic JSON line) if the accelerator is
+    unreachable, instead of hanging forever on PJRT init. The tunneled TPU
+    backend has been observed to block jax.devices() indefinitely when the
+    tunnel is down; a subprocess probe with a generous timeout (cold
+    handshake is ~130 s) converts that hang into an actionable record."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "1080p_frame_time_exact_shadows",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"accelerator unreachable: {type(e).__name__} "
+                     f"(device init did not complete in {timeout_s:.0f}s)",
+        }))
+        sys.exit(1)
+
+
 def main():
     from datetime import datetime, timezone
 
@@ -36,6 +61,8 @@ def main():
     plat = os.environ.get("MOONRTX_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    else:
+        _probe_device()
     _enable_compile_cache()
     import jax.numpy as jnp
 
