@@ -166,6 +166,21 @@ def main():
                use_shadow=True, hbound=scene._hbound),
            out_pick=lambda r: r[1])
 
+    # async bounce refresh program alone (dispatched behind a
+    # threshold-crossing held-key frame; engine/scene.py
+    # BOUNCE_ASYNC_MAX_DEG)
+    if shadow_scan.half_grid_ok(ncs, nf, nph):
+        factor, hs = shadow_scan.scan_wedge(
+            stex, sun_basis, jnp.float32(ang), sh, sw, ncs, nf, nph, 0,
+            nph, blocked_resample=True, h_scale=scene.h_scale,
+            h_offset=scene.h_offset, return_heights=True)
+        smap_pad = jnp.concatenate(
+            [factor, factor[:, :shadow_scan.PHI_PAD]], axis=1)
+        alb_lum = scene.alb_lum(slevel)
+        _timed("bounce_refresh (async, behind frame)",
+               lambda: shadow_scan.bounce_refresh(
+                   smap_pad, hs, alb_lum, sun_basis, sh, sw, ncs, nf, nph))
+
     # full end-to-end step as the bench measures it
     def step():
         scene.update_view(scene.dt_local + timedelta(minutes=15))
@@ -173,7 +188,37 @@ def main():
         return scene._hitbuf
 
     scene.render_accumulation_burst(1)
-    _timed("scene time step end-to-end", step)
+    _timed("scene time step end-to-end (drift-reuse)", step)
+
+    # threshold-crossing step: renders from the merged program, bounce
+    # refresh dispatched behind the frame
+    def step_crossing():
+        a = np.deg2rad(0.8)
+        ca, sa = np.cos(a), np.sin(a)
+        rot = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]], np.float64)
+        if scene._bounce_basis is not None:
+            scene._bounce_basis = (rot @ scene._bounce_basis.T).T
+        return step()
+
+    _timed("scene time step end-to-end (async refresh)", step_crossing)
+
+    # synchronous rebuild (time jump past BOUNCE_ASYNC_MAX_DEG)
+    def step_jump():
+        scene._bounce_basis = None
+        return step()
+
+    _timed("scene time step end-to-end (sync rebuild)", step_jump)
+
+    # camera pose change end-to-end (window re-extraction + repack + frame)
+    from moonrtx_tpu.interact.navigation import navigate_view
+
+    def pose_change():
+        scene.set_camera(navigate_view(scene.camera, "Right", 0.02))
+        scene.render_accumulation_burst(1)
+        return scene._hitbuf
+
+    pose_change()  # warm
+    _timed("scene pose change end-to-end", pose_change)
 
 
 if __name__ == "__main__":
