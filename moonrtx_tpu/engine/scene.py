@@ -405,16 +405,23 @@ class MoonScene:
         return min(max(level + blocked.ALB_DOWN, self.alb_min_level),
                    len(self.albedo_mips) - 1)
 
+    def _capped_level(self, lvl: int) -> int:
+        """Walk down the pyramid until a level fits the SHADOW_MAX_TEXELS
+        working-set cap — the single policy shared by the shadow scan and
+        the host elevation copy (they must read the same grid or
+        measurement drags would disagree with what shadows sampled)."""
+        while (lvl + 1 < len(self.mips)
+               and self.mip_shapes[lvl][0] * self.mip_shapes[lvl][1]
+               > SHADOW_MAX_TEXELS):
+            lvl += 1
+        return lvl
+
     def shadow_level(self) -> int:
         """Mip level the shadow scan (and bounce alb_lum) builds from: the
         render level, floored so the source map stays scan-grid-sized
         (SHADOW_MAX_TEXELS) — the scan resamples onto <= 2304x4096 cells,
         so feeding it a multi-gigatexel level 0 wastes bandwidth and HBM."""
-        lvl = max(self.mip_level(), 0)
-        while (lvl + 1 < len(self.mips)
-               and self.mip_shapes[lvl][0] * self.mip_shapes[lvl][1]
-               > SHADOW_MAX_TEXELS):
-            lvl += 1
+        lvl = self._capped_level(max(self.mip_level(), 0))
         if self.indirect_light:
             # the bounce scan samples alb_lum on the same grid as tex
             lvl = max(lvl, self.alb_min_level)
@@ -469,7 +476,8 @@ class MoonScene:
             self.mesh, tex, jnp.asarray(basis_np, jnp.float32),
             jnp.float32(ang), h, w, ncs, nf, nph,
             alb_lum=(self.alb_lum(self.shadow_level())
-                     if self.indirect_light else None))
+                     if self.indirect_light else None),
+            h_scale=self.h_scale, h_offset=self.h_offset)
         params = shadow_scan.ShadowMapParams(
             axis_x=jnp.asarray(basis_np[0], jnp.float32),
             axis_y=jnp.asarray(basis_np[1], jnp.float32),
@@ -702,7 +710,7 @@ class MoonScene:
                     self.basis(), self._fp, jitter[None, :],
                     self.height, self.width, h, w, self.h_min,
                     ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on,
-                    interpret=self._interp())
+                    hbound=self._hbound, interpret=self._interp())
                 out = render_mod.RenderOutput(rgb=rgb1, hitbuf=hitbuf1)
             else:
                 out = blocked.render_frame_blocked(
@@ -767,7 +775,8 @@ class MoonScene:
             n_samples=n_samples, use_shadow=self.shadows_on,
             interpret=self._interp(),
             h_scale=self.h_scale, h_offset=self.h_offset,
-            a_scale=self.a_scale)
+            a_scale=self.a_scale,
+            slope_maps=self.slope_maps[level:level + 2])
 
     def render_accumulation_burst(self, n_samples: int) -> None:
         """All accumulation samples in one device program (pallas backend)."""
@@ -896,12 +905,7 @@ class MoonScene:
         cached once — measurement drags must not re-transfer device mips
         per mouse event. Uses the shadow-capped level for quantized
         (multi-gigatexel) maps so the host copy stays small."""
-        lvl = 0
-        if self.quantized:
-            while (lvl + 1 < len(self.mips)
-                   and self.mip_shapes[lvl][0] * self.mip_shapes[lvl][1]
-                   > SHADOW_MAX_TEXELS):
-                lvl += 1
+        lvl = self._capped_level(0) if self.quantized else 0
         src = self.mips[lvl]
         if self._elev_host is None or self._elev_host_src is not src:
             m = np.asarray(src)[:, : self.mip_shapes[lvl][1]]

@@ -122,12 +122,18 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                 n_coarse: int = 12, use_shadow: bool = True,
                                 interpret: bool = False,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
-                                a_scale: float = 1.0):
+                                a_scale: float = 1.0, slope_maps=None):
     """The FLAGSHIP path sharded: per row strip, window extraction + kernel
     pack + the fused Pallas march/shade accumulation burst all run inside
     shard_map — the whole pose-change-to-accumulated-frame pipeline is one
     sharded program, not just the XLA blocked fallback. Returns
     (rgb_mean, hitbuf) sharded by rows.
+
+    slope_maps: (>=2, ch, cw) per-level mean-squared-slope maps for the
+    render level and level+1 (engine.scene passes
+    ``self.slope_maps[level:level+2]``) so per-block LOD drops keep the
+    roughness-compensated shading the single-device paths apply; without
+    them sigma=0 and mesh frames lose soft_ndotl at mip-stride seams.
 
     On the virtual CPU mesh the kernel runs in Pallas interpret mode
     (interpret=True) with identical semantics — how the parity tests and
@@ -141,9 +147,12 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
     mip_pad_w = mip.shape[1]
     a_pad_w = albedo_mip.shape[1]
     use_sh = use_shadow and shadow_map is not None
+    if slope_maps is None:
+        # zeros -> sigma == 0, the explicit "no compensation" fallback
+        slope_maps = jnp.zeros((2, 1, 1), jnp.float32)
 
     def strip(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp,
-              jitters):
+              jitters, slope_maps):
         idx = jax.lax.axis_index(TILE_AXIS)
         row_offset = idx * strip_h
 
@@ -155,7 +164,8 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 
         geom0 = rays(jitters[0])
         org = blocked.window_origins(geom0, h, w, mip_pad_w, ah, aw,
-                                     a_pad_w, max_qexp=1)
+                                     a_pad_w, max_qexp=1,
+                                     slope_maps=slope_maps)
         cache = blocked.extract_window_cache(
             (mip, mip_next), (albedo_mip, albedo_next), org,
             h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
@@ -215,19 +225,22 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 
     return shard_map(
         strip, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,
-    )(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp, jitters)
+    )(mip, mip_next, albedo_mip, albedo_next, maxmap, basis, fp, jitters,
+      slope_maps)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "h", "w", "n_coarse_rows", "n_fine", "n_phi"),
+    static_argnames=("mesh", "h", "w", "n_coarse_rows", "n_fine", "n_phi",
+                     "h_scale", "h_offset"),
 )
 def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
                              h: int, w: int, n_coarse_rows: int,
-                             n_fine: int, n_phi: int, alb_lum=None):
+                             n_fine: int, n_phi: int, alb_lum=None,
+                             h_scale: float = 1.0, h_offset: float = 0.0):
     """Sun-frame shadow scan with the phi axis sharded over the mesh.
 
     Each device scans its azimuth wedge (the running max along theta is
@@ -256,7 +269,7 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
             smap = shadow_scan.scan_wedge(
                 tex, sun_basis, sun_ang_radius, h, w,
                 n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev,
-                blocked_resample=True)
+                blocked_resample=True, h_scale=h_scale, h_offset=h_offset)
             return jax.lax.all_gather(smap, TILE_AXIS, axis=1, tiled=True)
 
         factor = shard_map(
@@ -273,7 +286,8 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
         out = shadow_scan.scan_wedge(
             tex, sun_basis, sun_ang_radius, h, w,
             n_coarse_rows, n_fine, n_phi, phi0, n_phi // n_dev,
-            blocked_resample=True, alb_lum=alb_lum)
+            blocked_resample=True, alb_lum=alb_lum,
+            h_scale=h_scale, h_offset=h_offset)
         return tuple(jax.lax.all_gather(o, TILE_AXIS, axis=1, tiled=True)
                      for o in out)
 

@@ -64,6 +64,34 @@ def test_mesh_scene_matches_single_device(maps):
     assert hit is not None
 
 
+def test_mesh_scene_quantized_shadow_decode(maps):
+    """Regression: the phi-wedge-sharded scan must receive the int16
+    affine decode params (h_scale/h_offset) — without them mesh-mode
+    shadow/bounce maps were computed from raw +/-32767 heights and were
+    garbage on every quantized (i.e. every large-map multi-chip) scene."""
+    elev, rs, albedo = maps
+
+    f32 = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+    f32.shadows_on = True
+    f32.update_view()
+    smap_f32, _ = f32.shadow_args()
+
+    quant = MoonScene(_cfg(devices=8, quantize="i16"), elev, rs, albedo,
+                      None)
+    assert quant.quantized and quant.mesh is not None
+    quant.shadows_on = True
+    quant.update_view()
+    smap_q, _ = quant.shadow_args()
+
+    d = np.abs(np.asarray(smap_q) - np.asarray(smap_f32))
+    # ~0.08 m height quantization cannot move the shadow factor map
+    # perceptibly; raw int16 heights moved its mean by ~0.6
+    assert d.mean() < 0.01, d.mean()
+    assert quant._bounce is not None
+    db = np.abs(np.asarray(quant._bounce) - np.asarray(f32._bounce))
+    assert db.mean() < 0.01, db.mean()
+
+
 def test_mesh_devices_auto_and_validation(maps):
     elev, rs, albedo = maps
     # devices=0 resolves to all local devices
