@@ -83,7 +83,10 @@ FEATURE_KM_PER_DEG = 60.647
 # anti-umbral axis, so the term is always-on and free outside eclipses.
 EARTH_RADIUS_KM = 6371.0
 # Umbral shadows observed during eclipses are ~2% larger than the
-# geometric Earth disk (atmospheric refraction; classical Chauvenet rule).
+# GEOMETRIC UMBRA (atmospheric refraction; classical Chauvenet rule) —
+# note the rule enlarges the shadow radius (aE - aS), not the Earth
+# disk: engine.scene._earth_params adds 2% of the umbral radius to the
+# Earth's angular radius so the disk-occlusion model reproduces it.
 UMBRA_ENLARGEMENT = 1.02
 # Sunlight refracted through the Earth's atmosphere into the umbra is deep
 # red ("blood moon"). Physically it is 1e-3..1e-4 of direct sunlight —

@@ -830,7 +830,7 @@ def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
         params, dbx, dby, dbz, t0, t1, act, packed.scal,
         packed.hwin, packed.awin, packed.swin,
         h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
-        interpret=interpret)
+        use_earth=fp.earth is not None, interpret=interpret)
 
     rgb_b = jnp.stack([r, g, b], axis=-1).reshape(nblk, BLOCK, 3)
     hit_b = hitf.reshape(nblk, BLOCK) > 0.5
@@ -942,7 +942,7 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
             params, dbx, dby, dbz, t0, t1, act, packed.scal,
             packed.hwin, packed.awin, packed.swin,
             h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
-            interpret=interpret)
+            use_earth=fp.earth is not None, interpret=interpret)
 
     out0 = run_kernel(geom0)
     r0, g0, b0, hit0, t0_, px0, py0, pz0 = out0

@@ -200,23 +200,32 @@ def sun_coverage(sep, r_sun, r_earth):
     return jnp.clip(cov, 0.0, 1.0)
 
 
-def earth_light_terms(fp: FrameParams, p_body, to_light, n_body):
+def earth_light_terms(fp: FrameParams, p_body, n_body):
     """Earth-dependent light terms, or (None, None) when fp.earth is unset.
 
     Returns (eclipse_rgb, earthshine): eclipse_rgb is the (..., 3)
     multiplicative factor on DIRECT solar irradiance (visible-sun fraction
-    against the Earth disk + red refracted umbral light — the sun's
-    per-point parallax is negligible; the Earth's ~0.25 deg parallax
-    across the surface is the moving shadow edge); earthshine is the
+    against the Earth disk + red refracted umbral light); earthshine is the
     (...,) ADDITIVE term (relative to direct sunlight) lighting the night
     side from the Earth's direction — not attenuated by the eclipse factor
-    (earthlight is not blocked by the Earth)."""
+    (earthlight is not blocked by the Earth).
+
+    The sun side of the angular separation uses the MOON-CENTER sun
+    direction: the real sun's per-point parallax (~0.0007 deg per lunar
+    radius) is genuinely negligible, while the per-point direction to the
+    scene light — parked at SUN_LIGHT_DISTANCE = 2146 R, not the real
+    ~86,000 R — would exaggerate solar parallax ~40x and render the
+    umbra/penumbra footprint ~11% too large on the surface. The Earth
+    term keeps its true per-point parallax (~0.25 deg/R): that IS the
+    moving shadow edge."""
     if fp.earth is None:
         return None, None
+    light_body = mat3t_apply(fp.rotation, fp.light_pos)
+    s_dir = normalize(light_body)
     e_vec = fp.earth[:3] * fp.earth[3] - p_body
     e_dir = normalize(e_vec)
-    cosd = jnp.sum(e_dir * to_light, axis=-1)
-    cross = jnp.cross(e_dir, to_light)
+    cosd = jnp.sum(e_dir * s_dir, axis=-1)
+    cross = jnp.cross(e_dir, jnp.broadcast_to(s_dir, e_dir.shape))
     sind = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross, axis=-1), 0.0))
     sep = jnp.arctan2(sind, cosd)
     cov = sun_coverage(sep, fp.sun_ang_radius, fp.earth[4])
@@ -257,7 +266,7 @@ def shade_lambert(albedo, n_body, p_body, fp: FrameParams, shadow,
     if bounce is not None:
         term = term + bounce
     rgb = albedo * (fp.irradiance * term)[..., None]
-    ecl, earthshine = earth_light_terms(fp, p_body, to_light, n_body)
+    ecl, earthshine = earth_light_terms(fp, p_body, n_body)
     if ecl is not None:
         rgb = rgb * ecl + albedo * (fp.irradiance * earthshine)[..., None]
     return rgb

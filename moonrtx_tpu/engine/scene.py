@@ -84,8 +84,18 @@ def _earth_params(e, eclipse: bool, earthshine: bool) -> np.ndarray:
     lon = math.radians(e.libr_long_geo)
     cl = math.cos(lat)
     d_units = e.distance / C.MOON_RADIUS_KM * C.MOON_RADIUS
-    e_ang = (math.asin(C.EARTH_RADIUS_KM * C.UMBRA_ENLARGEMENT / e.distance)
-             if eclipse else 0.0)
+    if eclipse:
+        # Chauvenet's ~2% rule enlarges the UMBRA (aE - aS), not the
+        # Earth disk; widening the disk by 2% of the umbral radius makes
+        # the occlusion model's umbra land exactly 2% large (the
+        # penumbra's outer edge picks up a ~0.4% overshoot the
+        # single-disk model cannot avoid — well under perception)
+        e_geo = math.asin(C.EARTH_RADIUS_KM / e.distance)
+        s_ang = math.asin(C.SUN_RADIUS_KM / e.sun_distance)
+        e_ang = e_geo + ((C.UMBRA_ENLARGEMENT - 1.0)
+                         * max(e_geo - s_ang, 0.0))
+    else:
+        e_ang = 0.0
     es = (C.EARTHSHINE_RELATIVE
           * light_mod.earthshine_fraction(e.phase_angle)
           if earthshine else 0.0)

@@ -101,7 +101,7 @@ def _bsample(win8, wy, wx, n_h: int, n_w: int):
 
 
 def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
-                 use_shadow: bool):
+                 use_shadow: bool, use_earth: bool = True):
     def kernel(params_ref, dbx_ref, dby_ref, dbz_ref, t0_ref, t1_ref,
                act_ref, scal_ref, hwin_ref, awin_ref, swin_ref,
                r_ref, g_ref, b_ref, hit_ref, thit_ref,
@@ -330,47 +330,63 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
         # Earth-dependent light terms (engine.render.earth_light_terms):
         # lunar-eclipse attenuation (visible-sun fraction against the
         # Earth's disk per shaded point; exactly 1 outside eclipses —
-        # coverage self-gates on separation) + earthshine on the night side
-        eux, euy, euz = P(20), P(21), P(22)
-        edist, e_ang, s_ang = P(23), P(24), P(25)
-        evx = eux * edist - px
-        evy = euy * edist - py
-        evz = euz * edist - pz
-        inv_e = jax.lax.rsqrt(jnp.maximum(
-            evx * evx + evy * evy + evz * evz, 1e-20))
-        ex_, ey_, ez_ = evx * inv_e, evy * inv_e, evz * inv_e
-        lx_, ly_, lz_ = tlx * inv_l, tly * inv_l, tlz * inv_l
-        cosd = ex_ * lx_ + ey_ * ly_ + ez_ * lz_
-        crx = ey_ * lz_ - ez_ * ly_
-        cry = ez_ * lx_ - ex_ * lz_
-        crz = ex_ * ly_ - ey_ * lx_
-        sind = jnp.sqrt(jnp.maximum(crx * crx + cry * cry + crz * crz, 0.0))
-        sep = _atan2(sind, cosd)
+        # coverage self-gates on separation) + earthshine on the night
+        # side. Statically compiled out when fp.earth is None (both
+        # features off) — ~35 vector ops per pixel per sample saved.
+        if use_earth:
+            eux, euy, euz = P(20), P(21), P(22)
+            edist, e_ang, s_ang = P(23), P(24), P(25)
+            evx = eux * edist - px
+            evy = euy * edist - py
+            evz = euz * edist - pz
+            inv_e = jax.lax.rsqrt(jnp.maximum(
+                evx * evx + evy * evy + evz * evz, 1e-20))
+            ex_, ey_, ez_ = evx * inv_e, evy * inv_e, evz * inv_e
+            # the sun side of the separation uses the MOON-CENTER sun
+            # direction: the real sun's ~0.0007 deg/R parallax is
+            # negligible, while the per-point direction to the scene
+            # light (parked at 2146 R, not 86,000 R) would exaggerate
+            # solar parallax ~40x and render the umbra footprint ~11%
+            # too large on the surface (the Earth term keeps its true
+            # per-point parallax — that IS the moving shadow edge)
+            inv_lc = jax.lax.rsqrt(jnp.maximum(
+                lxp * lxp + lyp * lyp + lzp * lzp, 1e-20))
+            lx_, ly_, lz_ = lxp * inv_lc, lyp * inv_lc, lzp * inv_lc
+            cosd = ex_ * lx_ + ey_ * ly_ + ez_ * lz_
+            crx = ey_ * lz_ - ez_ * ly_
+            cry = ez_ * lx_ - ex_ * lz_
+            crz = ex_ * ly_ - ey_ * lx_
+            sind = jnp.sqrt(jnp.maximum(
+                crx * crx + cry * cry + crz * crz, 0.0))
+            sep = _atan2(sind, cosd)
 
-        def acos_(x):
-            return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+            def acos_(x):
+                return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
 
-        d = jnp.clip(sep, jnp.abs(e_ang - s_ang) + 1e-7,
-                     s_ang + e_ang - 1e-7)
-        c1 = jnp.clip((d * d + s_ang * s_ang - e_ang * e_ang)
-                      / (2.0 * d * s_ang), -1.0, 1.0)
-        c2 = jnp.clip((d * d + e_ang * e_ang - s_ang * s_ang)
-                      / (2.0 * d * e_ang), -1.0, 1.0)
-        tri = ((-d + s_ang + e_ang) * (d + s_ang - e_ang)
-               * (d - s_ang + e_ang) * (d + s_ang + e_ang))
-        lens = (s_ang * s_ang * acos_(c1) + e_ang * e_ang * acos_(c2)
-                - 0.5 * jnp.sqrt(jnp.maximum(tri, 0.0)))
-        cov = lens / (math.pi * s_ang * s_ang)
-        cov = jnp.where(sep >= s_ang + e_ang, 0.0, cov)
-        cov = jnp.where(sep <= e_ang - s_ang, 1.0, cov)
-        cov = jnp.clip(cov, 0.0, 1.0)
-        fvis = 1.0 - cov
+            d = jnp.clip(sep, jnp.abs(e_ang - s_ang) + 1e-7,
+                         s_ang + e_ang - 1e-7)
+            c1 = jnp.clip((d * d + s_ang * s_ang - e_ang * e_ang)
+                          / (2.0 * d * s_ang), -1.0, 1.0)
+            c2 = jnp.clip((d * d + e_ang * e_ang - s_ang * s_ang)
+                          / (2.0 * d * e_ang), -1.0, 1.0)
+            tri = ((-d + s_ang + e_ang) * (d + s_ang - e_ang)
+                   * (d - s_ang + e_ang) * (d + s_ang + e_ang))
+            lens = (s_ang * s_ang * acos_(c1) + e_ang * e_ang * acos_(c2)
+                    - 0.5 * jnp.sqrt(jnp.maximum(tri, 0.0)))
+            cov = lens / (math.pi * s_ang * s_ang)
+            cov = jnp.where(sep >= s_ang + e_ang, 0.0, cov)
+            cov = jnp.where(sep <= e_ang - s_ang, 1.0, cov)
+            cov = jnp.clip(cov, 0.0, 1.0)
+            fvis = 1.0 - cov
 
-        # earthshine (da Vinci glow): Lambert toward the Earth, additive,
-        # not attenuated by the eclipse factor (earthlight is not blocked
-        # by the Earth); e_dir is already in registers from the eclipse
-        mu_e_dir = jnp.maximum(nX * ex_ + nY * ey_ + nZ * ez_, 0.0)
-        lum_es = jnp.where(hitf, irradiance * P(26) * mu_e_dir, 0.0)
+            # earthshine (da Vinci glow): Lambert toward the Earth,
+            # additive, not attenuated by the eclipse factor (earthlight
+            # is not blocked by the Earth); e_dir is already in registers
+            mu_e_dir = jnp.maximum(nX * ex_ + nY * ey_ + nZ * ez_, 0.0)
+            lum_es = jnp.where(hitf, irradiance * P(26) * mu_e_dir, 0.0)
+        else:
+            fvis, cov = 1.0, 0.0
+            lum_es = 0.0
 
         r_ref[0] = alb_r * (lum * (fvis + cov * C.UMBRA_TINT[0]) + lum_es)
         g_ref[0] = alb_g * (lum * (fvis + cov * C.UMBRA_TINT[1]) + lum_es)
@@ -385,11 +401,13 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_bisect",
-                                             "use_shadow", "interpret"))
+                                             "use_shadow", "use_earth",
+                                             "interpret"))
 def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
                        hwin, awin_cm, swin,
                        h: int, w: int, n_coarse: int = 12,
                        n_bisect: int = 6, use_shadow: bool = True,
+                       use_earth: bool = True,
                        interpret: bool = False):
     """Fused march+shade over all block groups.
 
@@ -401,7 +419,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
     Returns (r, g, b, hit, t_hit, px, py, pz) each (NSUPER, G, B).
     """
     nsuper = dbx.shape[0]
-    kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow)
+    kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow, use_earth)
 
     ray_spec = pl.BlockSpec((1, G, B), lambda i: (i, 0, 0))
     out_shapes = [jax.ShapeDtypeStruct((nsuper, G, B), jnp.float32)] * 8

@@ -223,7 +223,7 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                 g.hit_outer.astype(jnp.float32).reshape(ns, G, B),
                 packed.scal, packed.hwin, packed.awin, packed.swin,
                 h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
-                interpret=interpret)
+                use_earth=fp.earth is not None, interpret=interpret)
 
         def strip_rays(jitter):
             return blocked.block_rays(

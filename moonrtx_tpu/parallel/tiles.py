@@ -194,7 +194,7 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                 geom.hit_outer.astype(jnp.float32).reshape(ns, G, B),
                 packed.scal, packed.hwin, packed.awin, packed.swin,
                 h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
-                interpret=interpret)
+                use_earth=fp.earth is not None, interpret=interpret)
 
         r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
         acc = (r0_, g0_, b0_)

@@ -58,6 +58,53 @@ def test_eclipse_geometry_at_known_dates():
     assert _center_coverage(PLAIN_FULL) == 0.0
 
 
+def test_coverage_uses_moon_center_sun_direction():
+    """Regression: the eclipse separation's sun side must come from the
+    moon-center sun DIRECTION, not the per-point direction to the scene
+    light. The light is parked at SUN_LIGHT_DISTANCE = 2146 R (the real
+    sun is ~86,000 R), so a per-point direction exaggerates solar
+    parallax ~40x and renders the umbra footprint ~11% too large.
+    Moon-center direction => the output is exactly invariant to the
+    scene light's DISTANCE along the same direction."""
+    import jax.numpy as jnp
+    from moonrtx_tpu.engine.render import FrameParams, earth_light_terms
+
+    from moonrtx_tpu.astro import calculate_ephemeris
+    from moonrtx_tpu.engine import light as lm
+
+    e = calculate_ephemeris(PARTIAL, OBS, False)
+    fp = FrameParams(
+        rotation=jnp.asarray(e.rotation_matrix, jnp.float32),
+        light_pos=jnp.asarray(lm.calculate_light_pos(e), jnp.float32),
+        sun_disk_center=jnp.zeros(3, jnp.float32),
+        sun_disk_radius=jnp.float32(0.0),
+        irradiance=jnp.float32(1.0),
+        sun_ang_radius=jnp.float32(
+            math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
+        lunar_blend=None,
+        earth=jnp.asarray(_earth_params(e, True, True), jnp.float32),
+    )
+    # surface points spanning the disk (body frame, |p| = MOON_RADIUS)
+    th = np.linspace(0.2, math.pi - 0.2, 13)
+    ph = np.linspace(-math.pi, math.pi, 17)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    p_body = C.MOON_RADIUS * np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)],
+        axis=-1).astype(np.float32)
+    n_body = (p_body / C.MOON_RADIUS).astype(np.float32)
+
+    ecl1, es1 = earth_light_terms(fp, jnp.asarray(p_body),
+                                  jnp.asarray(n_body))
+    fp_far = fp._replace(light_pos=fp.light_pos * 8.0)
+    ecl2, es2 = earth_light_terms(fp_far, jnp.asarray(p_body),
+                                  jnp.asarray(n_body))
+    assert float(jnp.abs(ecl1 - ecl2).max()) < 1e-6
+    assert float(jnp.abs(es1 - es2).max()) < 1e-6
+    # and the eclipse actually bites somewhere on this partial-eclipse
+    # date (the invariance isn't vacuous)
+    assert float(jnp.min(ecl1[..., 0])) < 0.9
+
+
 def _render(dt, eclipse: bool, width=160, height=160):
     h, w = 180, 360
     tex = np.ones((h, w), np.float32)
@@ -112,6 +159,31 @@ def test_eclipse_pallas_kernel_matches_blocked():
         s.backend = backend
         s.shadows_on = True
         s.update_view()
+        s.render(1)
+        imgs[backend] = np.asarray(s._accum)
+    d = np.abs(imgs["blocked"] - imgs["pallas"])
+    assert d.max() < 3e-2
+    assert d.mean() < 3e-3
+
+
+def test_pallas_kernel_earth_terms_compiled_out():
+    """With eclipse shading AND earthshine disabled, fp.earth is None and
+    the pallas kernel statically drops the Earth block (use_earth=False)
+    — the output must still match the blocked path exactly as before."""
+    h, w = 180, 360
+    tex = np.ones((h, w), np.float32)
+    albedo = np.full((h, w, 3), 0.35, np.float32)
+    imgs = {}
+    for backend in ("blocked", "pallas"):
+        cfg = RenderConfig(observer=OBS, dt_local=PARTIAL, width=128,
+                           height=128, shadow_accuracy=4,
+                           eclipse_shading=False,
+                           earthshine=False).validate()
+        s = MoonScene(cfg, tex, 1.0, albedo, None)
+        s.backend = backend
+        s.shadows_on = True
+        s.update_view()
+        assert s._fp.earth is None
         s.render(1)
         imgs[backend] = np.asarray(s._accum)
     d = np.abs(imgs["blocked"] - imgs["pallas"])
