@@ -45,8 +45,8 @@ class Session:
         self.scene = scene
         cfg = scene.config
         self.features = sorted(features, key=lambda f: f.angular_radius)
-        self.lookup = FeatureLookup(self.features)
-        self.lookup.features_all = self.features
+        self.lookup = FeatureLookup(self.features,
+                                    all_features=self.features)
 
         self.time_step_minutes = cfg.time_step_minutes
         self.initial_dt_local = scene.dt_local
@@ -108,10 +108,7 @@ class Session:
     def toggle_shadow_accuracy(self) -> None:
         """X key: fast <-> accurate terminator shadows
         (reference moon_renderer.py:320-334)."""
-        self.scene.shadows_on = not self.scene.shadows_on
-        self.scene._shadow_dirty = True
-        self.scene._shadowwin = None
-        self.scene.reset_accumulation()
+        self.scene.set_shadows(not self.scene.shadows_on)
 
     # ---- view -----------------------------------------------------------
 

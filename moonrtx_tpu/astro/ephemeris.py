@@ -133,11 +133,12 @@ def calculate_moon_ephemeris(dt_local: datetime, observer: Observer,
     gast = (ts.gmst_deg() + dpsi * math.cos(eps * DEG)) % 360.0
 
     # Geocentric positions (true equator & equinox of date), km.
-    lam_m, beta_m, dist_m = moon_geometric(T)
+    args = moon_arguments(T)
+    lam_m, beta_m, dist_m = moon_geometric(T, args)
     lam_m_app = (lam_m + dpsi) % 360.0
     moon_geo = frames.ecliptic_to_equatorial(lam_m_app, beta_m, eps) * dist_m
 
-    lam_s_app, dist_s = sun_apparent_lon(T, dpsi)
+    lam_s_app, dist_s, lam_s_geo = sun_apparent_lon(T, dpsi)
     sun_geo = frames.ecliptic_to_equatorial(lam_s_app, 0.0, eps) * dist_s
 
     obs_geo = _observer_position_eq(observer, gast)
@@ -160,10 +161,11 @@ def calculate_moon_ephemeris(dt_local: datetime, observer: Observer,
 
     elongation = frames.angular_separation_deg(moon_topo, sun_topo)
     bright_limb = frames.position_angle_deg(moon_ra, moon_dec, sun_ra, sun_dec) - q_deg
-    phase_name = _phase_name(lam_m_app, lam_s_app)
+    # geometric vs geometric (reference astro.py:171-173): nutation and
+    # aberration must not enter the 0.5-deg phase bins
+    phase_name = _phase_name(lam_m, lam_s_geo)
 
     # Lunar body frame (true equatorial of date -> mean-Earth body frame).
-    args = moon_arguments(T)
     body_from_ecl = libration.body_from_ecliptic_matrix(args, T, dpsi)
     eq_to_ecl = frames.equatorial_to_ecliptic_matrix(eps)
     body_from_eq = body_from_ecl @ eq_to_ecl

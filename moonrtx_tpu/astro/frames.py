@@ -155,6 +155,5 @@ def refraction_deg(alt_deg: float) -> float:
     """
     if alt_deg < -1.0:
         return 0.0
-    h = max(alt_deg, -1.0)
-    r_arcmin = 1.0 / math.tan((h + 7.31 / (h + 4.4)) * DEG)
+    r_arcmin = 1.0 / math.tan((alt_deg + 7.31 / (alt_deg + 4.4)) * DEG)
     return max(r_arcmin, 0.0) / 60.0

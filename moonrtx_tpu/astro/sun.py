@@ -29,10 +29,15 @@ def sun_geometric(T: float) -> tuple[float, float]:
     return true_lon % 360.0, R_au * C.AU_KM
 
 
-def sun_apparent_lon(T: float, dpsi_deg: float) -> tuple[float, float]:
-    """(apparent ecliptic longitude deg, distance km): geometric + nutation
-    + annual aberration."""
+def sun_apparent_lon(T: float, dpsi_deg: float) -> tuple[float, float, float]:
+    """(apparent ecliptic longitude deg, distance km, GEOMETRIC longitude
+    deg): apparent = geometric + nutation + annual aberration. The
+    geometric longitude is returned too because the phase-name binning
+    compares geometric moon vs geometric sun (reference astro.py:171-173
+    uses non-aberrated longitudes for both bodies — mixing an aberrated
+    sun with a geometric moon shifts the 0.5-deg bin edges by ~20.5
+    arcsec, flipping phase names ~40 s early)."""
     lon, dist = sun_geometric(T)
     R_au = dist / C.AU_KM
     lon_app = lon + dpsi_deg - (20.4898 / 3600.0) / R_au
-    return lon_app % 360.0, dist
+    return lon_app % 360.0, dist, lon % 360.0

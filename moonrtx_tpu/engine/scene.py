@@ -382,6 +382,17 @@ class MoonScene:
         self._hbound = None
         self.reset_accumulation()
 
+    def set_shadows(self, on: bool) -> None:
+        """Toggle cast shadows (the engine half of the X key, reference
+        moon_renderer.py:320-334). Shadow state is always stale across a
+        toggle — the map/windows/packed state rebuild lazily next frame.
+        This owns the cache-invalidation invariants; UI layers must not
+        touch _shadow_dirty/_shadowwin directly."""
+        self.shadows_on = bool(on)
+        self._shadow_dirty = True
+        self._shadowwin = None
+        self.reset_accumulation()
+
     def reset_accumulation(self) -> None:
         self._accum_n = 0
 

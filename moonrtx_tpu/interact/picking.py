@@ -35,8 +35,14 @@ class FeatureLookup:
     is then the most specific feature (reference renderer_navigation.py:90-117;
     the vectorization replaces a ~1.8 ms Python scan with ~0.02 ms)."""
 
-    def __init__(self, features_sorted: list[MoonFeature]):
+    def __init__(self, features_sorted: list[MoonFeature],
+                 all_features: Optional[list[MoonFeature]] = None):
+        """all_features: the unfiltered catalog for name search() (the
+        reference searches every feature, renderer_dialogs.py:272-285);
+        defaults to the status_bar-filtered cursor-lookup set."""
         self.features = [f for f in features_sorted if f.status_bar]
+        self.features_all = (all_features if all_features is not None
+                             else self.features)
         self._lat = np.array([f.lat for f in self.features])
         self._lon = np.array([f.lon for f in self.features])
         self._cos_lat = np.cos(np.radians(self._lat))
@@ -57,11 +63,3 @@ class FeatureLookup:
         if not q:
             return []
         return [f for f in self.features_all if q in f.name.lower()]
-
-    @property
-    def features_all(self) -> list[MoonFeature]:
-        return getattr(self, "_features_all", self.features)
-
-    @features_all.setter
-    def features_all(self, value):
-        self._features_all = value
