@@ -229,39 +229,11 @@ def block_rays(basis: CameraBasis, rotation, jitter,
                    h_bound=h_bound)
 
 
-def _footprint(rows, cols, wrap_w):
-    """(r_mid, c_mid, r_span, c_span) of per-block footprints; seam-aware.
-    wrap_w may be a scalar or a per-block (NBLK,) array (strided blocks)."""
-    ax = tuple(range(1, rows.ndim))
-    wrap_w = jnp.asarray(wrap_w, cols.dtype)
-    wrap_b = (wrap_w.reshape(wrap_w.shape + (1,) * (cols.ndim - 1))
-              if wrap_w.ndim else wrap_w)
-    c_min = jnp.min(cols, axis=ax)
-    c_max = jnp.max(cols, axis=ax)
-    spans_seam = (c_max - c_min) > (jnp.min(wrap_w) * 0.5)
-    exp = spans_seam.reshape(spans_seam.shape + (1,) * (cols.ndim - 1))
-    cols_adj = jnp.where(exp & (cols < wrap_b * 0.5), cols + wrap_b, cols)
-    c_min = jnp.min(cols_adj, axis=ax)
-    c_max = jnp.max(cols_adj, axis=ax)
-    r_min = jnp.min(rows, axis=ax)
-    r_max = jnp.max(rows, axis=ax)
-    return (0.5 * (r_min + r_max), 0.5 * (c_min + c_max),
-            r_max - r_min, c_max - c_min)
-
-
-def _origin_from_footprint(rows, cols, wrap_w, win_h: int, win_w: int,
-                           map_h, map_pad_w):
-    """Window origins covering per-ray (row, col) footprints; seam-aware.
-    rows/cols: (NBLK, ...) any trailing shape; map_h/map_pad_w may be
-    per-block arrays (strided blocks clamp against the coarser level)."""
-    r_mid, c_mid, _, _ = _footprint(rows, cols, wrap_w)
-    r0 = jnp.clip((r_mid - win_h * 0.5).astype(jnp.int32),
-                  0, (map_h - win_h).astype(jnp.int32)
-                  if hasattr(map_h, "astype") else map_h - win_h)
-    c0 = jnp.clip((c_mid - win_w * 0.5).astype(jnp.int32),
-                  0, (map_pad_w - win_w).astype(jnp.int32)
-                  if hasattr(map_pad_w, "astype") else map_pad_w - win_w)
-    return r0, c0
+# Shared with the shadow scan's blocked resample (ops.sampler owns the
+# seam-aware footprint/origin logic so the two window machineries cannot
+# drift apart).
+_footprint = sampler.block_footprint
+_origin_from_footprint = sampler.window_origin_from_footprint
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "mip_pad_w",
@@ -275,6 +247,14 @@ def window_origins(geom: RayGeom, h: int, w: int, mip_pad_w: int,
     # grazing (limb) ray is an arc, and its mid-chord point can swing well
     # outside the endpoints' bounding box — without it, limb windows clamp
     # and whole 8x16 blocks shade from repeated edge texels.
+    #
+    # KNOWN LIMITATION (polar blocks): a block whose footprint contains a
+    # geographic pole spans the entire longitude ring; no q <= 2^max_qexp
+    # stride fits that into a 64-col window, so its out-of-window cells
+    # clamp to the window edge and the terrain in the few pole-touching
+    # blocks smears (the gather backend samples those exactly). Visible
+    # only when zoomed onto a pole; a polar-cap reparametrization is the
+    # real fix.
     t_mid = 0.5 * (geom.t_enter + geom.t_end)
     rcs = []
     for t in (geom.t_enter, t_mid, geom.t_end):
@@ -574,9 +554,26 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
         return m.reshape(m.shape[0] // 2, 2, m.shape[1] // 2, 2).mean(
             axis=(1, 3))
 
+    # The scan pads only PHI_PAD=2 wrap columns — not enough for a
+    # 48-wide window at stride up to 4 (a seam-straddling block needs up
+    # to (SWIN_W-4)*4 columns past phi=0, else its origin clamps and the
+    # whole wrapped side samples the window edge: a band of wrong
+    # penumbra/bounce along the sun-frame phi=0 meridian). Extend the
+    # wrap to 4*SWIN_W base columns before cutting windows; +(~5-9)% map
+    # copy once per rebuild.
+    ext = min(4 * SWIN_W, n_phi)
+
+    def _extend(m):
+        return jnp.concatenate(
+            [m, m[:, shadow_scan.PHI_PAD:ext]], axis=1)
+
+    shadow_map = _extend(shadow_map)
+    if bounce_map is not None:
+        bounce_map = _extend(bounce_map)
+
     sr0, sc0 = _origin_from_footprint(
         rq, cq, n_phi / sq, SWIN_H, SWIN_W,
-        shadow_map.shape[0] / sq, shadow_map.shape[1] / sq)
+        shadow_map.shape[0] / sq, (n_phi + ext) / sq)
     sqexp = jnp.round(jnp.log2(sq)).astype(jnp.int32)
 
     from moonrtx_tpu.ops import extract as extract_ops
@@ -634,7 +631,13 @@ def lookup_shadow_windows(sw: ShadowWindows, smap_params, n_phi: int, p):
     cols = (cols + 0.5) / qb - 0.5
     cols = jnp.where(cols < sw.sc0[:, None].astype(cols.dtype) - 0.5,
                      cols + n_phi / qb, cols)
-    theta_ok = (rows * qb) < shadow_scan_total_rows(smap_params) - 1.001
+    # rows are stride coords: true row = (rows + 0.5) * qb - 0.5 (plain
+    # rows * qb is off by 0.5*(qb-1), which for qb >= 2 kept the night
+    # gate from ever firing — rowcol_of_points pre-clamps to total-1.001
+    # — leaking last-row bounce light into the deep night side where the
+    # pallas kernel and gather path correctly return 0)
+    true_rows = (rows + 0.5) * qb - 0.5
+    theta_ok = true_rows < shadow_scan_total_rows(smap_params) - 1.001
     wy = rows - sw.sr0[:, None]
     wx = cols - sw.sc0[:, None]
     val = window_bilinear(sw.swin[:, :, :SWIN_W], wy, wx)

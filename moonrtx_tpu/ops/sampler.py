@@ -133,3 +133,42 @@ def sample_latlon(tex, lat_deg, lon_deg, h: int, w: int):
     """Convenience: gather-backend sample at lat/lon on a padded map."""
     row, col = latlon_to_rowcol(lat_deg, lon_deg, h, w)
     return gather_bilinear(tex, row, col)
+
+
+def block_footprint(rows, cols, wrap_w):
+    """(r_mid, c_mid, r_span, c_span) of per-block footprints; seam-aware.
+
+    wrap_w may be a scalar or a per-block (NBLK,) array (strided blocks).
+    Blocks whose column range exceeds half the wrap width are treated as
+    straddling the longitude (or scan phi=0) seam: their low columns are
+    unwrapped by +wrap_w before the midpoint/span are taken."""
+    ax = tuple(range(1, rows.ndim))
+    wrap_w = jnp.asarray(wrap_w, cols.dtype)
+    wrap_b = (wrap_w.reshape(wrap_w.shape + (1,) * (cols.ndim - 1))
+              if wrap_w.ndim else wrap_w)
+    c_min = jnp.min(cols, axis=ax)
+    c_max = jnp.max(cols, axis=ax)
+    spans_seam = (c_max - c_min) > (jnp.min(wrap_w) * 0.5)
+    exp = spans_seam.reshape(spans_seam.shape + (1,) * (cols.ndim - 1))
+    cols_adj = jnp.where(exp & (cols < wrap_b * 0.5), cols + wrap_b, cols)
+    c_min = jnp.min(cols_adj, axis=ax)
+    c_max = jnp.max(cols_adj, axis=ax)
+    r_min = jnp.min(rows, axis=ax)
+    r_max = jnp.max(rows, axis=ax)
+    return (0.5 * (r_min + r_max), 0.5 * (c_min + c_max),
+            r_max - r_min, c_max - c_min)
+
+
+def window_origin_from_footprint(rows, cols, wrap_w, win_h: int, win_w: int,
+                                 map_h, map_pad_w):
+    """Window origins covering per-ray (row, col) footprints; seam-aware.
+    rows/cols: (NBLK, ...) any trailing shape; map_h/map_pad_w may be
+    per-block arrays (strided blocks clamp against the coarser level)."""
+    r_mid, c_mid, _, _ = block_footprint(rows, cols, wrap_w)
+    r0 = jnp.clip((r_mid - win_h * 0.5).astype(jnp.int32),
+                  0, (map_h - win_h).astype(jnp.int32)
+                  if hasattr(map_h, "astype") else map_h - win_h)
+    c0 = jnp.clip((c_mid - win_w * 0.5).astype(jnp.int32),
+                  0, (map_pad_w - win_w).astype(jnp.int32)
+                  if hasattr(map_pad_w, "astype") else map_pad_w - win_w)
+    return r0, c0

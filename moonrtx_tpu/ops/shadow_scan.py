@@ -83,6 +83,20 @@ def _argmax_combine(a, b):
     return jnp.where(take_b, bm, am), jnp.where(take_b, bz, az)
 
 
+def _decimate_tex(m):
+    """Dtype-preserving 2x2 block mean. Quantized levels keep their
+    affine encoding (the mean commutes with value = raw*scale+offset);
+    the +-1 raw rounding step (~0.08 m) is far below the terrain scales
+    that matter at decimated resolution."""
+    m2 = m[: m.shape[0] // 2 * 2, : m.shape[1] // 2 * 2]
+    if m2.dtype in (jnp.int16, jnp.uint8):
+        acc = m2.astype(jnp.int32).reshape(
+            m2.shape[0] // 2, 2, m2.shape[1] // 2, 2).sum(axis=(1, 3))
+        return ((acc + 2) // 4).astype(m2.dtype)
+    return m2.reshape(m2.shape[0] // 2, 2,
+                      m2.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
 def _resample_heights_blocked(tex, h: int, w: int, row, col,
                               scale: float = 1.0, offset: float = 0.0):
     """Resample heights at the scan-grid positions through per-block
@@ -91,9 +105,12 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
     (int16/uint8, value = raw*scale+offset); output is decoded f32.
 
     row/col: (n_theta, n_phi) fractional source coordinates. Blocks of
-    8x64 scan cells share one (40, 184) window; blocks whose footprint
-    exceeds the window (near the subsolar pole, where azimuth circles
-    collapse and the shadow factor is ~1 anyway) clamp."""
+    8x64 scan cells share one (40, 184) window. A block's texture-column
+    footprint grows as sin(theta)/cos(lat) on the equirect map — at
+    production shadow levels (~2880x5760) it exceeds the window well
+    before the poles — so blocks pick a 2x/4x-decimated source level
+    exactly like the render windows (engine.blocked.window_origins); the
+    penumbra is smooth, so decimated heights there cost ~nothing."""
     BH, BW, WH_, WW_ = 8, 64, 40, 184
     n_theta, n_phi = row.shape
     nb = (n_theta // BH) * (n_phi // BW)
@@ -104,36 +121,64 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
 
     rb = to_b(row)
     cb = to_b(col)
-    # seam-aware origins (cols may wrap through the padded region)
-    c_min = jnp.min(cb, axis=1)
-    c_max = jnp.max(cb, axis=1)
-    spans = (c_max - c_min) > (w * 0.5)
-    cb = jnp.where(spans[:, None] & (cb < w * 0.5), cb + w, cb)
-    c_mid = 0.5 * (jnp.min(cb, axis=1) + jnp.max(cb, axis=1))
-    r_mid = 0.5 * (jnp.min(rb, axis=1) + jnp.max(rb, axis=1))
-    r0 = jnp.clip((r_mid - WH_ * 0.5).astype(jnp.int32), 0, h - WH_)
-    c0 = jnp.clip((c_mid - WW_ * 0.5).astype(jnp.int32), 0,
-                  tex.shape[1] - WW_)
+
+    # decimated levels are built from the unpadded circle, then given
+    # fresh wrap columns (periodic, so decimate-then-wrap is exact);
+    # levels smaller than the window are unusable (small test maps)
+    def _wrapped(m):
+        return jnp.concatenate(
+            [m, m[:, : min(WW_ + 8, m.shape[1])]], axis=1)
+
+    half = _decimate_tex(tex[:, :w])
+    levels = [tex, _wrapped(half), _wrapped(_decimate_tex(half))]
+    while len(levels) > 1 and (levels[-1].shape[0] < WH_
+                               or levels[-1].shape[1] < WW_):
+        levels.pop()
+    levels = tuple(levels)
+    max_qexp = len(levels) - 1.0
+
+    _, _, r_span, c_span = sampler.block_footprint(rb, cb, w)
+    ratio = jnp.maximum(jnp.maximum(r_span / (WH_ - 4.0),
+                                    c_span / (WW_ - 4.0)), 1.0)
+    qexp = jnp.clip(jnp.ceil(jnp.log2(ratio)),
+                    0.0, max_qexp).astype(jnp.int32)
+    q = jnp.exp2(qexp.astype(jnp.float32))
+    rq = (rb + 0.5) / q[:, None] - 0.5
+    cq = (cb + 0.5) / q[:, None] - 0.5
+    hs_ = jnp.asarray([l.shape[0] for l in levels], jnp.int32)
+    ws_ = jnp.asarray([l.shape[1] for l in levels], jnp.int32)
+    r0, c0 = sampler.window_origin_from_footprint(
+        rq, cq, w / q, WH_, WW_, jnp.take(hs_, qexp), jnp.take(ws_, qexp))
+    # seam blocks: unwrap points left of the window origin (same
+    # convention as the render/shadow window lookups)
+    cq = jnp.where(cq < c0[:, None].astype(cq.dtype) - 0.5,
+                   cq + (w / q)[:, None], cq)
+
     from moonrtx_tpu.ops import extract as extract_ops
     if (extract_ops._fast_ok() and nb % 8 == 0
             and tex.dtype in extract_ops._FAST_DTYPES):
-        # grouped extraction: 8 blocks per program with overlapped DMAs
-        # (the one-block-per-program path serializes a DMA start->wait
-        # round trip per block — launch latency, not bandwidth, bound)
+        # grouped extraction: 8 blocks per program with overlapped DMAs,
+        # each block fetched from its own level in-kernel
         wins = extract_ops.extract_group_windows_tpu(
-            ((tex,),), jnp.zeros((nb,), jnp.int32), r0, c0, WH_, WW_,
+            (levels,), qexp, r0, c0, WH_, WW_,
             scales=(scale,), offsets=(offset,), group=8)
         wins = wins.reshape(nb // 8, 8, WH_, WW_).reshape(nb, WH_, WW_)
     else:
-        wins = extract_ops.extract_windows(tex, r0, c0, WH_, WW_,
-                                           scale=scale, offset=offset)
+        # per-level XLA extraction blended by level index (CPU path)
+        per = [extract_ops.extract_windows(
+            lvl, jnp.minimum(r0, lvl.shape[0] - WH_),
+            jnp.minimum(c0, lvl.shape[1] - WW_), WH_, WW_,
+            scale=scale, offset=offset) for lvl in levels]
+        wins = per[-1]
+        for li in range(len(per) - 2, -1, -1):
+            wins = jnp.where((qexp == li)[:, None, None], per[li], wins)
     mean = jnp.mean(wins, axis=(1, 2))[:, None]
     # mean-centered residuals survive a bf16 row-mix (the call's multi-GB
     # intermediate at fine-band shapes) with ~4e-3 relative error on
     # values that are already ~1e-3 of the radius
     vals = sampler.window_bilinear(wins - mean[..., None],
-                                   rb - r0[:, None].astype(rb.dtype),
-                                   cb - c0[:, None].astype(cb.dtype),
+                                   rq - r0[:, None].astype(rq.dtype),
+                                   cq - c0[:, None].astype(cq.dtype),
                                    mix_dtype=jnp.bfloat16) + mean
     v = vals.reshape(n_theta // BH, n_phi // BW, BH, BW)
     return jnp.moveaxis(v, 1, 2).reshape(n_theta, n_phi)
@@ -323,7 +368,12 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
     # n ~ r_hat - s_th theta_hat - s_ph phi_hat, z.r_hat = cos(theta),
     # z.theta_hat = -sin(theta)  =>  n.z ~ cos + s_th*sin (normalized)
     s_th = jnp.gradient(hs, axis=0) / (jnp.asarray(dth0)[:, None] * hs)
-    s_ph = jnp.gradient(hs, axis=1) / (
+    # phi is periodic: wrapped central differences (jnp.gradient would use
+    # one-sided differences at the two seam columns, leaving a line of
+    # wrong n.l — hence wrong bounce light — along the sun-frame phi=0
+    # meridian; _box_blur/_box_dilate already wrap via roll)
+    dh_ph = 0.5 * (jnp.roll(hs, -1, axis=1) - jnp.roll(hs, 1, axis=1))
+    s_ph = dh_ph / (
         dphi * jnp.asarray(np.maximum(st0, 0.05))[:, None] * hs)
     ndl = (ct0 + s_th * jnp.asarray(st0)[:, None]) * jax.lax.rsqrt(
         1.0 + s_th * s_th + s_ph * s_ph)

@@ -187,3 +187,77 @@ def test_bounce_map_drift_reuse():
     s._shadow_dirty = True
     s.shadow_args()
     assert s._bounce is None
+
+
+def test_shadow_windows_cover_seam_blocks(scenes):
+    """Regression: blocks straddling the sun-frame phi=0 meridian must get
+    windows that cover their wrapped side. The scan map carries only
+    PHI_PAD=2 wrap columns, so build_shadow_windows must extend the wrap
+    before cutting 48-wide windows (else seam-block origins clamp and the
+    wrapped side samples the window edge — a band of wrong penumbra along
+    one meridian). Coverage is purely geometric, so a zero map suffices;
+    sweep the sun-frame x-axis so the seam crosses the visible disk."""
+    import math
+
+    from moonrtx_tpu.ops import sampler, shadow_scan
+
+    s = scenes["blocked"]
+    if s._cache_level is None:
+        s.render(1)  # build the pose caches when this test runs first
+    geom = blocked.block_rays(s.basis(), s._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              s.height, s.width, s.h_min, maxmap=s.maxmap)
+    _, _, _, _, p = blocked.march_blocks(
+        s._wincache, s._origins, geom, *s.mip_shapes[s._cache_level],
+        jnp.float32(0.5))
+    sun_u, ang = s._sun_state()
+    z = sun_u / np.linalg.norm(sun_u)
+    helper = (np.array([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9
+              else np.array([1.0, 0.0, 0.0]))
+    x0 = np.cross(helper, z)
+    x0 /= np.linalg.norm(x0)
+    y0 = np.cross(z, x0)
+    n_coarse, n_fine, n_phi = 256, 256, 2048
+    smap = jnp.zeros((n_coarse + n_fine, n_phi + shadow_scan.PHI_PAD),
+                     jnp.float32)
+    worst = 0.0
+    for a_deg in range(0, 360, 30):
+        a = math.radians(a_deg)
+        x = math.cos(a) * x0 + math.sin(a) * y0
+        y = np.cross(z, x)
+        params = shadow_scan.ShadowMapParams(
+            axis_x=jnp.asarray(x, jnp.float32),
+            axis_y=jnp.asarray(y, jnp.float32),
+            axis_z=jnp.asarray(z, jnp.float32),
+            n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),
+            n_phi=jnp.float32(n_phi), sun_ang_radius=jnp.float32(ang))
+        sw = blocked.build_shadow_windows(smap, params, geom)
+        rows, cols = shadow_scan.rowcol_of_points(params, n_phi, p)
+        # "fits" must use the builder's own chord footprint (enter, mid,
+        # end) — blocks whose chord exceeds the stride cap clamp by
+        # design (subsolar pole, factor ~1 there)
+        t_mid = 0.5 * (geom.t_enter + geom.t_end)
+        rcs = [shadow_scan.rowcol_of_points(
+                   params, n_phi, geom.ob + t[..., None] * geom.db)
+               for t in (geom.t_enter, t_mid, geom.t_end)]
+        rows_c = jnp.concatenate([rc[0] for rc in rcs], axis=1)
+        cols_c = jnp.concatenate([rc[1] for rc in rcs], axis=1)
+        _, _, r_span, c_span = sampler.block_footprint(rows_c, cols_c,
+                                                       n_phi)
+        qb = np.asarray(sw.sq)
+        fits = ((np.asarray(c_span) / qb <= blocked.SWIN_W - 4)
+                & (np.asarray(r_span) / qb <= blocked.SWIN_H - 4))
+        rows_t = (np.asarray(rows) + 0.5) / qb[:, None] - 0.5
+        cols_t = (np.asarray(cols) + 0.5) / qb[:, None] - 0.5
+        sc0 = np.asarray(sw.sc0)
+        sr0 = np.asarray(sw.sr0)
+        cols_t = np.where(cols_t < sc0[:, None] - 0.5,
+                          cols_t + n_phi / qb[:, None], cols_t)
+        wx = cols_t - sc0[:, None]
+        wy = rows_t - sr0[:, None]
+        bad = fits[:, None] & ((wx < -0.75)
+                               | (wx > blocked.SWIN_W - 0.25)
+                               | (wy < -0.75)
+                               | (wy > blocked.SWIN_H - 0.25))
+        worst = max(worst, float(wx.max(initial=0.0)))
+        assert not bad.any(), (a_deg, int(bad.sum()), worst)
