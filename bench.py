@@ -225,6 +225,32 @@ def main():
         held.append(time.time() - t0)
     time_step_held_mean_ms = sum(held) / n_held * 1000.0
 
+    # speculative held-key (the app's actual held-key pipeline,
+    # app/session.py frame(): after displaying step t the session
+    # dispatches step t+1's fused program behind the display transfer, so
+    # the observed latency of the next key event is ephemeris + consume +
+    # sync — the device work already happened during the present
+    # interval). Untimed filler per step mirrors the app: prefetch
+    # dispatch, then the uint8 display readback.
+    step15 = timedelta(minutes=15)
+    scene.update_view(scene.dt_local + step15)
+    scene.render_accumulation_burst(1)
+    sync()
+    scene.prefetch_time(scene.dt_local + step15)
+    scene.display()
+    pf_times, pf_hits = [], 0
+    for _ in range(n_held):
+        dt_next = scene.dt_local + step15
+        t0 = time.time()
+        scene.update_view(dt_next)
+        pf_hits += scene._prefetch is not None
+        scene.render_accumulation_burst(1)
+        sync()
+        pf_times.append(time.time() - t0)
+        scene.prefetch_time(scene.dt_local + step15)
+        scene.display()
+    time_step_prefetch_ms = sum(pf_times) / len(pf_times) * 1000.0
+
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
@@ -250,6 +276,8 @@ def main():
         "time_step_latency_ms": round(time_step_ms, 1),
         "time_step_rebuild_ms": round(time_step_rebuild_ms, 1),
         "time_step_held_mean_ms": round(time_step_held_mean_ms, 1),
+        "time_step_prefetch_ms": round(time_step_prefetch_ms, 1),
+        "prefetch_hit_rate": round(pf_hits / n_held, 2),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

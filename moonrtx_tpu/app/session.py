@@ -64,6 +64,10 @@ class Session:
         self._spot_graph = None
         self.pins: dict[int, object] = {}
 
+        # held-key speculation: direction of the last time step, armed by
+        # change_time, consumed (one prefetch dispatch) by frame()
+        self._prefetch_step_minutes: Optional[int] = None
+
         # measurement state
         self.measuring = False
         self.measure_start: Optional[tuple[float, float]] = None
@@ -85,6 +89,12 @@ class Session:
             return
         self.scene.update_view(self.scene.dt_local
                                + timedelta(minutes=delta_minutes))
+        # arm a speculative prefetch of the NEXT step in this direction:
+        # frame() dispatches it behind the first rendered sample, so a
+        # held key (or auto-advance) finds step t+1 already computed on
+        # device (reference design point: held-key steps must be cheap,
+        # moon_renderer.py:648-663)
+        self._prefetch_step_minutes = delta_minutes
 
     def set_time_to_now(self) -> None:
         self.scene.update_view(datetime.now().astimezone())
@@ -289,7 +299,16 @@ class Session:
     def frame(self, n_accum: Optional[int] = None) -> np.ndarray:
         """Accumulated frame + composited overlays (uint8 RGB)."""
         # copy: device arrays come back read-only and cv2 draws in place
-        img = self.scene.render(n_accum if n_accum is not None else 1).copy()
+        self.scene.ensure_accumulated(n_accum if n_accum is not None else 1)
+        step = getattr(self, "_prefetch_step_minutes", None)
+        if step is not None and self.scene._accum_n >= 1:
+            # one speculation per time step, dispatched BEFORE the display
+            # transfer below: the device renders step t+1 while this frame
+            # streams to the host and Tk presents it
+            self._prefetch_step_minutes = None
+            self.scene.prefetch_time(
+                self.scene.dt_local + timedelta(minutes=step))
+        img = self.scene.display().copy()
         self.stats.tick()
         graphs = self.active_overlays()
         if graphs:

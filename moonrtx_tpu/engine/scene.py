@@ -304,6 +304,7 @@ class MoonScene:
         self._hitbuf_src = None
         self._elev_host = None       # host elevation cache for measurement
         self._elev_host_src = None
+        self._prefetch = None        # speculative next-time-step results
         self._rng = np.random.default_rng(42)
 
     # ---- state updates -------------------------------------------------
@@ -317,27 +318,11 @@ class MoonScene:
         self.ephem = calculate_ephemeris(
             self.dt_local, self.config.observer, self.parallactic_mode)
         e = self.ephem
-        light_pos = light_mod.calculate_light_pos(e)
-        disk_c, disk_r = light_mod.calculate_sun_disk(e)
-        self._fp = FrameParams(
-            rotation=jnp.asarray(e.rotation_matrix, jnp.float32),
-            light_pos=jnp.asarray(light_pos, jnp.float32),
-            sun_disk_center=jnp.asarray(disk_c, jnp.float32),
-            sun_disk_radius=jnp.float32(disk_r),
-            irradiance=jnp.float32(
-                light_mod.sun_irradiance_factor(self.brightness, e)),
-            sun_ang_radius=jnp.float32(
-                math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
-            lunar_blend=(
-                jnp.float32(light_mod.lunar_lambert_blend(e.phase_angle))
-                if self.config.photometric == "lunar" else None),
-            earth=(jnp.asarray(_earth_params(
-                       e, self.config.eclipse_shading,
-                       self.config.earthshine), jnp.float32)
-                   if (self.config.eclipse_shading
-                       or self.config.earthshine) else None),
-        )
+        self._fp = self._frame_params(e)
         self._shadow_dirty = True
+        if (self._prefetch is not None
+                and self._prefetch["dt"] != self.dt_local):
+            self._prefetch = None  # speculation missed: free its buffers
         # Body-frame footprints move with the rotation; sampling windows
         # carry a margin of several texels, so small drifts (successive
         # time steps rotate the Moon ~0.14 deg / 15 min) reuse the cached
@@ -358,6 +343,30 @@ class MoonScene:
         self._shadowwin = None  # sun-frame coordinates always move
         self.reset_accumulation()
         return e
+
+    def _frame_params(self, e: MoonEphemeris) -> FrameParams:
+        """Device-side per-frame light/photometric parameters for an
+        ephemeris (reference moon_renderer.py:505-624 outputs)."""
+        light_pos = light_mod.calculate_light_pos(e)
+        disk_c, disk_r = light_mod.calculate_sun_disk(e)
+        return FrameParams(
+            rotation=jnp.asarray(e.rotation_matrix, jnp.float32),
+            light_pos=jnp.asarray(light_pos, jnp.float32),
+            sun_disk_center=jnp.asarray(disk_c, jnp.float32),
+            sun_disk_radius=jnp.float32(disk_r),
+            irradiance=jnp.float32(
+                light_mod.sun_irradiance_factor(self.brightness, e)),
+            sun_ang_radius=jnp.float32(
+                math.asin(C.SUN_RADIUS_KM / e.sun_distance)),
+            lunar_blend=(
+                jnp.float32(light_mod.lunar_lambert_blend(e.phase_angle))
+                if self.config.photometric == "lunar" else None),
+            earth=(jnp.asarray(_earth_params(
+                       e, self.config.eclipse_shading,
+                       self.config.earthshine), jnp.float32)
+                   if (self.config.eclipse_shading
+                       or self.config.earthshine) else None),
+        )
 
     def set_brightness(self, brightness: int) -> None:
         self.brightness = int(np.clip(brightness, *C.BRIGHTNESS_RANGE))
@@ -474,9 +483,13 @@ class MoonScene:
         """(unit sun direction in the body frame, solar angular radius),
         computed on host — reading _fp fields back from the device would
         stall the async dispatch pipeline mid-step."""
-        sun_body = np.asarray(self.ephem.rotation_matrix).T @ np.asarray(
-            light_mod.calculate_light_pos(self.ephem))
-        ang = math.asin(C.SUN_RADIUS_KM / self.ephem.sun_distance)
+        return self._sun_state_of(self.ephem)
+
+    @staticmethod
+    def _sun_state_of(e: MoonEphemeris) -> tuple[np.ndarray, float]:
+        sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
+            light_mod.calculate_light_pos(e))
+        ang = math.asin(C.SUN_RADIUS_KM / e.sun_distance)
         return sun_body / np.linalg.norm(sun_body), ang
 
     def _shadow_args_mesh(self, tex, h, w, sun_unit, ang, acc):
@@ -632,18 +645,19 @@ class MoonScene:
                 self._shadowwin if self.shadows_on else None)
         return alevel
 
-    def _merged_timestep(self, jitters, n_samples: int, h: int, w: int,
-                         ah: int, aw: int):
-        """Run the one-program drift-reuse time step if eligible: shadows
-        dirty, indirect light on, cached bounce map within
-        BOUNCE_ASYNC_MAX_DEG of the current sun frame. Past
-        BOUNCE_REUSE_DEG a bounce_refresh is dispatched BEHIND the frame
-        (reusing its scan), so held-key animation never waits on the
-        bounce pyramid. Returns (accum, hitbuf, swin_p, scal) or None
-        (caller falls back to the synchronous split-program path)."""
+    def _dispatch_timestep_scan(self, fp, sun_unit, ang, jitters,
+                                n_samples: int, h: int, w: int,
+                                ah: int, aw: int):
+        """Dispatch the one-program drift-reuse time step for an arbitrary
+        frame-params/sun state, with NO scene mutation: eligibility is
+        indirect light on, cached bounce map within BOUNCE_ASYNC_MAX_DEG
+        of the given sun frame. Past BOUNCE_REUSE_DEG a bounce_refresh is
+        dispatched BEHIND the frame (reusing its scan). Returns None when
+        ineligible, else a dict of result futures + the cache metadata the
+        caller installs via _install_timestep."""
         from moonrtx_tpu.ops import shadow_scan
 
-        if not (self.shadows_on and self.displaced and self._shadow_dirty
+        if not (self.shadows_on and self.displaced
                 and self.indirect_light and self._bounce is not None
                 and self._bounce_basis is not None):
             return None
@@ -651,7 +665,6 @@ class MoonScene:
         acc = self.shadow_accuracy
         if self._bounce_key != (slevel, acc):
             return None
-        sun_unit, ang = self._sun_state()
         basis_np = _sun_frame_basis_np(sun_unit)
         drift = _rotation_angle_deg(basis_np, self._bounce_basis)
         if drift > BOUNCE_ASYNC_MAX_DEG:
@@ -668,7 +681,7 @@ class MoonScene:
             sun_basis, jnp.float32(ang),
             self._wincache, self._origins, self._packed.hwin,
             self._packed.awin, self.background(), self.maxmap,
-            self.basis(), self._fp, jitters, self.height, self.width,
+            self.basis(), fp, jitters, self.height, self.width,
             h, w, self.h_min, ah, aw, sh_, sw_, ncs, nf, nph,
             n_samples=n_samples, h_scale=self.h_scale,
             h_offset=self.h_offset, hbound=self._hbound,
@@ -677,20 +690,122 @@ class MoonScene:
             axis_x=sun_basis[0], axis_y=sun_basis[1], axis_z=sun_basis[2],
             n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
             n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
-        self._shadow = (smap, params)
-        self._shadow_dirty = False
+        bounce = bounce_basis = None
         if drift > BOUNCE_REUSE_DEG:
             # refresh the bounce map asynchronously behind the frame: the
             # device renders the frame first (program order), the rebuild
             # fills the gap before the next step, and the Python-side
-            # cache swaps to the new (not-yet-materialized) array now so
-            # the next merged step consumes it directly
-            self._bounce = shadow_scan.bounce_refresh(
+            # cache swaps to the new (not-yet-materialized) array on
+            # install so the next merged step consumes it directly
+            bounce = shadow_scan.bounce_refresh(
                 smap, hs, self.alb_lum(slevel), sun_basis,
                 sh_, sw_, ncs, nf, nph)
-            self._bounce_basis = basis_np
-            self._bounce_key = (slevel, acc)
-        return accum, hitbuf, swin_p, scal
+            bounce_basis = basis_np
+        return dict(accum=accum, hitbuf=hitbuf, swin=swin_p, scal=scal,
+                    shadow=(smap, params), bounce=bounce,
+                    bounce_basis=bounce_basis, bounce_key=(slevel, acc))
+
+    def _install_timestep(self, r: dict) -> None:
+        """Install a _dispatch_timestep_scan result as the scene's shadow/
+        bounce cache state (the mutation half, split out so a speculative
+        prefetch can defer it to consume time)."""
+        self._shadow = r["shadow"]
+        self._shadow_dirty = False
+        if r["bounce"] is not None:
+            self._bounce = r["bounce"]
+            self._bounce_basis = r["bounce_basis"]
+            self._bounce_key = r["bounce_key"]
+
+    def _merged_timestep(self, jitters, n_samples: int, h: int, w: int,
+                         ah: int, aw: int):
+        """Run the one-program drift-reuse time step if eligible (shadows
+        dirty + _dispatch_timestep_scan conditions) so held-key animation
+        never waits on the bounce pyramid. Returns (accum, hitbuf, swin_p,
+        scal) or None (caller falls back to the synchronous split-program
+        path)."""
+        if not self._shadow_dirty:
+            return None
+        sun_unit, ang = self._sun_state()
+        r = self._dispatch_timestep_scan(self._fp, sun_unit, ang, jitters,
+                                         n_samples, h, w, ah, aw)
+        if r is None:
+            return None
+        self._install_timestep(r)
+        return r["accum"], r["hitbuf"], r["swin"], r["scal"]
+
+    # ---- speculative held-key prefetch ------------------------------------
+
+    def _prefetch_token(self):
+        """Everything a prefetched time step's validity depends on besides
+        the datetime: the pose/window cache identities and the light/
+        shading settings baked into its FrameParams."""
+        packed = self._packed
+        return (id(self._origins), id(self._wincache),
+                None if packed is None else id(packed.hwin),
+                self._cache_level, self.brightness, self.shadows_on,
+                self.shadow_accuracy, self.indirect_light,
+                self.view_orientation, id(self.camera),
+                self.parallactic_mode, self.backend)
+
+    def prefetch_time(self, dt_next: datetime) -> bool:
+        """Speculatively dispatch the NEXT time step's fused scan+render
+        program behind the current frame (JAX async dispatch): when the
+        held key delivers update_view(dt_next), the frame is already
+        computed on device and the step costs only the readback. The
+        reference's design point is that held-key steps must be cheap
+        (moon_renderer.py:648-663); here the device computes step t+1
+        while the host displays step t. Returns True when a speculation
+        was dispatched. Mis-speculation is safe: results install only if
+        the next update_view matches the datetime and _prefetch_token."""
+        self._prefetch = None
+        if (self.backend != "pallas" or self.mesh is not None
+                or self.ephem is None or not self.displaced):
+            return False
+        level = self.mip_level()
+        if (self._origins is None or self._packed is None
+                or self._wincache is None or self._cache_level != level):
+            return False
+        e = calculate_ephemeris(dt_next, self.config.observer,
+                                self.parallactic_mode)
+        # would update_view(dt_next) invalidate the pose windows? (window
+        # drift policy in update_view — predict it; a mispredict is only
+        # wasted work, never wrong output)
+        prev = np.asarray(self.ephem.rotation_matrix)
+        cosang = (np.trace(np.asarray(e.rotation_matrix) @ prev.T)
+                  - 1.0) / 2.0
+        drift_deg = float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+        h_lvl = self.mip_shapes[level][0]
+        if (getattr(self, "_window_drift", 0.0) + drift_deg
+                > 4.0 * (180.0 / h_lvl)):
+            return False
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        fp = self._frame_params(e)
+        sun_unit, ang = self._sun_state_of(e)
+        # n_samples=1 (what the app renders first after a step); its jitter
+        # is deterministically zero, so a consumed prefetch is bit-exact
+        # with the non-speculative burst and consumes no RNG state
+        r = self._dispatch_timestep_scan(fp, sun_unit, ang,
+                                         jnp.zeros((1, 2), jnp.float32),
+                                         1, h, w, ah, aw)
+        if r is None:
+            return False
+        r["dt"] = dt_next
+        r["token"] = self._prefetch_token()
+        self._prefetch = r
+        return True
+
+    def _consume_prefetch(self, n_samples: int):
+        """Take the speculative step's results if they match the scene's
+        current datetime + state token; None otherwise."""
+        pf, self._prefetch = self._prefetch, None
+        if (pf is None or n_samples != 1 or not self._shadow_dirty
+                or pf["dt"] != self.dt_local
+                or pf["token"] != self._prefetch_token()):
+            return None
+        self._install_timestep(pf)
+        return pf["accum"], pf["hitbuf"], pf["swin"], pf["scal"]
 
     def render_accumulation_frame(self):
         """Render one accumulation sample and fold it into the running mean."""
@@ -758,16 +873,23 @@ class MoonScene:
         self._accum_n += 1
         return self._accum
 
-    def render(self, n_frames: Optional[int] = None) -> np.ndarray:
-        """Accumulate up to n_frames samples and return the display image
-        (uint8 RGB)."""
+    def ensure_accumulated(self, n_frames: Optional[int] = None) -> None:
+        """Dispatch accumulation up to n_frames samples WITHOUT the display
+        transfer — callers that want to overlap more device work behind the
+        frame readback (session.frame's held-key speculation) dispatch it
+        between this and display()."""
         n = n_frames if n_frames is not None else self.config.accumulation_frames
         if ((self.backend == "pallas" or self.mesh is not None)
                 and self.displaced and self._accum_n == 0 and n > 0):
             self.render_accumulation_burst(n)
-            return self.display()
+            return
         while self._accum_n < n:
             self.render_accumulation_frame()
+
+    def render(self, n_frames: Optional[int] = None) -> np.ndarray:
+        """Accumulate up to n_frames samples and return the display image
+        (uint8 RGB)."""
+        self.ensure_accumulated(n_frames)
         return self.display()
 
     def _render_sharded(self, jitters, n_samples: int):
@@ -841,7 +963,10 @@ class MoonScene:
             # map programs then the fused windows+repack+burst program
             # (docs/PERF.md: dispatch economy, ~20 ms launch latency per
             # program through the tunnel).
-            merged = self._merged_timestep(jitters, n_samples, h, w, ah, aw)
+            merged = self._consume_prefetch(n_samples)
+            if merged is None:
+                merged = self._merged_timestep(jitters, n_samples, h, w,
+                                               ah, aw)
             if merged is not None:
                 accum, hitbuf, swin_p, scal = merged
             else:

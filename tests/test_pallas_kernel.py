@@ -424,3 +424,77 @@ def test_scene_pallas_async_bounce_refresh(monkeypatch):
     img = s.render(1)
     assert img.max() > 0
     assert calls["refresh"] == 1 and calls["sync"] == 1
+
+
+def test_scene_prefetch_timestep_bit_exact(monkeypatch):
+    """Speculative held-key prefetch (scene.prefetch_time): a hit consumes
+    the pre-dispatched fused step with NO new scan/burst dispatch and is
+    bit-exact with the non-speculative path; a mis-speculation (different
+    datetime) is dropped and the normal merged step runs."""
+    from datetime import timedelta
+
+    from moonrtx_tpu.engine import scene as scene_mod
+
+    def build():
+        elev, albedo = synthesize_moon(360, 720, seed=5, n_craters=150)
+        rs = float(elev.max())
+        cfg = RenderConfig(
+            observer=Observer(50.06, 19.94, 219),
+            dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+            width=128, height=128, shadow_accuracy=4,
+        ).validate()
+        s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+        s.backend = "pallas"
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)  # stand up the packed-window pipeline (pose program)
+        return s
+
+    from datetime import timezone  # noqa: F811 (shadow for clarity)
+
+    s1 = build()
+    dt1 = s1.dt_local + timedelta(minutes=15)
+    s1.update_view(dt1)
+    img_ref = s1.render(1)
+
+    s2 = build()
+    assert s2.prefetch_time(dt1) is True
+    assert s2._prefetch is not None
+
+    calls = {"dispatch": 0}
+    orig = scene_mod.MoonScene._dispatch_timestep_scan
+
+    def spy(self, *a, **k):
+        calls["dispatch"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(scene_mod.MoonScene, "_dispatch_timestep_scan", spy)
+
+    s2.update_view(dt1)
+    assert s2._prefetch is not None  # speculation survives matching dt
+    img_hit = s2.render(1)
+    assert calls["dispatch"] == 0  # consumed, nothing re-dispatched
+    assert s2._prefetch is None
+    assert not s2._shadow_dirty
+    np.testing.assert_array_equal(img_hit, img_ref)
+
+    # mis-speculation: prefetch one direction, step the other way ->
+    # dropped by update_view, merged step dispatches normally, output
+    # still matches a clean render of that datetime
+    assert s2.prefetch_time(dt1 + timedelta(minutes=15))
+    dt_back = dt1 - timedelta(minutes=15)
+    s2.update_view(dt_back)
+    assert s2._prefetch is None  # cleared on datetime mismatch
+    img_miss = s2.render(1)
+    # 2 = the speculation's own dispatch + the merged-step fallback
+    assert calls["dispatch"] == 2
+    assert img_miss.max() > 0
+
+    # state-token mismatch: speculate, then change brightness before the
+    # step lands -> consume refuses, merged step runs with the new state
+    assert s2.prefetch_time(dt_back + timedelta(minutes=15))
+    s2.set_brightness(s2.brightness + 2)
+    s2.update_view(dt_back + timedelta(minutes=15))
+    img2 = s2.render(1)
+    assert calls["dispatch"] == 4
+    assert img2.max() > 0

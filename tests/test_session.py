@@ -253,3 +253,28 @@ def test_feature_search(session):
     tycho = matches[names.index("Tycho")]
     session.center_on_feature(tycho)
     assert not np.allclose(session.scene.camera.target, [0, 0, 0])
+
+
+def test_held_key_prefetch_armed_once_per_step(session, monkeypatch):
+    """change_time arms one speculative prefetch of the next step in the
+    same direction; frame() dispatches it exactly once, after the first
+    accumulated sample (engine/scene.py prefetch_time)."""
+    from datetime import timedelta
+
+    calls = []
+    monkeypatch.setattr(session.scene, "prefetch_time",
+                        lambda dt: calls.append(dt) or True)
+
+    session.handle_key("w")  # +step
+    expected = session.scene.dt_local + timedelta(
+        minutes=session.time_step_minutes)
+    session.frame(1)
+    assert calls == [expected]
+    session.frame(2)  # further accumulation: no re-speculation
+    assert calls == [expected]
+
+    session.handle_key("q")  # -step: speculate backwards
+    expected2 = session.scene.dt_local - timedelta(
+        minutes=session.time_step_minutes)
+    session.frame(1)
+    assert calls == [expected, expected2]
