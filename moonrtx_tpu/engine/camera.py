@@ -27,14 +27,10 @@ class CameraBasis(NamedTuple):
     tan_half_fov: jnp.ndarray  # scalar
 
 
-def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
-    """Orthonormal view basis from eye/target/up + fov.
-
-    View-orientation flips mirror the image by negating the right/up basis
-    vectors: horizontal flip => E appears left (negate right), vertical
-    flip => S appears up (negate up). Mirrors, not rotations — matching the
-    reference's telescope orientations.
-    """
+def camera_basis_np(cam: Camera, orientation: str = "NSWE"):
+    """(eye, forward, right, up, tan_half_fov) as host numpy float64 —
+    for host-side geometry (probe rays, drift measures) that must not
+    touch the device."""
     eye = np.asarray(cam.eye, np.float64)
     target = np.asarray(cam.target, np.float64)
     up_hint = np.asarray(cam.up, np.float64)
@@ -48,6 +44,18 @@ def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
         right = -right
     if flip_v:
         up = -up
+    return eye, fwd, right, up, float(np.tan(np.radians(cam.fov) / 2.0))
+
+
+def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
+    """Orthonormal view basis from eye/target/up + fov.
+
+    View-orientation flips mirror the image by negating the right/up basis
+    vectors: horizontal flip => E appears left (negate right), vertical
+    flip => S appears up (negate up). Mirrors, not rotations — matching the
+    reference's telescope orientations.
+    """
+    eye, fwd, right, up, _ = camera_basis_np(cam, orientation)
     return CameraBasis(
         eye=jnp.asarray(eye, jnp.float32),
         forward=jnp.asarray(fwd, jnp.float32),
@@ -55,6 +63,29 @@ def camera_basis(cam: Camera, orientation: str = "NSWE") -> CameraBasis:
         up=jnp.asarray(up, jnp.float32),
         tan_half_fov=jnp.float32(np.tan(np.radians(cam.fov) / 2.0)),
     )
+
+
+def probe_hit_dirs(cam: Camera, orientation: str, height: int, width: int,
+                   radius: float) -> np.ndarray:
+    """Unit directions (from the body center) of where a 3x3 grid of probe
+    pixels lands on the sphere of the given radius — host numpy. Rays that
+    miss use the closest-approach point, so limb/background probes still
+    track how the view sweeps past the body. Used to bound how far
+    body-frame ray footprints move under a camera change."""
+    eye, fwd, right, up, thf = camera_basis_np(cam, orientation)
+    ys = np.array([0.0, (height - 1) / 2.0, height - 1.0])
+    xs = np.array([0.0, (width - 1) / 2.0, width - 1.0])
+    v = 1.0 - 2.0 * (ys[:, None] + 0.5) / height
+    u = (2.0 * (xs[None, :] + 0.5) / width - 1.0) * (width / height)
+    d = (fwd[None, None] + thf * (u[..., None] * right[None, None]
+                                  + v[..., None] * up[None, None]))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # |eye + t d|^2 = r^2; fall back to closest approach (t = -eye.d)
+    b = d @ eye
+    disc = b * b - (eye @ eye - radius * radius)
+    t = np.where(disc > 0.0, -b - np.sqrt(np.maximum(disc, 0.0)), -b)
+    p = eye[None, None] + t[..., None] * d
+    return p / np.linalg.norm(p, axis=-1, keepdims=True)
 
 
 def ray_directions(basis: CameraBasis, height: int, width: int,

@@ -31,6 +31,7 @@ from moonrtx_tpu.data.mips import (
 from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
+from moonrtx_tpu.engine import camera as camera_mod
 from moonrtx_tpu.engine.camera import CameraBasis, camera_basis, pixel_ray
 from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.ops import sampler
@@ -376,12 +377,49 @@ class MoonScene:
         self.reset_accumulation()
 
     def set_camera(self, camera: Camera) -> None:
+        """Install a new camera pose. Small moves (per-pixel orbit/roll
+        drag steps) REUSE the cached sampling windows: body-frame ray
+        footprints shift by at most the probe-measured drift angle, and
+        the windows carry the same several-texel margin that absorbs
+        small time-step rotations (update_view's drift policy) — so a
+        drag step renders with ONE burst program instead of the full
+        window re-extraction + repack pose program."""
+        drift = self._camera_drift_deg(self.camera, camera)
         self.camera = camera
         self._basis = None
         self._background = None
+        self.reset_accumulation()
+        if drift is not None and self._origins is not None:
+            self._window_drift = getattr(self, "_window_drift", 0.0) + drift
+            h_lvl = self.mip_shapes[self._cache_level or 0][0]
+            if self._window_drift <= 4.0 * (180.0 / h_lvl):
+                return
         self._origins = None
         self._hbound = None
-        self.reset_accumulation()
+
+    def _camera_drift_deg(self, old: Optional[Camera],
+                          new: Camera) -> Optional[float]:
+        """Worst-case body-frame footprint drift (degrees) of a camera
+        change, from a 3x3 probe-ray grid hitting the bounding sphere;
+        None when unmeasurable (no old camera, fov change — a zoom also
+        rescales per-block footprint SPANS, which window sizes cannot
+        absorb)."""
+        if old is new:
+            return 0.0
+        if old is None or old.fov != new.fov:
+            return None
+        r_old = float(np.linalg.norm(np.asarray(old.eye, np.float64)))
+        r_new = float(np.linalg.norm(np.asarray(new.eye, np.float64)))
+        if abs(r_old - r_new) > 1e-9 * max(r_old, 1.0):
+            return None  # dolly rescales footprint spans, like a zoom
+        d0 = camera_mod.probe_hit_dirs(old, self.view_orientation,
+                                       self.height, self.width,
+                                       C.MOON_RADIUS)
+        d1 = camera_mod.probe_hit_dirs(new, self.view_orientation,
+                                       self.height, self.width,
+                                       C.MOON_RADIUS)
+        cos = np.clip(np.sum(d0 * d1, axis=-1), -1.0, 1.0)
+        return float(np.degrees(np.arccos(cos).max()))
 
     def set_view_orientation(self, orientation: str) -> None:
         self.view_orientation = orientation

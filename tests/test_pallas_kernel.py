@@ -498,3 +498,61 @@ def test_scene_prefetch_timestep_bit_exact(monkeypatch):
     img2 = s2.render(1)
     assert calls["dispatch"] == 4
     assert img2.max() > 0
+
+
+def test_orbit_drag_reuses_windows():
+    """Small per-pixel orbit drags keep the cached sampling windows (the
+    probe-ray drift stays inside the window margin) and render the same
+    image a cold cache renders at that pose; accumulated drift past the
+    threshold — or a zoom — rebuilds them (scene.set_camera drift policy)."""
+    from moonrtx_tpu.interact import navigation as nav
+
+    elev, albedo = synthesize_moon(360, 720, seed=5, n_craters=150)
+    rs = float(elev.max())
+
+    def build():
+        cfg = RenderConfig(
+            observer=Observer(50.06, 19.94, 219),
+            dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+            width=192, height=108, shadow_accuracy=4,
+        ).validate()
+        s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+        s.backend = "pallas"
+        s.shadows_on = True
+        s.update_view()
+        return s
+
+    s = build()
+    s.render(1)
+    origins = s._origins
+    assert origins is not None
+
+    # a few one-pixel drag steps: windows survive, burst-only frames
+    cam = s.camera
+    for _ in range(3):
+        cam = nav.orbit_drag(cam, 1.0, 0.0, s.height)
+        s.set_camera(cam)
+    assert s._origins is origins
+    img_reused = s.render(1)
+
+    cold = build()
+    cold.set_camera(cam)
+    img_cold = cold.render(1)
+    d = np.abs(img_reused.astype(int) - img_cold.astype(int)).max(axis=-1)
+    assert np.percentile(d, 99) <= 2.0
+    assert d.mean() < 0.3
+
+    # drift accumulates across steps: enough drags cross the 4-texel
+    # threshold and re-extract
+    thresh_deg = 4.0 * 180.0 / s.mip_shapes[s._cache_level][0]
+    n = int(thresh_deg / 0.004) + 8  # ~0.004 deg per 1080p-pixel drag
+    for _ in range(n):
+        cam = nav.orbit_drag(cam, 4.0, 0.0, s.height)
+        s.set_camera(cam)
+    assert s._origins is None
+
+    # zoom: footprint spans rescale -> always a rebuild
+    s.render(1)
+    assert s._origins is not None
+    s.set_camera(nav.zoom_fov(s.camera, 1))
+    assert s._origins is None
