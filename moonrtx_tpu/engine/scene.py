@@ -739,7 +739,8 @@ class MoonScene:
                 smap, hs, self.alb_lum(slevel), sun_basis,
                 sh_, sw_, ncs, nf, nph)
             bounce_basis = basis_np
-        return dict(accum=accum, hitbuf=hitbuf, swin=swin_p, scal=scal,
+        return dict(kind="timestep", accum=accum, hitbuf=hitbuf,
+                    swin=swin_p, scal=scal,
                     shadow=(smap, params), bounce=bounce,
                     bounce_basis=bounce_basis, bounce_key=(slevel, acc))
 
@@ -753,6 +754,95 @@ class MoonScene:
             self._bounce = r["bounce"]
             self._bounce_basis = r["bounce_basis"]
             self._bounce_key = r["bounce_key"]
+
+    def _dispatch_pose_scan(self, fp, sun_unit, ang, jitters,
+                            n_samples: int, level: int):
+        """Dispatch the full pose-rebuild step (shadow scan + window
+        origins/extraction/repack + burst) for an arbitrary frame state,
+        with NO scene mutation. This is the speculation used when the
+        predicted window drift says the pose caches will NOT survive the
+        next time step (the common case at full-LDEM working levels,
+        where one 15-min step moves footprints ~9 texels)."""
+        from moonrtx_tpu.ops import shadow_scan
+
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        smap = sparams = None
+        bounce_render = bounce = bounce_basis = bounce_key = None
+        if self.shadows_on:
+            slevel = self.shadow_level()
+            stex = self.mips[slevel]
+            sh_, sw_ = self.mip_shapes[slevel]
+            acc = self.shadow_accuracy
+            sun = jnp.asarray(sun_unit, jnp.float32)
+            basis_np = _sun_frame_basis_np(sun_unit)
+            if self.indirect_light:
+                reuse = (
+                    self._bounce is not None
+                    and self._bounce_basis is not None
+                    and self._bounce_key == (slevel, acc)
+                    and _rotation_angle_deg(basis_np, self._bounce_basis)
+                    <= BOUNCE_REUSE_DEG)
+                if reuse:
+                    smap, sparams = shadow_scan.build_shadow_map(
+                        stex, sh_, sw_, sun, ang, accuracy=acc,
+                        h_scale=self.h_scale, h_offset=self.h_offset)
+                    bounce_render = self._bounce
+                else:
+                    smap, sparams, bmap = shadow_scan.build_shadow_and_bounce(
+                        stex, self.alb_lum(slevel), sh_, sw_, sun, ang,
+                        accuracy=acc,
+                        h_scale=self.h_scale, h_offset=self.h_offset)
+                    bounce_render = bounce = bmap
+                    bounce_basis = basis_np
+                    bounce_key = (slevel, acc)
+            else:
+                smap, sparams = shadow_scan.build_shadow_map(
+                    stex, sh_, sw_, sun, ang, accuracy=acc,
+                    h_scale=self.h_scale, h_offset=self.h_offset)
+        max_qexp = min(2, len(self.mips) - 1 - level,
+                       len(self.albedo_mips) - 1 - alevel)
+        (accum, hitbuf, org, cache, hwin_p, awin_p, swin_p,
+         scal, hbound) = blocked.render_pose_pallas(
+            tuple(self.mips[level:level + max_qexp + 1]),
+            tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
+            self.slope_maps[level:level + max_qexp + 1],
+            smap, sparams, bounce_render, self.background(),
+            self.maxmap, self.basis(), fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            max_qexp=max_qexp, n_samples=n_samples,
+            use_shadow=self.shadows_on,
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            a_scale=self.a_scale, interpret=self._interp())
+        return dict(kind="pose", accum=accum, hitbuf=hitbuf,
+                    origins=org, wincache=cache, cache_level=level,
+                    hbound=hbound,
+                    packed=blocked.PackedWindows(hwin=hwin_p, awin=awin_p,
+                                                 swin=swin_p, scal=scal),
+                    shadow=(smap, sparams) if self.shadows_on else None,
+                    bounce=bounce, bounce_basis=bounce_basis,
+                    bounce_key=bounce_key)
+
+    def _install_pose_step(self, r: dict) -> None:
+        """Install a _dispatch_pose_scan result (mirrors the mutations of
+        the non-speculative pose branch in render_accumulation_burst +
+        shadow_args)."""
+        if r["shadow"] is not None:
+            self._shadow = r["shadow"]
+        self._shadow_dirty = False
+        if r["bounce"] is not None:
+            self._bounce = r["bounce"]
+            self._bounce_basis = r["bounce_basis"]
+            self._bounce_key = r["bounce_key"]
+        self._origins = r["origins"]
+        self._wincache = r["wincache"]
+        self._cache_level = r["cache_level"]
+        self._window_drift = 0.0
+        self._hbound = r["hbound"]
+        self._packed = r["packed"]
+        self._shadowwin = (blocked.FUSED_SHADOW_STATE
+                           if self.shadows_on else None)
 
     def _merged_timestep(self, jitters, n_samples: int, h: int, w: int,
                          ah: int, aw: int):
@@ -773,17 +863,23 @@ class MoonScene:
 
     # ---- speculative held-key prefetch ------------------------------------
 
-    def _prefetch_token(self):
+    def _prefetch_token(self, kind: str):
         """Everything a prefetched time step's validity depends on besides
-        the datetime: the pose/window cache identities and the light/
-        shading settings baked into its FrameParams."""
+        the datetime. A "timestep" speculation additionally depends on the
+        pose/window cache identities it renders through; a "pose"
+        speculation rebuilds those from scratch, so it survives
+        update_view invalidating them (that is its purpose) and depends
+        only on the camera/settings baked into its programs."""
+        base = (self.brightness, self.shadows_on, self.shadow_accuracy,
+                self.indirect_light, self.view_orientation,
+                id(self.camera), self.parallactic_mode, self.backend,
+                id(self._bounce))
+        if kind == "pose":
+            return base
         packed = self._packed
-        return (id(self._origins), id(self._wincache),
-                None if packed is None else id(packed.hwin),
-                self._cache_level, self.brightness, self.shadows_on,
-                self.shadow_accuracy, self.indirect_light,
-                self.view_orientation, id(self.camera),
-                self.parallactic_mode, self.backend)
+        return base + (id(self._origins), id(self._wincache),
+                       None if packed is None else id(packed.hwin),
+                       self._cache_level)
 
     def prefetch_time(self, dt_next: datetime) -> bool:
         """Speculatively dispatch the NEXT time step's fused scan+render
@@ -800,22 +896,8 @@ class MoonScene:
                 or self.ephem is None or not self.displaced):
             return False
         level = self.mip_level()
-        if (self._origins is None or self._packed is None
-                or self._wincache is None or self._cache_level != level):
-            return False
         e = calculate_ephemeris(dt_next, self.config.observer,
                                 self.parallactic_mode)
-        # would update_view(dt_next) invalidate the pose windows? (window
-        # drift policy in update_view — predict it; a mispredict is only
-        # wasted work, never wrong output)
-        prev = np.asarray(self.ephem.rotation_matrix)
-        cosang = (np.trace(np.asarray(e.rotation_matrix) @ prev.T)
-                  - 1.0) / 2.0
-        drift_deg = float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
-        h_lvl = self.mip_shapes[level][0]
-        if (getattr(self, "_window_drift", 0.0) + drift_deg
-                > 4.0 * (180.0 / h_lvl)):
-            return False
         h, w = self.mip_shapes[level]
         alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]
@@ -824,26 +906,52 @@ class MoonScene:
         # n_samples=1 (what the app renders first after a step); its jitter
         # is deterministically zero, so a consumed prefetch is bit-exact
         # with the non-speculative burst and consumes no RNG state
-        r = self._dispatch_timestep_scan(fp, sun_unit, ang,
-                                         jnp.zeros((1, 2), jnp.float32),
-                                         1, h, w, ah, aw)
+        jit1 = jnp.zeros((1, 2), jnp.float32)
+        r = None
+        if (self._origins is not None and self._packed is not None
+                and self._wincache is not None
+                and self._cache_level == level):
+            # would update_view(dt_next) keep the pose windows? (window
+            # drift policy in update_view — predict it; a mispredict is
+            # only wasted work, never wrong output)
+            prev = np.asarray(self.ephem.rotation_matrix)
+            cosang = (np.trace(np.asarray(e.rotation_matrix) @ prev.T)
+                      - 1.0) / 2.0
+            drift_deg = float(np.degrees(
+                np.arccos(np.clip(cosang, -1.0, 1.0))))
+            if (getattr(self, "_window_drift", 0.0) + drift_deg
+                    <= 4.0 * (180.0 / h)):
+                r = self._dispatch_timestep_scan(fp, sun_unit, ang, jit1,
+                                                 1, h, w, ah, aw)
+        if r is None:
+            # windows will not survive the step (or no merged-step
+            # eligibility): speculate the FULL pose rebuild — scan +
+            # origins + extraction + repack + burst — behind the frame
+            r = self._dispatch_pose_scan(fp, sun_unit, ang, jit1, 1, level)
         if r is None:
             return False
         r["dt"] = dt_next
-        r["token"] = self._prefetch_token()
+        r["token"] = self._prefetch_token(r["kind"])
         self._prefetch = r
         return True
 
     def _consume_prefetch(self, n_samples: int):
-        """Take the speculative step's results if they match the scene's
-        current datetime + state token; None otherwise."""
+        """Install the speculative step's results if they match the
+        scene's current datetime + state token and return (accum, hitbuf);
+        None otherwise."""
         pf, self._prefetch = self._prefetch, None
         if (pf is None or n_samples != 1 or not self._shadow_dirty
                 or pf["dt"] != self.dt_local
-                or pf["token"] != self._prefetch_token()):
+                or pf["token"] != self._prefetch_token(pf["kind"])):
             return None
-        self._install_timestep(pf)
-        return pf["accum"], pf["hitbuf"], pf["swin"], pf["scal"]
+        if pf["kind"] == "pose":
+            self._install_pose_step(pf)
+        else:
+            self._install_timestep(pf)
+            self._packed = self._packed._replace(swin=pf["swin"],
+                                                 scal=pf["scal"])
+            self._shadowwin = blocked.FUSED_SHADOW_STATE
+        return pf["accum"], pf["hitbuf"]
 
     def render_accumulation_frame(self):
         """Render one accumulation sample and fold it into the running mean."""
@@ -975,6 +1083,15 @@ class MoonScene:
             self._accum_n = n_samples
             return
 
+        # speculative held-key hit: the step's programs were dispatched
+        # behind the previous frame (prefetch_time); install + take the
+        # results. A pose-kind hit covers the cache-invalid branch too.
+        pf = self._consume_prefetch(n_samples)
+        if pf is not None:
+            self._accum, self._hitbuf = pf
+            self._accum_n = n_samples
+            return
+
         alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]
         pose_valid = (self._origins is not None
@@ -1001,10 +1118,7 @@ class MoonScene:
             # map programs then the fused windows+repack+burst program
             # (docs/PERF.md: dispatch economy, ~20 ms launch latency per
             # program through the tunnel).
-            merged = self._consume_prefetch(n_samples)
-            if merged is None:
-                merged = self._merged_timestep(jitters, n_samples, h, w,
-                                               ah, aw)
+            merged = self._merged_timestep(jitters, n_samples, h, w, ah, aw)
             if merged is not None:
                 accum, hitbuf, swin_p, scal = merged
             else:

@@ -556,3 +556,64 @@ def test_orbit_drag_reuses_windows():
     assert s._origins is not None
     s.set_camera(nav.zoom_fov(s.camera, 1))
     assert s._origins is None
+
+
+def test_scene_prefetch_pose_kind_bit_exact(monkeypatch):
+    """When the drift prediction says the pose windows will NOT survive
+    the next step (full-LDEM working levels), prefetch_time speculates the
+    FULL pose rebuild; a hit installs fresh origins/windows/shadow state
+    and is bit-exact with the non-speculative pose-program step."""
+    from datetime import timedelta
+
+    def build():
+        elev, albedo = synthesize_moon(360, 720, seed=5, n_craters=150)
+        rs = float(elev.max())
+        cfg = RenderConfig(
+            observer=Observer(50.06, 19.94, 219),
+            dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+            width=128, height=128, shadow_accuracy=4,
+        ).validate()
+        s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+        s.backend = "pallas"
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+        # make the windows look one step from invalidation, as at
+        # full-LDEM levels where each 15-min step drifts ~9 texels
+        s._window_drift = 1e9
+        return s
+
+    dt1 = (datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc)
+           + timedelta(minutes=15))
+    s1 = build()
+    s1.update_view(dt1)
+    assert s1._origins is None  # drift policy dropped the windows
+    img_ref = s1.render(1)
+
+    s2 = build()
+    assert s2.prefetch_time(dt1) is True
+    assert s2._prefetch is not None and s2._prefetch["kind"] == "pose"
+    s2.update_view(dt1)
+    assert s2._origins is None  # invalidated — pose speculation covers it
+    assert s2._prefetch is not None
+
+    calls = {"pose": 0}
+    from moonrtx_tpu.engine import blocked as blocked_mod
+    orig = blocked_mod.render_pose_pallas
+
+    def spy(*a, **k):
+        calls["pose"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(blocked_mod, "render_pose_pallas", spy)
+    img_hit = s2.render(1)
+    assert calls["pose"] == 0  # consumed the speculation, no re-dispatch
+    assert not s2._shadow_dirty
+    assert s2._origins is not None and s2._packed is not None
+    np.testing.assert_array_equal(img_hit, img_ref)
+
+    # and the installed caches are live: the NEXT frame accumulates
+    # through the burst-only path off them
+    img2 = s2.render(2)
+    assert calls["pose"] == 0
+    assert img2.max() > 0
