@@ -87,21 +87,41 @@ def render_timelapse(config: RenderConfig, save_path: Optional[str],
     `ffmpeg -i moon_%04d.png timelapse.mp4`."""
     from datetime import timedelta
 
+    from datetime import timedelta as _td  # noqa: F401 (clarity)
+
+    from moonrtx_tpu import constants as C
+    from moonrtx_tpu.engine import render as render_mod
+
     scene = build_scene(config, with_starmap=True)
     scene.update_view()
     if save_path is None:
         save_path = default_screenshot_name(scene) + ".png"
     stem, ext = os.path.splitext(save_path)
     paths = []
+    pending = None  # (accum device array, frame index): transfer+save of
+    # frame i happens AFTER frame i+1's programs are dispatched, so host
+    # PNG encoding and the framebuffer transfer overlap device rendering
+    # (JAX async dispatch)
+
+    def flush(p):
+        accum, i = p
+        img = np.asarray(render_mod.tonemap(
+            accum, np.float32(C.TONEMAP_EXPOSURE), np.float32(scene.gamma))
+        )[: scene.out_height, : scene.out_width]
+        path = f"{stem}_{i:04d}{ext or '.png'}"
+        save_image(img, path,
+                   linear_hdr=np.asarray(accum)[: scene.out_height,
+                                                : scene.out_width],
+                   gamma=scene.gamma)
+        paths.append(path)
+
     for i in range(timelapse_frames):
         if i:
             scene.update_view(scene.dt_local + timedelta(
                 minutes=config.time_step_minutes))
-        img = scene.render(n_frames)
-        p = f"{stem}_{i:04d}{ext or '.png'}"
-        save_image(img, p,
-                   linear_hdr=np.asarray(scene._accum)[: scene.out_height,
-                                                       : scene.out_width],
-                   gamma=scene.gamma)
-        paths.append(p)
+        scene.ensure_accumulated(n_frames)
+        prev, pending = pending, (scene._accum, i)
+        if prev is not None:
+            flush(prev)
+    flush(pending)
     return paths

@@ -157,12 +157,16 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
     from moonrtx_tpu.ops import extract as extract_ops
     if (extract_ops._fast_ok() and nb % 8 == 0
             and tex.dtype in extract_ops._FAST_DTYPES):
-        # grouped extraction: 8 blocks per program with overlapped DMAs,
-        # each block fetched from its own level in-kernel
-        wins = extract_ops.extract_group_windows_tpu(
-            (levels,), qexp, r0, c0, WH_, WW_,
-            scales=(scale,), offsets=(offset,), group=8)
-        wins = wins.reshape(nb // 8, 8, WH_, WW_).reshape(nb, WH_, WW_)
+        # fused extraction + bilinear in ONE kernel: aligned superwindow
+        # DMA (grouped, overlapped) + in-VMEM bf16 one-hot MXU sampling,
+        # writing only the (NBLK, B) values — the window+weight HBM
+        # traffic of the split formulation dominated the whole scan
+        # (55 of 77 ms at accuracy 10, docs/PERF.md)
+        vals = extract_ops.resample_group_windows_tpu(
+            levels, qexp, r0, c0,
+            rq - r0[:, None].astype(rq.dtype),
+            cq - c0[:, None].astype(cq.dtype),
+            WH_, WW_, scale=scale, offset=offset, group=8)
     else:
         # per-level XLA extraction blended by level index (CPU path)
         per = [extract_ops.extract_windows(
@@ -172,14 +176,14 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
         wins = per[-1]
         for li in range(len(per) - 2, -1, -1):
             wins = jnp.where((qexp == li)[:, None, None], per[li], wins)
-    mean = jnp.mean(wins, axis=(1, 2))[:, None]
-    # mean-centered residuals survive a bf16 row-mix (the call's multi-GB
-    # intermediate at fine-band shapes) with ~4e-3 relative error on
-    # values that are already ~1e-3 of the radius
-    vals = sampler.window_bilinear(wins - mean[..., None],
-                                   rq - r0[:, None].astype(rq.dtype),
-                                   cq - c0[:, None].astype(cq.dtype),
-                                   mix_dtype=jnp.bfloat16) + mean
+        mean = jnp.mean(wins, axis=(1, 2))[:, None]
+        # mean-centered residuals survive a bf16 row-mix (the call's
+        # multi-GB intermediate at fine-band shapes) with ~4e-3 relative
+        # error on values that are already ~1e-3 of the radius
+        vals = sampler.window_bilinear(wins - mean[..., None],
+                                       rq - r0[:, None].astype(rq.dtype),
+                                       cq - c0[:, None].astype(cq.dtype),
+                                       mix_dtype=jnp.bfloat16) + mean
     v = vals.reshape(n_theta // BH, n_phi // BW, BH, BW)
     return jnp.moveaxis(v, 1, 2).reshape(n_theta, n_phi)
 
