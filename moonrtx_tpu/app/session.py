@@ -158,6 +158,16 @@ class Session:
         self.scene.set_camera(nav.pan_tilt_view(
             self.scene.camera, dx_px, dy_px, self.scene.height))
 
+    def zoom_drag(self, dy_px: float) -> None:
+        """Shift + left-drag: continuous zoom (reference README)."""
+        self.scene.set_camera(nav.zoom_drag(
+            self.scene.camera, dy_px, self.scene.out_height))
+
+    def dolly(self, dy_px: float) -> None:
+        """Shift + right-drag: move the eye backward/forward."""
+        self.scene.set_camera(nav.dolly_view(
+            self.scene.camera, dy_px, self.scene.out_height))
+
     def orbit_drag(self, dx_px: float, dy_px: float) -> None:
         """Per-pixel left-drag orbit (reference
         renderer_navigation.py:223-294)."""

@@ -38,6 +38,8 @@ M/N  Time step +/-1 (Shift: 60)   Arrows  Move view
 Ctrl+Arrows  Rotate around Moon axes
 Left-drag    Rotate eye around Moon (orbit)
 Right-drag   Pan/tilt view
+Shift+Left-drag up/down   Zoom out/in
+Shift+Right-drag up/down  Move eye backward/forward
 Ctrl+Left-drag  Measure distance and elevation difference
 Wheel        Zoom
 """
@@ -175,13 +177,23 @@ def run_window(config: RenderConfig) -> None:
             session.update_measurement(event.x, event.y)
             refresh_status()
             return
+        shift = bool(event.state & 0x1)
         if drag["button"] == 1:
-            # per-pixel Rodrigues orbit of the eye about the target
-            session.orbit_drag(dx, dy)
+            if shift:
+                # Shift + left-drag up/down: zoom out/in (reference
+                # README's PlotOptiX built-in control)
+                session.zoom_drag(dy)
+            else:
+                # per-pixel Rodrigues orbit of the eye about the target
+                session.orbit_drag(dx, dy)
             drag.update(x=event.x, y=event.y)
             full_redraw()
         elif drag["button"] == 3:
-            session.pan_tilt(dx, dy)
+            if shift:
+                # Shift + right-drag up/down: dolly the eye
+                session.dolly(dy)
+            else:
+                session.pan_tilt(dx, dy)
             drag.update(x=event.x, y=event.y)
             full_redraw()
 

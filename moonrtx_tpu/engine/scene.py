@@ -568,54 +568,23 @@ class MoonScene:
         if not self.shadows_on or not self.displaced:
             return None
         if self._shadow is None or self._shadow_dirty:
-            from moonrtx_tpu.ops import shadow_scan
             level = self.shadow_level()
             tex = self.mips[level]
             h, w = self.mip_shapes[level]
             sun_unit, ang = self._sun_state()
-            sun = jnp.asarray(sun_unit, jnp.float32)
             acc = self.shadow_accuracy if self.shadows_on else 1
             mesh_scan = self._shadow_args_mesh(tex, h, w, sun_unit, ang, acc)
             if mesh_scan is not None:
                 self._shadow_dirty = False
                 return self._shadow
+            sm = self._dispatch_shadow_maps(sun_unit, ang)
+            self._shadow = sm["shadow"]
             if self.indirect_light:
-                # The bounce (indirect-light) field is blurred over >= 2
-                # scan cells (~0.1-0.2 deg of arc), so sun drifts well
-                # inside that scale cannot change it perceptibly — reuse
-                # the cached map across small time steps (Q/W held-key
-                # animation) and rebuild only once the accumulated
-                # sun-frame rotation since its build exceeds the
-                # threshold. The shadow factor map always rebuilds: the
-                # terminator's motion IS the feature (reference
-                # moon_renderer.py:62-76). Drift is measured against the
-                # basis at BUILD time, so repeated small steps accumulate
-                # and force an exact rebuild; any jump (date dialog,
-                # "now") exceeds the threshold immediately.
-                basis_np = _sun_frame_basis_np(sun_unit)
-                reuse = (
-                    self._bounce is not None
-                    and self._bounce_basis is not None
-                    and self._bounce_key == (level, acc)
-                    and _rotation_angle_deg(basis_np, self._bounce_basis)
-                    <= BOUNCE_REUSE_DEG)
-                if reuse:
-                    self._shadow = shadow_scan.build_shadow_map(
-                        tex, h, w, sun, ang, accuracy=acc,
-                        h_scale=self.h_scale, h_offset=self.h_offset)
-                else:
-                    smap, params, bmap = shadow_scan.build_shadow_and_bounce(
-                        tex, self.alb_lum(level), h, w, sun, ang,
-                        accuracy=acc,
-                        h_scale=self.h_scale, h_offset=self.h_offset)
-                    self._shadow = (smap, params)
-                    self._bounce = bmap
-                    self._bounce_basis = basis_np
-                    self._bounce_key = (level, acc)
+                if sm["bounce"] is not None:
+                    self._bounce = sm["bounce"]
+                    self._bounce_basis = sm["bounce_basis"]
+                    self._bounce_key = sm["bounce_key"]
             else:
-                self._shadow = shadow_scan.build_shadow_map(
-                    tex, h, w, sun, ang, accuracy=acc,
-                    h_scale=self.h_scale, h_offset=self.h_offset)
                 self._bounce = None
                 self._bounce_basis = None
                 self._bounce_key = None
@@ -755,6 +724,60 @@ class MoonScene:
             self._bounce_basis = r["bounce_basis"]
             self._bounce_key = r["bounce_key"]
 
+    def _dispatch_shadow_maps(self, sun_unit: np.ndarray, ang: float) -> dict:
+        """Dispatch the shadow (and, as needed, bounce) map programs for
+        an arbitrary sun state WITHOUT mutating scene state — the shared
+        scan half of shadow_args and the speculative pose step.
+
+        Returns shadow=(smap, params); bounce_render (the map the frame
+        should shade with: cached when reused, fresh otherwise, None with
+        indirect light off); and bounce/bounce_basis/bounce_key set only
+        when a fresh pyramid was built (the caller installs them)."""
+        from moonrtx_tpu.ops import shadow_scan
+
+        slevel = self.shadow_level()
+        stex = self.mips[slevel]
+        sh_, sw_ = self.mip_shapes[slevel]
+        acc = self.shadow_accuracy if self.shadows_on else 1
+        sun = jnp.asarray(sun_unit, jnp.float32)
+        bounce_render = bounce = bounce_basis = bounce_key = None
+        if self.indirect_light:
+            # The bounce (indirect-light) field is blurred over >= 2 scan
+            # cells, so sun drifts inside that scale cannot change it
+            # perceptibly: reuse the cached map across small time steps
+            # and rebuild once the accumulated sun-frame rotation since
+            # its build exceeds the threshold. The shadow factor map
+            # always rebuilds — the terminator's motion IS the feature
+            # (reference moon_renderer.py:62-76).
+            basis_np = _sun_frame_basis_np(sun_unit)
+            reuse = (
+                self._bounce is not None
+                and self._bounce_basis is not None
+                and self._bounce_key == (slevel, acc)
+                and _rotation_angle_deg(basis_np, self._bounce_basis)
+                <= BOUNCE_REUSE_DEG)
+            if reuse:
+                shadow = shadow_scan.build_shadow_map(
+                    stex, sh_, sw_, sun, ang, accuracy=acc,
+                    h_scale=self.h_scale, h_offset=self.h_offset)
+                bounce_render = self._bounce
+            else:
+                smap, params, bmap = shadow_scan.build_shadow_and_bounce(
+                    stex, self.alb_lum(slevel), sh_, sw_, sun, ang,
+                    accuracy=acc,
+                    h_scale=self.h_scale, h_offset=self.h_offset)
+                shadow = (smap, params)
+                bounce_render = bounce = bmap
+                bounce_basis = basis_np
+                bounce_key = (slevel, acc)
+        else:
+            shadow = shadow_scan.build_shadow_map(
+                stex, sh_, sw_, sun, ang, accuracy=acc,
+                h_scale=self.h_scale, h_offset=self.h_offset)
+        return dict(shadow=shadow, bounce_render=bounce_render,
+                    bounce=bounce, bounce_basis=bounce_basis,
+                    bounce_key=bounce_key)
+
     def _dispatch_pose_scan(self, fp, sun_unit, ang, jitters,
                             n_samples: int, level: int):
         """Dispatch the full pose-rebuild step (shadow scan + window
@@ -768,39 +791,15 @@ class MoonScene:
         h, w = self.mip_shapes[level]
         alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]
-        smap = sparams = None
-        bounce_render = bounce = bounce_basis = bounce_key = None
         if self.shadows_on:
-            slevel = self.shadow_level()
-            stex = self.mips[slevel]
-            sh_, sw_ = self.mip_shapes[slevel]
-            acc = self.shadow_accuracy
-            sun = jnp.asarray(sun_unit, jnp.float32)
-            basis_np = _sun_frame_basis_np(sun_unit)
-            if self.indirect_light:
-                reuse = (
-                    self._bounce is not None
-                    and self._bounce_basis is not None
-                    and self._bounce_key == (slevel, acc)
-                    and _rotation_angle_deg(basis_np, self._bounce_basis)
-                    <= BOUNCE_REUSE_DEG)
-                if reuse:
-                    smap, sparams = shadow_scan.build_shadow_map(
-                        stex, sh_, sw_, sun, ang, accuracy=acc,
-                        h_scale=self.h_scale, h_offset=self.h_offset)
-                    bounce_render = self._bounce
-                else:
-                    smap, sparams, bmap = shadow_scan.build_shadow_and_bounce(
-                        stex, self.alb_lum(slevel), sh_, sw_, sun, ang,
-                        accuracy=acc,
-                        h_scale=self.h_scale, h_offset=self.h_offset)
-                    bounce_render = bounce = bmap
-                    bounce_basis = basis_np
-                    bounce_key = (slevel, acc)
-            else:
-                smap, sparams = shadow_scan.build_shadow_map(
-                    stex, sh_, sw_, sun, ang, accuracy=acc,
-                    h_scale=self.h_scale, h_offset=self.h_offset)
+            sm = self._dispatch_shadow_maps(sun_unit, ang)
+            smap, sparams = sm["shadow"]
+            bounce_render = sm["bounce_render"]
+            bounce, bounce_basis, bounce_key = (
+                sm["bounce"], sm["bounce_basis"], sm["bounce_key"])
+        else:
+            smap = sparams = None
+            bounce_render = bounce = bounce_basis = bounce_key = None
         max_qexp = min(2, len(self.mips) - 1 - level,
                        len(self.albedo_mips) - 1 - alevel)
         (accum, hitbuf, org, cache, hwin_p, awin_p, swin_p,

@@ -128,6 +128,28 @@ def zoom_fov(cam: Camera, wheel_delta: float) -> Camera:
     return cam._replace(fov=new_fov)
 
 
+def zoom_drag(cam: Camera, dy_px: float, height_px: int) -> Camera:
+    """Shift + left-drag up/down: zoom out/in (reference README — a
+    PlotOptiX built-in camera control). A full-frame drag spans ~8
+    wheel notches worth of FOV change, continuous per event."""
+    factor = 1.0 + (dy_px / height_px) * 0.4
+    new_fov = float(np.clip(cam.fov * factor, *C.FOV_RANGE))
+    return cam._replace(fov=new_fov)
+
+
+def dolly_view(cam: Camera, dy_px: float, height_px: int) -> Camera:
+    """Shift + right-drag up/down: move the eye backward/forward along
+    the view direction (reference README — a PlotOptiX built-in). The
+    eye never crosses the target or recedes past the documented
+    precision-safe distance (~220 radii, moon_renderer.py:38-41)."""
+    eye, target, up, view_dir, *_ = _basis(cam)
+    dist = float(np.linalg.norm(eye - target))
+    new_dist = float(np.clip(dist * (1.0 + (dy_px / height_px) * 0.8),
+                             C.MOON_RADIUS * 1.2, C.MOON_RADIUS * 220.0))
+    new_eye = target - view_dir * new_dist
+    return cam._replace(eye=list(new_eye))
+
+
 def center_on_point(cam: Camera, point: np.ndarray) -> Camera:
     """C key: retarget to a scene point keeping distance and direction
     (reference renderer_navigation.py:172-221)."""

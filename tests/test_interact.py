@@ -141,3 +141,39 @@ def test_elevation_sampling_wrap_and_scale():
     v_seam2 = elevation_m(elev, rs, 0.0, -180.0)
     assert v_seam == pytest.approx(v_seam2, abs=1e-3)
     assert elevation_difference_m(elev, rs, 0.0, 100.0, 0.0, 100.0) == 0.0
+
+
+def test_zoom_drag_and_dolly():
+    """Shift-drag camera controls (reference README: PlotOptiX built-in
+    gestures): drag-zoom scales FOV continuously within the clamp; dolly
+    moves the eye along the view direction within [1.2 R, 220 R]."""
+    from moonrtx_tpu import constants as C
+    from moonrtx_tpu.engine.scene import default_camera
+    from moonrtx_tpu.interact import navigation as nav
+
+    cam = default_camera()
+    # drag down = zoom in (smaller fov), up = out
+    zin = nav.zoom_drag(cam, -200.0, 1080)
+    zout = nav.zoom_drag(cam, 200.0, 1080)
+    assert zin.fov < cam.fov < zout.fov
+    assert np.allclose(zin.eye, cam.eye)
+    # huge drags respect the clamp
+    assert nav.zoom_drag(cam, -1e6, 1080).fov == C.FOV_RANGE[0]
+    assert nav.zoom_drag(cam, 1e6, 1080).fov == C.FOV_RANGE[1]
+
+    d_in = nav.dolly_view(cam, -200.0, 1080)
+    d_out = nav.dolly_view(cam, 200.0, 1080)
+    r0 = np.linalg.norm(np.asarray(cam.eye))
+    assert np.linalg.norm(np.asarray(d_in.eye)) < r0
+    assert np.linalg.norm(np.asarray(d_out.eye)) > r0
+    assert d_in.fov == cam.fov
+    # view direction preserved
+    v0 = np.asarray(cam.target) - np.asarray(cam.eye)
+    v1 = np.asarray(d_in.target) - np.asarray(d_in.eye)
+    assert np.allclose(np.cross(v0 / np.linalg.norm(v0),
+                                v1 / np.linalg.norm(v1)), 0.0, atol=1e-12)
+    # clamps: never through the surface, never past the precision range
+    near = nav.dolly_view(cam, -1e7, 1080)
+    far = nav.dolly_view(cam, 1e7, 1080)
+    assert np.linalg.norm(np.asarray(near.eye)) >= C.MOON_RADIUS * 1.2 - 1e-9
+    assert np.linalg.norm(np.asarray(far.eye)) <= C.MOON_RADIUS * 220.0 + 1e-9
