@@ -269,6 +269,10 @@ def test_merged_scan_timestep_matches_split(scene, monkeypatch):
     monkeypatch.setattr(
         extract_ops, "extract_group_windows_tpu",
         lambda *a, **k: orig_group(*a, **{**k, "interpret": True}))
+    orig_resample = extract_ops.resample_group_windows_tpu
+    monkeypatch.setattr(
+        extract_ops, "resample_group_windows_tpu",
+        lambda *a, **k: orig_resample(*a, **{**k, "interpret": True}))
 
     def _set_fast(v):
         monkeypatch.setattr(extract_ops, "_fast_ok", lambda: v)
@@ -308,11 +312,14 @@ def test_merged_scan_timestep_matches_split(scene, monkeypatch):
         sh_, sw_, ncs, nf, nph, n_samples=1,
         h_scale=scene.h_scale, h_offset=scene.h_offset, interpret=True)
 
-    # split path: XLA-built map (same basis as the merged program — the
-    # host/device basis computations differ in the last ulp, which moves
-    # scan samples at steep shadow boundaries), then the fused
-    # windows+repack+burst
-    _set_fast(False)
+    # split path: separately-built map (same basis as the merged program —
+    # the host/device basis computations differ in the last ulp, which
+    # moves scan samples at steep shadow boundaries), then the fused
+    # windows+repack+burst. Fast paths stay ON: that is what the TPU
+    # split pipeline runs, and the XLA-vs-fused resample numerics are
+    # covered by test_extract.test_scan_resample_grouped_matches_fallback
+    # (bf16 residual noise here would flip boundary cells of the binary
+    # shadow factor).
     smap_s = shadow_scan._build(
         stex, jnp.asarray(basis_np, jnp.float32), jnp.float32(ang),
         sh_, sw_, ncs, nf, nph, h_scale=scene.h_scale,
