@@ -21,6 +21,7 @@ in-VMEM kernel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -885,7 +886,7 @@ def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
-    "use_shadow", "interpret"))
+    "use_shadow", "interpret", "warm_start"))
 def render_accumulate_pallas(packed: PackedWindows,
                              smap_params, background, maxmap,
                              basis: CameraBasis, fp: FrameParams,
@@ -895,7 +896,8 @@ def render_accumulate_pallas(packed: PackedWindows,
                              aw: Optional[int] = None,
                              n_samples: int = 8, n_coarse: int = 12,
                              use_shadow: bool = True,
-                             interpret: bool = False, hbound=None):
+                             interpret: bool = False, hbound=None,
+                             warm_start: Optional[bool] = None):
     """N jittered accumulation samples in ONE device program: per sample,
     jittered ray generation -> fused Pallas march+shade -> running mean.
     Returns (rgb_mean, hitbuf of sample 0).
@@ -911,14 +913,15 @@ def render_accumulate_pallas(packed: PackedWindows,
                        ah if ah is not None else h,
                        aw if aw is not None else w,
                        n_samples, n_coarse, use_shadow, interpret,
-                       hbound=hbound)
+                       hbound=hbound, warm_start=warm_start)
 
 
 def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
                 basis: CameraBasis, fp: FrameParams, jitters,
                 height: int, width: int, h: int, w: int, h_min: float,
                 ah: int, aw: int, n_samples: int, n_coarse: int,
-                use_shadow: bool, interpret: bool = False, hbound=None):
+                use_shadow: bool, interpret: bool = False, hbound=None,
+                warm_start: Optional[bool] = None):
     from moonrtx_tpu.ops import pallas_march as pk
 
     ob = mat3t_apply(fp.rotation, basis.eye)
@@ -934,7 +937,7 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
     # pose-local bound passed in — see RayGeom.h_bound)
     h_bound = geom0.h_bound
 
-    def run_kernel(geom):
+    def run_kernel(geom, t_prev=None, f_prev=None):
         dbx = geom.db[..., 0].reshape(ns, GROUP, BLOCK)
         dby = geom.db[..., 1].reshape(ns, GROUP, BLOCK)
         dbz = geom.db[..., 2].reshape(ns, GROUP, BLOCK)
@@ -945,20 +948,33 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
             params, dbx, dby, dbz, t0, t1, act, packed.scal,
             packed.hwin, packed.awin, packed.swin,
             h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
-            use_earth=fp.earth is not None, interpret=interpret)
+            use_earth=fp.earth is not None, interpret=interpret,
+            t_prev=t_prev, f_prev=f_prev)
 
     out0 = run_kernel(geom0)
     r0, g0, b0, hit0, t0_, px0, py0, pz0 = out0
 
+    # warm-start default: on, unless the kill switch is set (trace-time
+    # read; pass warm_start explicitly to A/B within one process)
+    warm = (warm_start if warm_start is not None
+            else os.environ.get("MOONRTX_NO_WARM_START") is None)
+
     def sample(i, carry):
-        ar, ag, ab = carry
+        # samples >= 2 warm-start the march from the previous sample's
+        # per-ray hit distance (pallas_march warm variant): strips whose
+        # rays all re-bracket skip the 13-eval coarse loop
+        ar, ag, ab, tp, fpv = carry
         geom = block_rays(basis, fp.rotation, jitters[i], height, width,
                           h_min, h_bound=h_bound, image_dirs=False)
-        r, g, b, *_ = run_kernel(geom)
+        r, g, b, hitf, t_hit, *_ = run_kernel(
+            geom, t_prev=tp if warm else None,
+            f_prev=fpv if warm else None)
         k = i + 1.0
-        return (ar + (r - ar) / k, ag + (g - ag) / k, ab + (b - ab) / k)
+        return (ar + (r - ar) / k, ag + (g - ag) / k, ab + (b - ab) / k,
+                t_hit, hitf)
 
-    ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample, (r0, g0, b0))
+    ar, ag, ab, _, _ = jax.lax.fori_loop(
+        1, n_samples, sample, (r0, g0, b0, t0_, hit0))
 
     # composite once
     rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk, BLOCK, 3)

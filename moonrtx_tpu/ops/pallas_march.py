@@ -101,11 +101,18 @@ def _bsample(win8, wy, wx, n_h: int, n_w: int):
 
 
 def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
-                 use_shadow: bool, use_earth: bool = True):
+                 use_shadow: bool, use_earth: bool = True,
+                 warm: bool = False):
     def kernel(params_ref, dbx_ref, dby_ref, dbz_ref, t0_ref, t1_ref,
-               act_ref, scal_ref, hwin_ref, awin_ref, swin_ref,
-               r_ref, g_ref, b_ref, hit_ref, thit_ref,
-               px_ref, py_ref, pz_ref):
+               act_ref, *rest):
+        if warm:
+            (tprev_ref, fprev_ref, scal_ref, hwin_ref, awin_ref, swin_ref,
+             r_ref, g_ref, b_ref, hit_ref, thit_ref,
+             px_ref, py_ref, pz_ref, found_s, tlo_s, thi_s) = rest
+        else:
+            (scal_ref, hwin_ref, awin_ref, swin_ref,
+             r_ref, g_ref, b_ref, hit_ref, thit_ref,
+             px_ref, py_ref, pz_ref) = rest
         def P(i):
             # params arrive as lane/sublane-broadcast (8, 128) planes:
             # scalar VMEM reads lower to slow gather+broadcast chains
@@ -182,8 +189,49 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
                     jnp.where(newly > 0.5, t_k, t_hi))
 
         found0 = jnp.zeros((G, B), jnp.float32)
-        foundf, t_lo, t_hi = jax.lax.fori_loop(
-            0, n_coarse + 1, coarse, (found0, t_enter, t_end))
+        if warm:
+            # Warm start from the previous accumulation sample: the jitter
+            # moves each ray by <= ~1.5 px, so its hit distance moves far
+            # less than one coarse step except across silhouettes. Bracket
+            # [t_prev - d, t_prev + d] (d = one coarse step) and verify it
+            # straddles the surface; if EVERY active ray of the strip
+            # brackets, the 13-eval coarse loop is skipped for the whole
+            # strip (one extra bisect restores the cold path's interval
+            # precision: 2d/2^(n+1) == d/2^n). Strips containing a
+            # previously-missed active ray or a failed bracket (limb,
+            # silhouette, terminator-grazing geometry) run the full cold
+            # march — bitwise the same result as a cold sample there.
+            t_prev = tprev_ref[0]
+            f_prev = fprev_ref[0]
+            delta = span * (1.0 / n_coarse)
+            t_a = jnp.maximum(t_prev - delta, t_enter)
+            t_b = jnp.minimum(t_prev + delta, t_end)
+            f_a = field(t_a)
+            f_b = field(t_b)
+            good = (jnp.where(f_a > 0.0, 1.0, 0.0)
+                    * jnp.where(f_b < 0.0, 1.0, 0.0) * f_prev)
+            n_bad = jnp.sum(activef * (1.0 - good))
+
+            @pl.when(n_bad < 0.5)
+            def _():
+                found_s[...] = activef
+                tlo_s[...] = t_a
+                thi_s[...] = t_b
+
+            @pl.when(n_bad >= 0.5)
+            def _():
+                fnd, lo, hi = jax.lax.fori_loop(
+                    0, n_coarse + 1, coarse, (found0, t_enter, t_end))
+                found_s[...] = fnd
+                tlo_s[...] = lo
+                thi_s[...] = hi
+
+            foundf = found_s[...]
+            t_lo = tlo_s[...]
+            t_hi = thi_s[...]
+        else:
+            foundf, t_lo, t_hi = jax.lax.fori_loop(
+                0, n_coarse + 1, coarse, (found0, t_enter, t_end))
         found = foundf > 0.5
 
         def bisect(_, carry):
@@ -193,7 +241,8 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
             return (jnp.where(outside, t_mid, t_lo),
                     jnp.where(outside, t_hi, t_mid))
 
-        t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect, (t_lo, t_hi))
+        t_lo, t_hi = jax.lax.fori_loop(0, n_bisect + (1 if warm else 0),
+                                       bisect, (t_lo, t_hi))
         t_hit = 0.5 * (t_lo + t_hi)
 
         px = obx + t_hit * dbx
@@ -408,7 +457,8 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
                        h: int, w: int, n_coarse: int = 12,
                        n_bisect: int = 6, use_shadow: bool = True,
                        use_earth: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       t_prev=None, f_prev=None):
     """Fused march+shade over all block groups.
 
     params: (N_PARAMS, G, B) f32, planes broadcast (see layout above)
@@ -416,25 +466,41 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
     scal: (NSUPER, N_SCAL=10, G, B) lane-broadcast per-block scalars
     hwin: (NSUPER, G*WH, WW); awin_cm: (NSUPER, G*AH, 3*AW) channel-major;
     swin: (NSUPER, G*SH, 2*SW) shadow | bounce column halves
+    t_prev/f_prev (optional, both or neither): the previous accumulation
+    sample's hit distance / hit mask, (NSUPER, G, B) — enables the
+    warm-start march (strips whose rays all bracket their previous hit
+    skip the coarse loop; see _make_kernel).
     Returns (r, g, b, hit, t_hit, px, py, pz) each (NSUPER, G, B).
     """
     nsuper = dbx.shape[0]
-    kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow, use_earth)
+    warm = t_prev is not None
+    kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow, use_earth,
+                          warm=warm)
 
     ray_spec = pl.BlockSpec((1, G, B), lambda i: (i, 0, 0))
     out_shapes = [jax.ShapeDtypeStruct((nsuper, G, B), jnp.float32)] * 8
+    in_specs = [
+        pl.BlockSpec((N_PARAMS, G, B), lambda i: (0, 0, 0)),
+        ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+    ]
+    inputs = [params, dbx, dby, dbz, t_enter, t_end, active]
+    if warm:
+        in_specs += [ray_spec, ray_spec]
+        inputs += [t_prev, f_prev]
+    in_specs += [
+        pl.BlockSpec((1, scal.shape[1], G, B), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, G * WH, WW), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, G * AH, 3 * AW), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, G * SH, 2 * SW), lambda i: (i, 0, 0)),
+    ]
+    inputs += [scal, hwin, awin_cm, swin]
+    scratch = ([pltpu.VMEM((G, B), jnp.float32)] * 3) if warm else []
     return pl.pallas_call(
         kernel,
         grid=(nsuper,),
-        in_specs=[
-            pl.BlockSpec((N_PARAMS, G, B), lambda i: (0, 0, 0)),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec((1, scal.shape[1], G, B), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, G * WH, WW), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, G * AH, 3 * AW), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, G * SH, 2 * SW), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[ray_spec] * 8,
         out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(params, dbx, dby, dbz, t_enter, t_end, active, scal, hwin, awin_cm, swin)
+    )(*inputs)

@@ -65,7 +65,59 @@ def test_pallas_atan2_accuracy():
     assert np.abs(got - want).max() < 3e-6
 
 
-def test_fused_timestep_matches_split_programs(scene):
+def test_warm_start_burst_matches_cold_samples(scene):
+    """Accumulation samples >= 2 warm-start the march from the previous
+    sample's hit distances (pallas_march warm variant). The warm burst
+    must reproduce the mean of independent cold single-sample renders:
+    bit-identical on strips that fall back (silhouettes, misses), within
+    the bisect-interval epsilon elsewhere."""
+    import jax.numpy as jnp
+
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    alevel = scene.albedo_level(level)
+    ah, aw = scene.mip_shapes[alevel]
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    scene._ensure_blocked_caches(level, geom)
+    smap, sparams = scene.shadow_args()
+    _, swin_p, scal = blocked.build_shadow_state_from_maps(
+        smap, sparams, geom, scene._wincache, scene._origins,
+        bmap=scene._bounce)
+    hwin_p, awin_p = blocked.pack_pose_windows(scene._wincache)
+    packed = blocked.PackedWindows(hwin=hwin_p, awin=awin_p,
+                                   swin=swin_p, scal=scal)
+
+    rng = np.random.default_rng(3)
+    jit4 = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 2)).astype(np.float32))
+
+    rgb_warm, _ = blocked.render_accumulate_pallas(
+        packed, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+        jit4, scene.height, scene.width, h, w, scene.h_min,
+        ah=ah, aw=aw, n_samples=4, use_shadow=True, interpret=True)
+
+    cold = []
+    hits = []
+    for i in range(4):
+        rgb_i, hit_i = blocked.render_accumulate_pallas(
+            packed, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+            jit4[i:i + 1], scene.height, scene.width, h, w, scene.h_min,
+            ah=ah, aw=aw, n_samples=1, use_shadow=True, interpret=True)
+        cold.append(np.asarray(rgb_i))
+        hits.append(np.asarray(hit_i)[..., 3] > 0)
+    rgb_cold = np.mean(cold, axis=0)
+
+    # compare where hit status is stable across all jitters (where it
+    # flips, the burst composites sample 0's hit mask by design)
+    stable = np.logical_and.reduce(hits)
+    dw = np.asarray(rgb_warm)[stable]
+    dc = rgb_cold[stable]
+    denom = np.maximum(np.abs(dc), 1e-3)
+    rel = np.abs(dw - dc) / denom
+    assert np.percentile(rel, 99) < 2e-2
+    assert rel.mean() < 2e-3
     """render_timestep_pallas (shadow windows + sun repack + burst in ONE
     program, the Q/W hot path) must reproduce the split-program pipeline
     (build_shadow_state_from_maps + render_accumulate_pallas) exactly."""
