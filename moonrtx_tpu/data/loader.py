@@ -46,7 +46,9 @@ def _synth_cache(name: str, maker, *shape_args) -> np.ndarray:
     os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
     path = os.path.join(SYNTH_CACHE_DIR, name + ".npy")
     try:
-        return np.load(path)
+        # memory-mapped: consumers that hit the downstream pyramid cache
+        # (data.pyramids) never read most of the array
+        return np.load(path, mmap_mode="r")
     except Exception:
         pass
     arr = maker(*shape_args)
@@ -79,6 +81,34 @@ def _synth_moon_cached(h: int, w: int, want: str) -> np.ndarray:
     return elev if want == "elev" else albedo
 
 
+def _synth_norm_cached(name: str, maker) -> tuple[np.ndarray, float]:
+    """Normalized (max == 1.0) synth elevation + radius_scale, cached.
+
+    The array loads memory-mapped: consumers that hit the downstream
+    pyramid cache (data.pyramids) never read most of it."""
+    import json
+
+    os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
+    base = os.path.join(SYNTH_CACHE_DIR, name)
+    try:
+        with open(base + ".json", "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        return (np.load(base + ".npy", mmap_mode="r"),
+                float(meta["radius_scale"]))
+    except Exception:
+        pass
+    elevation = maker()
+    radius_scale = float(elevation.max())
+    elevation = (elevation / radius_scale).astype(np.float32)
+    try:
+        np.save(base + ".npy", elevation)
+        with open(base + ".json", "w", encoding="utf-8") as f:
+            json.dump({"radius_scale": radius_scale}, f)
+    except Exception as e:
+        print(f"Warning: could not cache {base}.npy: {e}")
+    return elevation, radius_scale
+
+
 def load_elevation_data(filepath: Optional[str], downscale: int,
                         synth_shape: Optional[tuple[int, int]] = None
                         ) -> tuple[np.ndarray, float]:
@@ -102,16 +132,22 @@ def load_elevation_data(filepath: Optional[str], downscale: int,
             raise ValueError(
                 f"synth_shape {synth_shape} must be an integer multiple "
                 f"of the base grid {(h, w)}")
-        elevation = _synth_cache(
-            f"synth_elev_{th}x{tw}_up_s7v2",
-            lambda: synth.upsample_elevation(
-                _synth_moon_cached(h, w, "elev"), th // h))
+        def _make():
+            return synth.upsample_elevation(
+                _synth_moon_cached(h, w, "elev"), th // h)
+        name = f"synth_elev_{th}x{tw}_up_s7v2"
     else:
-        elevation = _synth_moon_cached(h, w, "elev")
+        def _make():
+            return _synth_moon_cached(h, w, "elev")
+        name = f"synth_elev_{h}x{w}_s7v2"
     if downscale > 1:
-        elevation = block_mean(elevation, downscale)
-    radius_scale = float(elevation.max())
-    return (elevation / radius_scale).astype(np.float32), radius_scale
+        elevation = block_mean(_make(), downscale)
+        radius_scale = float(elevation.max())
+        return (elevation / radius_scale).astype(np.float32), radius_scale
+    # the normalized product is itself cached (with radius_scale in a
+    # sidecar) and memory-mapped: at the full-LDEM working set the
+    # max + divide passes alone cost ~2 min of host time per start
+    return _synth_norm_cached(name + "_norm", _make)
 
 
 def _load_elevation_file(filepath: str, downscale: int) -> tuple[np.ndarray, float]:

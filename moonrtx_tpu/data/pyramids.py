@@ -1,0 +1,246 @@
+"""Device-ready map pyramids: build once, cache on disk, upload fast.
+
+The expensive, host-side part of scene construction — mip pyramids,
+int16/uint8 quantization, the dilated coarse max map and per-level slope
+statistics — is a pure function of (elevation, albedo, quantize mode).
+At the real-LDEM working set (23040x46080, reference main.py:25-29) those
+passes cost ~10 minutes on one host core, every process start.  This
+module extracts them into `build_pyramids` and adds a content-fingerprinted
+disk cache of the finished, device-ready arrays (the same design as the
+reference's downscale cache, data_loader.py:19-49: a cache can only cost
+time, never correctness — any read problem silently falls back to a
+rebuild).
+
+Fingerprint: shape + dtype + a strided sample of the array contents
+(~256x256 probes), hashed.  Content-addressed, so there is no staleness;
+CACHE_VERSION guards against processing-semantics changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from moonrtx_tpu.data.mips import (
+    build_mips,
+    coarse_max_map,
+    pad_lon_wrap,
+    slope_sq_maps,
+)
+
+CACHE_VERSION = 1
+
+# Wrapped longitude columns appended to every mip: must cover the widest
+# sampling window of the blocked backend plus slack.
+PAD_COLS = 192
+
+# "auto" quantization threshold: maps whose level-0 texel count exceeds
+# this are stored int16/uint8 in HBM (the full LOLA LDEM is 4.2 Gtexels —
+# 17 GB as f32, 2.1 GB as int16; reference main.py:25-29).
+QUANTIZE_TEXELS = 128 * 1024 * 1024
+
+# Albedo pyramids may start coarser than the heightfield (the reference
+# color map is ~4x coarser than the LDEM): widest albedo level kept when
+# quantizing; finer entries alias it (zero extra HBM).
+ALB_MAX_W = 16384
+
+
+@dataclass
+class PyramidSet:
+    """Everything MoonScene needs on device, as host numpy arrays.
+
+    mips: padded heightfield levels (int16 when quantized, else f32).
+    albedo_kept: the UNIQUE albedo levels from alb_min_level on (padded,
+    uint8 when quantized, else f32 HxWx3); entries finer than
+    alb_min_level alias albedo_kept[0] at upload time (zero extra HBM).
+    """
+
+    mips: list
+    maxmap: np.ndarray
+    slope_maps: np.ndarray
+    albedo_kept: list
+    alb_min_level: int
+    quantized: bool
+    h_scale: float
+    h_offset: float
+    h_min: float
+    a_scale: float
+
+
+def array_fingerprint(a: np.ndarray) -> str:
+    """Cheap content fingerprint: shape + dtype + a strided probe grid.
+
+    Works on memory-mapped arrays without a full read (~64k probes). Two
+    different maps colliding requires them to agree on every probe —
+    not a realistic failure mode for heightfields; CACHE_VERSION and the
+    quantize mode are hashed separately by the cache key."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((a.shape, str(a.dtype))).encode())
+    if a.size:
+        sr = max(1, a.shape[0] // 256)
+        sc = max(1, a.shape[1] // 256)
+        h.update(np.ascontiguousarray(a[::sr, ::sc]).tobytes())
+    return h.hexdigest()
+
+
+def _encode_i16(m: np.ndarray, h_scale: float, h_offset: float,
+                chunk: int = 2048) -> np.ndarray:
+    """int16 heights: value = raw * h_scale + h_offset, exact affine shared
+    by every level (block means stay inside [min, max]).  f64 in row
+    chunks: an f32 subtraction (m - offset) near 1.0 would itself cost
+    ~1 quantization step."""
+    out = np.empty(m.shape, np.int16)
+    for r in range(0, m.shape[0], chunk):
+        sl = m[r:r + chunk].astype(np.float64)
+        out[r:r + chunk] = np.clip(
+            np.rint((sl - h_offset) / h_scale), -32767, 32767
+        ).astype(np.int16)
+    return out
+
+
+def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
+                   quantized: bool) -> PyramidSet:
+    """The full host-side scene preprocessing (pure; numpy in/out)."""
+    h_min = float(elevation.min())
+    mips_np = build_mips(elevation)
+
+    if quantized:
+        h_lo = h_min
+        h_hi = float(elevation.max())
+        h_scale = max((h_hi - h_lo) / 65000.0, 1e-12)
+        h_offset = 0.5 * (h_lo + h_hi)
+        # Resolution (max-min)/65000 ~ 0.08 m for real lunar relief —
+        # finer than the source LDEM's 0.5 m quantization.
+        mips = [pad_lon_wrap(_encode_i16(m, h_scale, h_offset), PAD_COLS)
+                for m in mips_np]
+    else:
+        h_scale, h_offset = 1.0, 0.0
+        mips = [pad_lon_wrap(m, PAD_COLS) for m in mips_np]
+
+    maxmap = coarse_max_map(elevation)
+    # mean squared slope per level (coarse cells) for LOD roughness
+    # compensation at per-block mip-stride seams
+    slope = slope_sq_maps(mips_np)
+
+    # The albedo (color) source may be coarser than the heightfield by a
+    # power of two (the real LROC color map is ~4x coarser than the LDEM,
+    # reference main.py:33-38): its pyramid is aligned so entry L has the
+    # height level L's dimensions, with entries finer than the albedo base
+    # aliasing it (same device buffer — zero extra HBM).
+    base_lvl = 0
+    while (base_lvl + 1 < len(mips_np)
+           and albedo.shape[:2] != mips_np[base_lvl].shape):
+        base_lvl += 1
+    if albedo.shape[:2] != mips_np[base_lvl].shape:
+        raise ValueError(
+            f"albedo shape {albedo.shape[:2]} must equal the elevation "
+            f"shape divided by a power of two (elevation {elevation.shape})")
+    albedo_mips = build_mips(albedo)
+    albedo_mips = [albedo_mips[0]] * base_lvl + albedo_mips
+    while len(albedo_mips) < len(mips):
+        albedo_mips.append(albedo_mips[-1])
+    albedo_mips = albedo_mips[: len(mips)]
+    alb_min_level = base_lvl
+    if quantized:
+        # uint8 albedo; additionally cap the widest stored level (finer
+        # gains nothing at display sampling rates, ALB_MAX_W)
+        a_scale = 1.0 / 255.0
+        while (alb_min_level + 1 < len(albedo_mips)
+               and albedo_mips[alb_min_level].shape[1] > ALB_MAX_W):
+            alb_min_level += 1
+        kept = [pad_lon_wrap(np.clip(np.rint(m * 255.0), 0, 255
+                                     ).astype(np.uint8), PAD_COLS)
+                for m in albedo_mips[alb_min_level:]]
+    else:
+        a_scale = 1.0
+        kept = [pad_lon_wrap(m, PAD_COLS)
+                for m in albedo_mips[alb_min_level:]]
+
+    return PyramidSet(mips=mips, maxmap=maxmap.astype(np.float32),
+                      slope_maps=slope, albedo_kept=kept,
+                      alb_min_level=alb_min_level, quantized=quantized,
+                      h_scale=h_scale, h_offset=h_offset, h_min=h_min,
+                      a_scale=a_scale)
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "MOONRTX_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "moonrtx_tpu"))
+
+
+def _cache_path(elevation, albedo, quantized: bool, cache_dir: str) -> str:
+    key = (f"pyr_{array_fingerprint(elevation)}_{array_fingerprint(albedo)}"
+           f"_{'i16' if quantized else 'f32'}_v{CACHE_VERSION}")
+    return os.path.join(cache_dir, key)
+
+
+def _load_cached(path: str):
+    with open(os.path.join(path, "meta.json"), "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("version") != CACHE_VERSION:
+        return None
+    mips = [np.load(os.path.join(path, f"mip{i:02d}.npy"))
+            for i in range(meta["n_mips"])]
+    kept = [np.load(os.path.join(path, f"alb{i:02d}.npy"))
+            for i in range(meta["n_alb"])]
+    return PyramidSet(
+        mips=mips, maxmap=np.load(os.path.join(path, "maxmap.npy")),
+        slope_maps=np.load(os.path.join(path, "slope.npy")),
+        albedo_kept=kept, alb_min_level=int(meta["alb_min_level"]),
+        quantized=bool(meta["quantized"]), h_scale=float(meta["h_scale"]),
+        h_offset=float(meta["h_offset"]), h_min=float(meta["h_min"]),
+        a_scale=float(meta["a_scale"]))
+
+
+def _save_cached(path: str, ps: PyramidSet) -> None:
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for i, m in enumerate(ps.mips):
+        np.save(os.path.join(tmp, f"mip{i:02d}.npy"), m)
+    for i, a in enumerate(ps.albedo_kept):
+        np.save(os.path.join(tmp, f"alb{i:02d}.npy"), a)
+    np.save(os.path.join(tmp, "maxmap.npy"), ps.maxmap)
+    np.save(os.path.join(tmp, "slope.npy"), ps.slope_maps)
+    with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"version": CACHE_VERSION, "n_mips": len(ps.mips),
+                   "n_alb": len(ps.albedo_kept),
+                   "alb_min_level": ps.alb_min_level,
+                   "quantized": ps.quantized, "h_scale": ps.h_scale,
+                   "h_offset": ps.h_offset, "h_min": ps.h_min,
+                   "a_scale": ps.a_scale}, f)
+    os.replace(tmp, path)  # atomic publish: readers never see a partial dir
+
+
+def load_or_build(elevation: np.ndarray, albedo: np.ndarray,
+                  quantized: bool, use_cache: bool) -> PyramidSet:
+    """build_pyramids behind the device-ready disk cache.
+
+    use_cache gates the disk round trip (the caller enables it for maps
+    big enough that rebuilding dominates start-up).  Cache errors of any
+    kind fall back to a rebuild; writes are atomic (tmp dir + rename)."""
+    if not use_cache:
+        return build_pyramids(elevation, albedo, quantized)
+    try:
+        path = _cache_path(elevation, albedo, quantized, default_cache_dir())
+    except Exception:
+        return build_pyramids(elevation, albedo, quantized)
+    try:
+        if os.path.isdir(path):
+            ps = _load_cached(path)
+            if ps is not None:
+                print(f"  Loaded device-ready pyramids from cache: {path}")
+                return ps
+    except Exception as e:
+        print(f"Warning: pyramid cache read failed ({e}); rebuilding")
+    ps = build_pyramids(elevation, albedo, quantized)
+    try:
+        _save_cached(path, ps)
+        print(f"  Cached device-ready pyramids to {path}")
+    except Exception as e:
+        print(f"Warning: could not write pyramid cache {path}: {e}")
+    return ps

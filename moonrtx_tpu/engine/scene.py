@@ -21,12 +21,11 @@ import numpy as np
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.astro import calculate_ephemeris
 from moonrtx_tpu.config import RenderConfig
-from moonrtx_tpu.data.mips import (
-    build_mips,
-    coarse_max_map,
-    pad_lon_wrap,
-    select_level,
-    slope_sq_maps,
+from moonrtx_tpu.data.mips import pad_lon_wrap, select_level
+from moonrtx_tpu.data.pyramids import (
+    PAD_COLS,
+    QUANTIZE_TEXELS,
+    load_or_build,
 )
 from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
@@ -37,24 +36,13 @@ from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.ops import sampler
 from moonrtx_tpu.types import Camera, MoonEphemeris
 
-# Wrapped longitude columns appended to every mip: must cover the widest
-# sampling window of the blocked backend plus slack.
-PAD_COLS = 192
-
-# "auto" quantization threshold: maps whose level-0 texel count exceeds
-# this are stored int16/uint8 in HBM (the full LOLA LDEM is 4.2 Gtexels —
-# 17 GB as f32, 2.1 GB as int16; reference main.py:25-29).
-QUANTIZE_TEXELS = 128 * 1024 * 1024
+# PAD_COLS / QUANTIZE_TEXELS / ALB_MAX_W live in data.pyramids with the
+# pyramid builder (imported above).
 
 # Shadow scans sample the heightfield at the scan grid's own resolution
 # (<= 2304x4096 cells); building from a mip much finer than that wastes
 # bandwidth and makes the bounce alb_lum map explode at full LDEM sizes.
 SHADOW_MAX_TEXELS = 20 * 1024 * 1024
-
-# Albedo pyramids may start coarser than the heightfield (the reference
-# color map is ~4x coarser than the LDEM): widest albedo level kept when
-# quantizing; finer entries alias it (zero extra HBM).
-ALB_MAX_W = 16384
 
 # One-bounce irradiance maps are reused across time steps while the
 # sun-frame rotation since their build stays under this angle. The field's
@@ -158,7 +146,6 @@ class MoonScene:
                  starmap: Optional[np.ndarray]):
         self.config = config
         self.radius_scale = float(radius_scale)
-        self.h_min = float(elevation.min())
 
         quant = config.quantize
         if quant == "auto":
@@ -166,75 +153,26 @@ class MoonScene:
                      > QUANTIZE_TEXELS else "off")
         self.quantized = quant == "i16"
 
-        mips_np = build_mips(elevation)
-        if self.quantized:
-            # int16 heights: value = raw * h_scale + h_offset, exact affine
-            # shared by every level (block means stay inside [min, max]).
-            # Resolution (max-min)/65000 ~ 0.08 m for real lunar relief —
-            # finer than the source LDEM's 0.5 m quantization.
-            h_lo = float(elevation.min())
-            h_hi = float(elevation.max())
-            self.h_scale = max((h_hi - h_lo) / 65000.0, 1e-12)
-            self.h_offset = 0.5 * (h_lo + h_hi)
-
-            def _enc(m, chunk=2048):
-                # f64 in row chunks: the f32 subtraction (m - offset) near
-                # 1.0 would itself cost ~1 quantization step
-                out = np.empty(m.shape, np.int16)
-                for r in range(0, m.shape[0], chunk):
-                    sl = m[r:r + chunk].astype(np.float64)
-                    out[r:r + chunk] = np.clip(np.rint(
-                        (sl - self.h_offset) / self.h_scale),
-                        -32767, 32767).astype(np.int16)
-                return out
-
-            self.mips = [jnp.asarray(pad_lon_wrap(_enc(m), PAD_COLS))
-                         for m in mips_np]
-        else:
-            self.h_scale, self.h_offset = 1.0, 0.0
-            self.mips = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
-                         for m in mips_np]
-        self.maxmap = jnp.asarray(coarse_max_map(elevation))
-        # mean squared slope per level (coarse cells) for LOD roughness
-        # compensation at per-block mip-stride seams
-        self.slope_maps = jnp.asarray(slope_sq_maps(mips_np))
-        self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS) for m in self.mips]
-        # The albedo (color) source may be coarser than the heightfield by
-        # a power of two (the real LROC color map is ~4x coarser than the
-        # LDEM, reference main.py:33-38): its pyramid is aligned so entry L
-        # has the height level L's dimensions, with entries finer than the
-        # albedo base aliasing it (same device buffer — zero extra HBM).
-        base_lvl = 0
-        while (base_lvl + 1 < len(mips_np)
-               and albedo.shape[:2] != mips_np[base_lvl].shape):
-            base_lvl += 1
-        if albedo.shape[:2] != mips_np[base_lvl].shape:
-            raise ValueError(
-                f"albedo shape {albedo.shape[:2]} must equal the elevation "
-                f"shape divided by a power of two (elevation "
-                f"{elevation.shape})")
-        albedo_mips = build_mips(albedo)
-        albedo_mips = ([albedo_mips[0]] * base_lvl + albedo_mips)
-        while len(albedo_mips) < len(self.mips):
-            albedo_mips.append(albedo_mips[-1])
-        albedo_mips = albedo_mips[: len(self.mips)]
-        self.alb_min_level = base_lvl
-        if self.quantized:
-            # uint8 albedo; additionally cap the widest stored level
-            # (finer gains nothing at display sampling rates, ALB_MAX_W)
-            self.a_scale = 1.0 / 255.0
-            while (self.alb_min_level + 1 < len(albedo_mips)
-                   and albedo_mips[self.alb_min_level].shape[1] > ALB_MAX_W):
-                self.alb_min_level += 1
-            kept = [jnp.asarray(pad_lon_wrap(np.clip(np.rint(
-                m * 255.0), 0, 255).astype(np.uint8), PAD_COLS))
-                for m in albedo_mips[self.alb_min_level:]]
-            self.albedo_mips = [kept[0]] * self.alb_min_level + kept
-        else:
-            self.a_scale = 1.0
-            dev = [jnp.asarray(pad_lon_wrap(m, PAD_COLS))
-                   for m in albedo_mips[self.alb_min_level:]]
-            self.albedo_mips = [dev[0]] * self.alb_min_level + dev
+        # Mips, quantization, max map, slope stats: built by
+        # data.pyramids (pure numpy) behind a device-ready disk cache —
+        # at full-LDEM scale the rebuild costs ~10 min of host time per
+        # process, the cache load seconds (reference data_loader.py:13-18
+        # makes the same trade for its downscale products). Caching only
+        # engages for quantized (i.e. big) maps.
+        ps = load_or_build(elevation, albedo, self.quantized,
+                           use_cache=self.quantized)
+        self.h_min = ps.h_min
+        self.h_scale = ps.h_scale
+        self.h_offset = ps.h_offset
+        self.a_scale = ps.a_scale
+        self.alb_min_level = ps.alb_min_level
+        self.mips = [jnp.asarray(m) for m in ps.mips]
+        self.maxmap = jnp.asarray(ps.maxmap)
+        self.slope_maps = jnp.asarray(ps.slope_maps)
+        self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS)
+                           for m in self.mips]
+        kept = [jnp.asarray(a) for a in ps.albedo_kept]
+        self.albedo_mips = [kept[0]] * self.alb_min_level + kept
         self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
                         if starmap is not None else None)
 
