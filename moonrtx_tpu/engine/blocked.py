@@ -818,7 +818,8 @@ def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
                   background, basis: CameraBasis, fp: FrameParams,
                   height: int, width: int, h: int, w: int,
                   n_coarse: int, use_shadow: bool,
-                  interpret: bool = False) -> RenderOutput:
+                  interpret: bool = False, n_bisect: int = 3
+                  ) -> RenderOutput:
     from moonrtx_tpu.ops import pallas_march as pk
 
     nblk = geom.db.shape[0]
@@ -833,7 +834,8 @@ def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
     r, g, b, hitf, t_hit, px, py, pz = pk.march_shade_pallas(
         params, dbx, dby, dbz, t0, t1, act, packed.scal,
         packed.hwin, packed.awin, packed.swin,
-        h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
+        h=h, w=w, n_coarse=n_coarse, n_bisect=n_bisect,
+        use_shadow=use_shadow,
         use_earth=fp.earth is not None, interpret=interpret)
 
     rgb_b = jnp.stack([r, g, b], axis=-1).reshape(nblk, BLOCK, 3)

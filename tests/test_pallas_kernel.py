@@ -676,3 +676,44 @@ def test_scene_prefetch_pose_kind_bit_exact(monkeypatch):
     img2 = s2.render(2)
     assert calls["pose"] == 0
     assert img2.max() > 0
+
+
+def test_illinois_refinement_accuracy(scene):
+    """Refinement A/B: the production 3-iteration Illinois root vs a
+    converged (12-iteration) root. Hit topology must be identical, the
+    image must agree below the 8-bit pixel quantum, and the t_hit error
+    tail must stay small relative to the coarse bracket."""
+    scene.render(1)  # materialize the lazy window/shadow caches
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32), scene.height,
+                              scene.width, scene.h_min, maxmap=scene.maxmap)
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    _, sparams = scene.shadow_args()
+    packed = blocked.pack_windows(scene._wincache, scene._origins,
+                                  scene._shadowwin)
+    params = blocked._kernel_params(
+        geom.ob, scene._fp, sparams, True,
+        2.0 * scene.basis().tan_half_fov / scene.height, h, w)
+
+    def run(nb):
+        return blocked._pallas_frame(packed, geom, params, None,
+                                     scene.basis(), scene._fp,
+                                     scene.height, scene.width, h, w,
+                                     12, True, True, n_bisect=nb)
+
+    o3 = run(3)
+    o12 = run(12)
+    hit3 = np.asarray(o3.hitbuf[..., 3])
+    hit12 = np.asarray(o12.hitbuf[..., 3])
+    assert ((hit3 > 0) == (hit12 > 0)).all()
+    m = hit3 > 0
+    err = np.abs(hit3[m] - hit12[m])
+    span = np.asarray(geom.t_end - geom.t_enter)
+    bracket = float(np.median(span[np.asarray(geom.hit_outer)])) / 12
+    # the p50 floor is the f32 ULP of t (~3e-5 at camera distance 300)
+    assert np.percentile(err, 50) <= max(1e-3 * bracket, 6e-5)
+    assert np.percentile(err, 99) <= 0.15 * bracket
+    assert err.max() <= 3.5 * bracket  # grazing rays have longer chords
+    rgb_d = np.abs(np.asarray(o3.rgb) - np.asarray(o12.rgb)).max()
+    assert rgb_d < 3.0 / 255.0
