@@ -89,15 +89,16 @@ def _hat_t(x, n: int):
 def _bsample(win8, wy, wx, n_h: int, n_w: int):
     """Batched bilinear: win8 (G, n_h, n_w) bf16, coords (G, B) -> (G, B).
 
-    mix[g, c, b] = sum_r win[g, r, c] * wr[g, r, b] keeps rays on lanes for
-    both the MXU contraction (N = 128) and the final masked reduction."""
+    Columns contract on the MXU first (K = n_w = 64 fills the systolic
+    array better than n_h = 40), rows reduce on the VPU (over 40 instead
+    of 64 terms); rays stay on lanes throughout."""
     wy = jnp.clip(wy, 0.0, n_h - 1.001)
     wx = jnp.clip(wx, 0.0, n_w - 1.001)
-    wr = _hat_t(wy, n_h).astype(jnp.bfloat16)          # (G, n_h, B)
-    mix = jax.lax.dot_general(win8, wr, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)  # (G,n_w,B)
-    wc = _hat_t(wx, n_w)                                # (G, n_w, B)
-    return jnp.sum(mix * wc, axis=1)
+    wc = _hat_t(wx, n_w).astype(jnp.bfloat16)          # (G, n_w, B)
+    mixt = jax.lax.dot_general(win8, wc, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)  # (G,n_h,B)
+    wr = _hat_t(wy, n_h)                                # (G, n_h, B)
+    return jnp.sum(mixt * wr, axis=1)
 
 
 def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
