@@ -252,22 +252,35 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
         # the bilinear because its weights sum to 1
         hs = extract_ops.decode_affine(
             sampler.gather_bilinear(tex, row, col), h_scale, h_offset)
-    r = C.MOON_RADIUS * hs
-    m = r * st
-    z = r * ct
+    from moonrtx_tpu.ops import extract as extract_ops
+    from moonrtx_tpu.ops import shadow_prefix
+    if (blocked_resample and extract_ops._fast_ok()
+            and shadow_prefix.prefix_ok(int(theta.shape[0]), n_phi)):
+        # fused single-pass kernel: prefix max + penumbra factor, HBM
+        # traffic = read heights + write factor (the XLA associative_scan
+        # costs ~log2(n_theta) passes over (m, z) pairs)
+        factor = shadow_prefix.shadow_factor_tpu(
+            hs, st, ct, sun_ang_radius, C.MOON_RADIUS)
+    else:
+        r = C.MOON_RADIUS * hs
+        m = r * st
+        z = r * ct
 
-    # exclusive running max of (m, z) along theta (away from the sun pole)
-    neg = jnp.full((1, n_phi), -1.0, m.dtype)
-    m_pad = jnp.concatenate([neg, m[:-1]], axis=0)
-    z_pad = jnp.concatenate([jnp.zeros((1, n_phi), z.dtype), z[:-1]], axis=0)
-    m_max, z_at = jax.lax.associative_scan(_argmax_combine, (m_pad, z_pad), axis=0)
+        # exclusive running max of (m, z) along theta (away from the sun
+        # pole)
+        neg = jnp.full((1, n_phi), -1.0, m.dtype)
+        m_pad = jnp.concatenate([neg, m[:-1]], axis=0)
+        z_pad = jnp.concatenate([jnp.zeros((1, n_phi), z.dtype), z[:-1]],
+                                axis=0)
+        m_max, z_at = jax.lax.associative_scan(
+            _argmax_combine, (m_pad, z_pad), axis=0)
 
-    # horizon elevation of the tallest blocker seen from each point
-    dz = jnp.maximum(z_at - z, 1e-6)
-    alpha = jnp.arctan2(m_max - m, dz)
-    factor = jnp.clip(0.5 - alpha / (2.0 * sun_ang_radius), 0.0, 1.0)
-    # subsolar cap: no blockers possible at theta ~ 0
-    factor = jnp.where(m_max < 0.0, 1.0, factor)
+        # horizon elevation of the tallest blocker seen from each point
+        dz = jnp.maximum(z_at - z, 1e-6)
+        alpha = jnp.arctan2(m_max - m, dz)
+        factor = jnp.clip(0.5 - alpha / (2.0 * sun_ang_radius), 0.0, 1.0)
+        # subsolar cap: no blockers possible at theta ~ 0
+        factor = jnp.where(m_max < 0.0, 1.0, factor)
     if alb_lum is None:
         if return_heights:
             return factor, hs
