@@ -17,6 +17,8 @@ from datetime import datetime, timedelta, timezone
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 
 def _sync_probe(x):
     import jax
