@@ -63,6 +63,11 @@ def _shift_down(x, d: int, fill: float):
 
 
 def _make_kernel(lt: int, moon_radius: float):
+    # Preconditions the caller guarantees: heights > 0 and sinθ >= 0 on
+    # the scan band (θ ∈ [0°, 105°]), so m >= 0 and the -1.0 shift fill
+    # acts as the scan identity; the theta grid dim is LAST in `grid`,
+    # so tiles of one meridian run consecutively and the VMEM carry
+    # (row 0 of an (8, lw) scratch — sublane-tile-aligned) is valid.
     def kernel(sar_ref, hs_ref, st_ref, ct_ref, out_ref, cm_ref, cz_ref):
         t = pl.program_id(1)
         r = moon_radius * hs_ref[...]
