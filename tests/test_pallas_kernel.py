@@ -325,6 +325,13 @@ def test_merged_scan_timestep_matches_split(scene, monkeypatch):
     monkeypatch.setattr(
         extract_ops, "resample_group_windows_tpu",
         lambda *a, **k: orig_resample(*a, **{**k, "interpret": True}))
+    # forcing _fast_ok also routes the scan's prefix max + factor into
+    # the fused kernel (shadow_scan.scan_wedge) — interpret that too
+    from moonrtx_tpu.ops import shadow_prefix
+    orig_factor = shadow_prefix.shadow_factor_tpu
+    monkeypatch.setattr(
+        shadow_prefix, "shadow_factor_tpu",
+        lambda *a, **k: orig_factor(*a, **{**k, "interpret": True}))
 
     def _set_fast(v):
         monkeypatch.setattr(extract_ops, "_fast_ok", lambda: v)
