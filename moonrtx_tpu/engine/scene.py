@@ -869,6 +869,12 @@ class MoonScene:
             return False
         r["dt"] = dt_next
         r["token"] = self._prefetch_token(r["kind"])
+        # pin the objects whose id()s the token carries: CPython reuses
+        # freed addresses eagerly, so without a live reference a cache
+        # replaced between dispatch and consume could alias a stale token
+        # and install a speculation computed from the old caches
+        r["pins"] = (self.camera, self._bounce, self._origins,
+                     self._wincache, self._packed)
         self._prefetch = r
         return True
 
