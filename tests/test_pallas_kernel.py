@@ -565,6 +565,17 @@ def test_scene_prefetch_timestep_bit_exact(monkeypatch):
     assert calls["dispatch"] == 4
     assert img2.max() > 0
 
+    # the speculation pins the exact objects whose id()s its validity
+    # token carries — without live references, CPython address reuse
+    # could alias a stale token after a cache rebuild
+    assert s2.prefetch_time(s2.dt_local + timedelta(minutes=15))
+    pins = s2._prefetch["pins"]
+    assert pins[0] is s2.camera
+    assert pins[1] is s2._bounce
+    assert pins[2] is s2._origins
+    assert pins[3] is s2._wincache
+    assert pins[4] is s2._packed
+
 
 def test_orbit_drag_reuses_windows():
     """Small per-pixel orbit drags keep the cached sampling windows (the
