@@ -87,8 +87,6 @@ def render_timelapse(config: RenderConfig, save_path: Optional[str],
     `ffmpeg -i moon_%04d.png timelapse.mp4`."""
     from datetime import timedelta
 
-    from datetime import timedelta as _td  # noqa: F401 (clarity)
-
     from moonrtx_tpu import constants as C
     from moonrtx_tpu.engine import render as render_mod
 

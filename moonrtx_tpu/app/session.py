@@ -156,7 +156,7 @@ class Session:
 
     def pan_tilt(self, dx_px: float, dy_px: float) -> None:
         self.scene.set_camera(nav.pan_tilt_view(
-            self.scene.camera, dx_px, dy_px, self.scene.height))
+            self.scene.camera, dx_px, dy_px, self.scene.out_height))
 
     def zoom_drag(self, dy_px: float) -> None:
         """Shift + left-drag: continuous zoom (reference README)."""
@@ -172,7 +172,7 @@ class Session:
         """Per-pixel left-drag orbit (reference
         renderer_navigation.py:223-294)."""
         self.scene.set_camera(nav.orbit_drag(
-            self.scene.camera, dx_px, dy_px, self.scene.height))
+            self.scene.camera, dx_px, dy_px, self.scene.out_height))
 
     def zoom(self, wheel_delta: float) -> None:
         self.scene.set_camera(nav.zoom_fov(self.scene.camera, wheel_delta))

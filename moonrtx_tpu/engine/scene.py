@@ -537,6 +537,11 @@ class MoonScene:
         alevel = self.albedo_level(level)
         ah, aw = self.mip_shapes[alevel]
         if self._origins is None or self._cache_level != level:
+            # fresh windows: restart the drift budget, like the pallas
+            # burst rebuild does — otherwise one over-budget camera move
+            # leaves the accumulated drift poisoned and every later
+            # small drag re-extracts the cache
+            self._window_drift = 0.0
             # stride levels available above the render level (q up to 4)
             max_qexp = min(2, len(self.mips) - 1 - level,
                            len(self.albedo_mips) - 1 - alevel)

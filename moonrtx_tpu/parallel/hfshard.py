@@ -113,7 +113,7 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 use_shadow: bool = True,
                                 interpret: bool = False,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
-                                a_scale: float = 1.0):
+                                a_scale: float = 1.0, slope_maps=None):
     """The flagship Pallas burst with the HEIGHTFIELD sharded, not just the
     image: banded_mips/banded_albedo are (n_dev, band_h_k+HALO, W_k[, 3])
     stacks (shard_bands) for the render level and the next-coarser level.
@@ -141,8 +141,14 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
     dummy = jnp.zeros((1, 1), jnp.float32)
     smap_in = shadow_map if use_sh else dummy
     bmap_in = bounce_map if use_bounce else dummy
+    if slope_maps is None:
+        # zeros -> sigma == 0, the explicit "no compensation" fallback
+        # (same convention as tiles.render_burst_pallas_sharded: without
+        # real slope maps, LOD-dropped blocks lose soft_ndotl)
+        slope_maps = jnp.zeros((2, 1, 1), jnp.float32)
 
-    def strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap):
+    def strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap,
+              slope_maps):
         idx = jax.lax.axis_index(TILE_AXIS)
         mips_loc = tuple(bm[0] for bm in bmips)      # (bh_k, W_k)
         alb_loc = tuple(bm[0] for bm in balb)        # (bh_k, W_k, 3)
@@ -151,7 +157,8 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
         geom = blocked.block_rays(basis, fp.rotation, jitters[0],
                                   height, width, h_min, maxmap=maxmap)
         org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw,
-                                     a_pad_w, max_qexp=1)
+                                     a_pad_w, max_qexp=1,
+                                     slope_maps=slope_maps)
         qexp = jnp.round(jnp.log2(org.q)).astype(jnp.int32)
         qi = jnp.clip(qexp, 0, len(mips_loc) - 1)
         aqi = jnp.clip(qexp, 0, len(alb_loc) - 1)
@@ -264,15 +271,17 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
     def wrap(*flat):
         bmips = flat[:n_mips]
         balb = flat[n_mips:n_mips + n_alb]
-        maxmap, basis, fp, jitters, smap, bmap = flat[n_mips + n_alb:]
-        return strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap)
+        (maxmap, basis, fp, jitters, smap, bmap,
+         slope_maps) = flat[n_mips + n_alb:]
+        return strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap,
+                     slope_maps)
 
     in_specs = ((P(TILE_AXIS),) * (n_mips + n_alb)
-                + (P(), P(), P(), P(), P(), P()))
+                + (P(), P(), P(), P(), P(), P(), P()))
     return shard_map(
         wrap, mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,
     )(*banded_mips, *banded_albedo, maxmap, basis, fp, jitters,
-      smap_in, bmap_in)
+      smap_in, bmap_in, slope_maps)

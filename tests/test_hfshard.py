@@ -104,8 +104,12 @@ def test_hfshard_matches_replicated_with_shadows(setup):
     jitters = jnp.zeros((1, 2), jnp.float32)
     args = (scene.maxmap, scene.basis(), scene._fp, jitters,
             scene.height, scene.width, h, w, ah, aw, scene.h_min)
+    # slope maps on BOTH paths: hf-sharded frames must keep the same
+    # LOD roughness compensation (soft_ndotl) the replicated path applies
+    lvl = scene.mip_level()
     kw = dict(smap_params=sparams, bounce_map=scene._bounce,
-              n_samples=1, use_shadow=True, interpret=True)
+              n_samples=1, use_shadow=True, interpret=True,
+              slope_maps=scene.slope_maps[lvl:lvl + 2])
     rgb_hf, _ = render_burst_pallas_hfshard(
         mesh, bmips, balb, *args, shadow_map=smap, **kw)
     rgb_rep, _ = render_burst_pallas_sharded(
