@@ -83,6 +83,43 @@ def from_blocks(blocks, height: int, width: int):
     return x.reshape(height, width, *rest)
 
 
+def composite_blocks(rgb_b, hit_b, t_b, p_b, height, width, dirs_scene,
+                     eye, fp, background=None):
+    """Blocks -> (rgb image, hitbuf): the shared tail of every render path.
+
+    Misses take the sun disk over the background (black when None);
+    hitbuf packs scene-frame hit position + distance. Used by the XLA
+    blocked path, the fused pallas single/burst programs, and the
+    sharded strip variants (which pass strip-local height and no
+    background).
+    """
+    rgb = from_blocks(rgb_b, height, width)
+    hit_img = from_blocks(hit_b, height, width)
+    disk = sun_disk_hit(eye, dirs_scene, fp)
+    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
+                if background is None else background)
+    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
+    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
+    p_scene = mat3_apply(fp.rotation, from_blocks(p_b, height, width))
+    t_img = from_blocks(t_b, height, width)
+    hitbuf = jnp.concatenate(
+        [jnp.where(hit_img[..., None], p_scene, 0.0),
+         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    return rgb, hitbuf
+
+
+def composite_kernel_outputs(r, g, b, hitf, t_hit, px, py, pz, height,
+                             width, dirs_scene, eye, fp, background=None):
+    """composite_blocks over raw (ns, G, B) pallas kernel planes."""
+    nblk = (height // BLOCK_H) * (width // BLOCK_W)
+    rgb_b = jnp.stack([r, g, b], axis=-1).reshape(nblk, BLOCK, 3)
+    hit_b = hitf.reshape(nblk, BLOCK) > 0.5
+    t_b = t_hit.reshape(nblk, BLOCK)
+    p_b = jnp.stack([px, py, pz], axis=-1).reshape(nblk, BLOCK, 3)
+    return composite_blocks(rgb_b, hit_b, t_b, p_b, height, width,
+                            dirs_scene, eye, fp, background=background)
+
+
 class RayGeom(NamedTuple):
     """Per-frame (jittered) ray state."""
 
@@ -682,20 +719,9 @@ def render_frame_blocked(cache: WindowCache, org: WindowOrigins,
     rgb_b = shade_blocks(cache, org, h, w, ah, aw, lat, lon, p, fp, shadow,
                          geom=geom, t_hit=t_hit, pix_ang=pix_ang,
                          bounce=bounce)
-    rgb = from_blocks(jnp.where(hit[..., None], rgb_b, 0.0), height, width)
-    hit_img = from_blocks(hit, height, width)
-
-    disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
-    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
-                if background is None else background)
-    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
-    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
-
-    p_scene = mat3_apply(fp.rotation, from_blocks(p, height, width))
-    t_img = from_blocks(t_hit, height, width)
-    hitbuf = jnp.concatenate(
-        [jnp.where(hit_img[..., None], p_scene, 0.0),
-         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    rgb, hitbuf = composite_blocks(rgb_b, hit, t_hit, p, height, width,
+                                   geom.dirs_scene, basis.eye, fp,
+                                   background=background)
     return RenderOutput(rgb=rgb, hitbuf=hitbuf)
 
 
@@ -838,25 +864,9 @@ def _pallas_frame(packed: PackedWindows, geom: RayGeom, params,
         use_shadow=use_shadow,
         use_earth=fp.earth is not None, interpret=interpret)
 
-    rgb_b = jnp.stack([r, g, b], axis=-1).reshape(nblk, BLOCK, 3)
-    hit_b = hitf.reshape(nblk, BLOCK) > 0.5
-    t_b = t_hit.reshape(nblk, BLOCK)
-    p_b = jnp.stack([px, py, pz], axis=-1).reshape(nblk, BLOCK, 3)
-
-    rgb = from_blocks(rgb_b, height, width)
-    hit_img = from_blocks(hit_b, height, width)
-
-    disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
-    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
-                if background is None else background)
-    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
-    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
-
-    p_scene = mat3_apply(fp.rotation, from_blocks(p_b, height, width))
-    t_img = from_blocks(t_b, height, width)
-    hitbuf = jnp.concatenate(
-        [jnp.where(hit_img[..., None], p_scene, 0.0),
-         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
+    rgb, hitbuf = composite_kernel_outputs(
+        r, g, b, hitf, t_hit, px, py, pz, height, width,
+        geom.dirs_scene, basis.eye, fp, background=background)
     return RenderOutput(rgb=rgb, hitbuf=hitbuf)
 
 
@@ -979,24 +989,9 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
         1, n_samples, sample, (r0, g0, b0, t0_, hit0))
 
     # composite once
-    rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk, BLOCK, 3)
-    hit_b = hit0.reshape(nblk, BLOCK) > 0.5
-    p_b = jnp.stack([px0, py0, pz0], axis=-1).reshape(nblk, BLOCK, 3)
-    t_b = t0_.reshape(nblk, BLOCK)
-
-    rgb = from_blocks(rgb_b, height, width)
-    hit_img = from_blocks(hit_b, height, width)
-    disk = sun_disk_hit(basis.eye, geom0.dirs_scene, fp)
-    miss_rgb = (jnp.zeros((height, width, 3), jnp.float32)
-                if background is None else background)
-    miss_rgb = jnp.where(disk[..., None], C.SUN_DISK_COLOR, miss_rgb)
-    rgb = jnp.where(hit_img[..., None], rgb, miss_rgb)
-    p_scene = mat3_apply(fp.rotation, from_blocks(p_b, height, width))
-    t_img = from_blocks(t_b, height, width)
-    hitbuf = jnp.concatenate(
-        [jnp.where(hit_img[..., None], p_scene, 0.0),
-         jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
-    return rgb, hitbuf
+    return composite_kernel_outputs(
+        ar, ag, ab, hit0, t0_, px0, py0, pz0, height, width,
+        geom0.dirs_scene, basis.eye, fp, background=background)
 
 
 @jax.jit

@@ -37,8 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine.camera import CameraBasis
-from moonrtx_tpu.engine.geometry import mat3_apply
-from moonrtx_tpu.engine.render import FrameParams, sun_disk_hit
+from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.parallel.mesh import TILE_AXIS
 
 # Halo rows appended below each band. Must cover the tallest window
@@ -247,23 +246,9 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
             acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
         ar, ag, ab = acc
 
-        B = blocked.BLOCK
-        rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk_s, B, 3)
-        hit_b = hit0.reshape(nblk_s, B) > 0.5
-        p_b = jnp.stack([px0, py0, pz0], axis=-1).reshape(nblk_s, B, 3)
-        t_b = t0_.reshape(nblk_s, B)
-        rgb = blocked.from_blocks(rgb_b, strip_h, width)
-        hit_img = blocked.from_blocks(hit_b, strip_h, width)
-        disk = sun_disk_hit(basis.eye, geom0.dirs_scene, fp)
-        rgb = jnp.where(hit_img[..., None], rgb,
-                        jnp.where(disk[..., None], C.SUN_DISK_COLOR, 0.0))
-        p_img = mat3_apply(fp.rotation,
-                           blocked.from_blocks(p_b, strip_h, width))
-        t_img = blocked.from_blocks(t_b, strip_h, width)
-        hitbuf = jnp.concatenate(
-            [jnp.where(hit_img[..., None], p_img, 0.0),
-             jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
-        return rgb, hitbuf
+        return blocked.composite_kernel_outputs(
+            ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
+            geom0.dirs_scene, basis.eye, fp)
 
     n_mips = len(banded_mips)
     n_alb = len(banded_albedo)

@@ -22,12 +22,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from moonrtx_tpu import constants as C
 from moonrtx_tpu.engine import blocked
-from moonrtx_tpu.engine.camera import CameraBasis, ray_directions
-from moonrtx_tpu.engine.render import FrameParams, sun_disk_hit
+from moonrtx_tpu.engine.camera import CameraBasis
+from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.parallel.mesh import TILE_AXIS
-from moonrtx_tpu.ops import sampler
 
 
 @functools.partial(
@@ -84,19 +82,9 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                      geom=geom, t_hit=t_hit,
                                      pix_ang=2.0 * basis.tan_half_fov / height,
                                      bounce=bounce)
-        rgb = blocked.from_blocks(
-            jnp.where(hit[..., None], rgb_b, 0.0), strip_h, width)
-        hit_img = blocked.from_blocks(hit, strip_h, width)
-        disk = sun_disk_hit(basis.eye, geom.dirs_scene, fp)
-        rgb = jnp.where(hit_img[..., None], rgb,
-                        jnp.where(disk[..., None], C.SUN_DISK_COLOR, 0.0))
-        from moonrtx_tpu.engine.geometry import mat3_apply
-        p_img = mat3_apply(fp.rotation, blocked.from_blocks(p, strip_h, width))
-        t_img = blocked.from_blocks(t_hit, strip_h, width)
-        hitbuf = jnp.concatenate(
-            [jnp.where(hit_img[..., None], p_img, 0.0),
-             jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
-        return rgb, hitbuf
+        return blocked.composite_blocks(rgb_b, hit, t_hit, p, strip_h,
+                                        width, geom.dirs_scene, basis.eye,
+                                        fp)
 
     return shard_map(
         strip, mesh=mesh,
@@ -204,24 +192,9 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
             acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
         ar, ag, ab = acc
 
-        G, B = blocked.GROUP, blocked.BLOCK
-        rgb_b = jnp.stack([ar, ag, ab], axis=-1).reshape(nblk, B, 3)
-        hit_b = hit0.reshape(nblk, B) > 0.5
-        p_b = jnp.stack([px0, py0, pz0], axis=-1).reshape(nblk, B, 3)
-        t_b = t0_.reshape(nblk, B)
-        rgb = blocked.from_blocks(rgb_b, strip_h, width)
-        hit_img = blocked.from_blocks(hit_b, strip_h, width)
-        disk = sun_disk_hit(basis.eye, geom0.dirs_scene, fp)
-        rgb = jnp.where(hit_img[..., None], rgb,
-                        jnp.where(disk[..., None], C.SUN_DISK_COLOR, 0.0))
-        from moonrtx_tpu.engine.geometry import mat3_apply
-        p_img = mat3_apply(fp.rotation,
-                           blocked.from_blocks(p_b, strip_h, width))
-        t_img = blocked.from_blocks(t_b, strip_h, width)
-        hitbuf = jnp.concatenate(
-            [jnp.where(hit_img[..., None], p_img, 0.0),
-             jnp.where(hit_img, t_img, 0.0)[..., None]], axis=-1)
-        return rgb, hitbuf
+        return blocked.composite_kernel_outputs(
+            ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
+            geom0.dirs_scene, basis.eye, fp)
 
     return shard_map(
         strip, mesh=mesh,
