@@ -898,7 +898,7 @@ def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
-    "use_shadow", "interpret", "warm_start"))
+    "use_shadow", "interpret", "warm_start", "wide"))
 def render_accumulate_pallas(packed: PackedWindows,
                              smap_params, background, maxmap,
                              basis: CameraBasis, fp: FrameParams,
@@ -909,7 +909,8 @@ def render_accumulate_pallas(packed: PackedWindows,
                              n_samples: int = 8, n_coarse: int = 12,
                              use_shadow: bool = True,
                              interpret: bool = False, hbound=None,
-                             warm_start: Optional[bool] = None):
+                             warm_start: Optional[bool] = None,
+                             wide: bool = True):
     """N jittered accumulation samples in ONE device program: per sample,
     jittered ray generation -> fused Pallas march+shade -> running mean.
     Returns (rgb_mean, hitbuf of sample 0).
@@ -925,7 +926,7 @@ def render_accumulate_pallas(packed: PackedWindows,
                        ah if ah is not None else h,
                        aw if aw is not None else w,
                        n_samples, n_coarse, use_shadow, interpret,
-                       hbound=hbound, warm_start=warm_start)
+                       hbound=hbound, warm_start=warm_start, wide=wide)
 
 
 def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
@@ -933,7 +934,7 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
                 height: int, width: int, h: int, w: int, h_min: float,
                 ah: int, aw: int, n_samples: int, n_coarse: int,
                 use_shadow: bool, interpret: bool = False, hbound=None,
-                warm_start: Optional[bool] = None):
+                warm_start: Optional[bool] = None, wide: bool = True):
     from moonrtx_tpu.ops import pallas_march as pk
 
     ob = mat3t_apply(fp.rotation, basis.eye)
@@ -961,7 +962,7 @@ def _burst_core(packed: PackedWindows, smap_params, background, maxmap,
             packed.hwin, packed.awin, packed.swin,
             h=h, w=w, n_coarse=n_coarse, use_shadow=use_shadow,
             use_earth=fp.earth is not None, interpret=interpret,
-            t_prev=t_prev, f_prev=f_prev)
+            t_prev=t_prev, f_prev=f_prev, wide=wide)
 
     out0 = run_kernel(geom0)
     r0, g0, b0, hit0, t0_, px0, py0, pz0 = out0

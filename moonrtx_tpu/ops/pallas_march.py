@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,13 @@ SW = blocked.SWIN_W
 
 RAD2DEG = 180.0 / math.pi
 DEG2RAD = math.pi / 180.0
+
+# Max march points per wide field evaluation (field_multi): each point
+# adds ~330 KB of VMEM transients (bf16 hat + f32 mix/product tiles at
+# m*128 lanes), so 7 keeps the whole wide pass ~4 MB — comfortably inside
+# one core's ~16 MB VMEM next to the window tiles and the pipeline's
+# double buffers. The 14-point cold march runs as two wide passes.
+_WIDE_CHUNK = max(1, int(os.environ.get("MOONRTX_WIDE_CHUNK", "7")))
 
 # params vector layout (27, 128) broadcast rows:
 #  0-2 ob xyz | 3-5 light xyz (body) | 6 irradiance | 7 n_smap_coarse
@@ -77,12 +85,14 @@ def _atan2(y, x):
 
 
 def _hat_t(x, n: int):
-    """(G, n, B) bilinear hat weights from (G, B) coords.
+    """(G, n, L) bilinear hat weights from (G, L) coords (L = B, or m*B
+    for a wide multi-point evaluation).
 
     The window dimension sits on SUBLANES and rays on LANES so every
     elementwise op runs at full 128-lane width (putting the window dim on
     lanes measured ~4x slower on v5e)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (G, n, B), 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (x.shape[0], n, x.shape[-1]), 1).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(rows - x[:, None, :]))
 
 
@@ -103,7 +113,7 @@ def _bsample(win8, wy, wx, n_h: int, n_w: int):
 
 def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
                  use_shadow: bool, use_earth: bool = True,
-                 warm: bool = False):
+                 warm: bool = False, wide: bool = True):
     def kernel(params_ref, dbx_ref, dby_ref, dbz_ref, t0_ref, t1_ref,
                act_ref, *rest):
         if warm:
@@ -176,35 +186,104 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
             r = jnp.sqrt(px * px + py * py + pz * pz)
             return r - C.MOON_RADIUS * height_at(lat, lon)
 
+        def field_multi(ts):
+            """Field at several march points in ONE wide bilinear pass.
+
+            The march's serial bottleneck is not FLOPs (docs/PERF.md
+            roofline: ~8% MXU) but the dependence chain of consecutive
+            field evaluations. Coarse-march points depend only on k —
+            never on each other — so their window coordinates concatenate
+            on LANES (m*B wide) and one hat construction + one MXU
+            contraction evaluates all of them in parallel. Per-column
+            math is exactly `field`'s (concat/slice round-trip; dot and
+            row-reduce treat columns independently), so results are
+            bit-identical to the serial loop. Chunked to _WIDE_CHUNK
+            points to bound VMEM transients (~330 KB/point at bf16 hats)."""
+            out = []
+            for i in range(0, len(ts), _WIDE_CHUNK):
+                grp = ts[i:i + _WIDE_CHUNK]
+                if len(grp) == 1:
+                    out.append(field(grp[0]))
+                    continue
+                pts = [(obx + t * dbx, oby + t * dby, obz + t * dbz)
+                       for t in grp]
+                lls = [latlon(px, py, pz) for px, py, pz in pts]
+                wcs = [hcoords(la, lo) for la, lo in lls]
+                wy = jnp.concatenate([c[0] for c in wcs], axis=1)
+                wx = jnp.concatenate([c[1] for c in wcs], axis=1)
+                hcat = _bsample(hwin, wy, wx, WH, WW)      # (G, m*B)
+                for k, (px, py, pz) in enumerate(pts):
+                    r = jnp.sqrt(px * px + py * py + pz * pz)
+                    out.append(r - C.MOON_RADIUS
+                               * (hcat[:, k * B:(k + 1) * B] + hmean))
+            return out
+
         activef = jnp.where(active, 1.0, 0.0)
 
-        def coarse(k, carry):
-            # found is a f32 mask (bool vector loop carriers fail to
-            # legalize in this Mosaic build); f_lo/f_hi track the field at
-            # the bracket ends for the false-position refinement, f_back
-            # is the previous step's field value (the f at t_prev)
-            found, t_lo, t_hi, f_lo, f_hi, f_back = carry
-            frac = (k + 0.5) / n_coarse
-            t_k = t_enter + span * frac
-            f_k = field(t_k)
-            newly = (1.0 - found) * jnp.where(f_k < 0.0, 1.0, 0.0) * activef
-            t_prev = t_enter + span * jnp.maximum(frac - 1.0 / n_coarse, 0.0)
-            new = newly > 0.5
-            return (jnp.maximum(found, newly),
-                    jnp.where(new, t_prev, t_lo),
-                    jnp.where(new, t_k, t_hi),
-                    jnp.where(new, f_back, f_lo),
-                    jnp.where(new, f_k, f_hi),
-                    f_k)
+        def coarse_serial():
+            # wide=False reference: the original one-field-eval-per-
+            # fori_loop-iteration march, kept for in-process perf A/Bs
+            # (tools/bench_widemarch.py) — the serialization it imposes
+            # is exactly what the wide march removes.
+            def coarse(k, carry):
+                found, t_lo, t_hi, f_lo, f_hi, f_back = carry
+                frac = (k + 0.5) / n_coarse
+                t_k = t_enter + span * frac
+                f_k = field(t_k)
+                newly = ((1.0 - found) * jnp.where(f_k < 0.0, 1.0, 0.0)
+                         * activef)
+                t_prev = t_enter + span * jnp.maximum(
+                    frac - 1.0 / n_coarse, 0.0)
+                new = newly > 0.5
+                return (jnp.maximum(found, newly),
+                        jnp.where(new, t_prev, t_lo),
+                        jnp.where(new, t_k, t_hi),
+                        jnp.where(new, f_back, f_lo),
+                        jnp.where(new, f_k, f_hi),
+                        f_k)
 
-        def coarse_march():
-            # f at t_enter seeds f_back for a k=0 hit (the chord bound
-            # often starts just above the surface, so first-cell hits are
-            # common at grazing framings)
             return jax.lax.fori_loop(
                 0, n_coarse + 1, coarse,
                 (found0, t_enter, t_end, jnp.ones_like(t_enter),
                  -jnp.ones_like(t_enter), field(t_enter)))
+
+        def coarse_march():
+            # All n_coarse+2 points (the t_enter seed + the march samples)
+            # evaluate in wide parallel passes — the points depend only on
+            # k, so nothing forces the old one-eval-per-loop-iteration
+            # serialization. The first-crossing bookkeeping then runs as
+            # an unrolled chain of cheap (G, B) selects over the
+            # precomputed field values. f at t_enter seeds f_back for a
+            # k=0 hit (the chord bound often starts just above the
+            # surface, so first-cell hits are common at grazing framings).
+            if not wide:
+                return coarse_serial()
+            fracs = [(k + 0.5) / n_coarse for k in range(n_coarse + 1)]
+            fs = field_multi([t_enter] + [t_enter + span * fr
+                                          for fr in fracs])
+            found, t_lo, t_hi = found0, t_enter, t_end
+            f_lo = jnp.ones_like(t_enter)
+            f_hi = -jnp.ones_like(t_enter)
+            f_back = fs[0]
+            for k in range(n_coarse + 1):
+                # found is a f32 mask (bool vector loop carriers fail to
+                # legalize in this Mosaic build); f_lo/f_hi track the
+                # field at the bracket ends for the false-position
+                # refinement, f_back is the previous step's field value
+                frac = fracs[k]
+                t_k = t_enter + span * frac
+                f_k = fs[k + 1]
+                newly = ((1.0 - found) * jnp.where(f_k < 0.0, 1.0, 0.0)
+                         * activef)
+                t_prev = t_enter + span * max(frac - 1.0 / n_coarse, 0.0)
+                new = newly > 0.5
+                found = jnp.maximum(found, newly)
+                t_lo = jnp.where(new, t_prev, t_lo)
+                t_hi = jnp.where(new, t_k, t_hi)
+                f_lo = jnp.where(new, f_back, f_lo)
+                f_hi = jnp.where(new, f_k, f_hi)
+                f_back = f_k
+            return found, t_lo, t_hi, f_lo, f_hi, f_back
 
         found0 = jnp.zeros((G, B), jnp.float32)
         if warm:
@@ -232,8 +311,11 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
             delta = span * (1.0 / n_coarse)
             t_a = jnp.maximum(t_prev - delta, t_enter)
             t_b = jnp.minimum(t_prev + delta, t_end)
-            f_a = field(t_a)
-            f_b = field(t_b)
+            if wide:
+                f_a, f_b = field_multi([t_a, t_b])
+            else:
+                f_a = field(t_a)
+                f_b = field(t_b)
             good = (jnp.where(f_a > 0.0, 1.0, 0.0)
                     * jnp.where(f_b < 0.0, 1.0, 0.0) * f_prev)
             n_bad = jnp.sum(activef * (1.0 - good))
@@ -294,6 +376,14 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
             # "below perception", moon_renderer.py:72-75) and the image
             # delta vs converged stays under half an 8-bit pixel quantum,
             # at half the field evaluations of 6 bisections.
+            # Measured alternative, for the record (2026-08-20): TWO wide
+            # 6-point subdivision rounds via field_multi (2 serial rounds,
+            # error bound bracket/49) are ~10% SLOWER than these 3-4
+            # serial single-point iterations — refinement evals are
+            # VPU-throughput-bound, not latency-bound, so tripling the
+            # evaluated points loses more than the shorter chain gains
+            # (the wide coarse march above wins precisely because it
+            # batches the SAME evaluation count).
             def illinois(_, carry):
                 t_lo, t_hi, f_lo, f_hi = carry
                 denom = jnp.minimum(f_hi - f_lo, -1e-30)
@@ -539,14 +629,14 @@ def _make_kernel(h: int, w: int, n_coarse: int, n_bisect: int,
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_bisect",
                                              "use_shadow", "use_earth",
-                                             "interpret"))
+                                             "interpret", "wide"))
 def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
                        hwin, awin_cm, swin,
                        h: int, w: int, n_coarse: int = 12,
                        n_bisect: int = 3, use_shadow: bool = True,
                        use_earth: bool = True,
                        interpret: bool = False,
-                       t_prev=None, f_prev=None):
+                       t_prev=None, f_prev=None, wide: bool = True):
     """Fused march+shade over all block groups.
 
     params: (N_PARAMS, G, B) f32, planes broadcast (see layout above)
@@ -566,7 +656,7 @@ def march_shade_pallas(params, dbx, dby, dbz, t_enter, t_end, active, scal,
     nsuper = dbx.shape[0]
     warm = t_prev is not None
     kernel = _make_kernel(h, w, n_coarse, n_bisect, use_shadow, use_earth,
-                          warm=warm)
+                          warm=warm, wide=wide)
 
     ray_spec = pl.BlockSpec((1, G, B), lambda i: (i, 0, 0))
     out_shapes = [jax.ShapeDtypeStruct((nsuper, G, B), jnp.float32)] * 8

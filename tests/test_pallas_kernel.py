@@ -54,6 +54,38 @@ def test_pallas_kernel_matches_blocked(scene):
     assert (hit_p == hit_b).mean() > 0.999
 
 
+def test_wide_march_matches_serial(scene):
+    """The wide coarse march (field_multi: all march points in batched
+    lane-concatenated bilinear passes) against the serial fori_loop
+    reference (wide=False, kept for tools/bench_widemarch.py): identical
+    hit topology and bit-level-near images — per point the wide pass runs
+    the same arithmetic, concat/slice round-trips aside."""
+    scene.render(1)  # materialize the lazy window/shadow caches
+    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
+                              jnp.zeros(2, jnp.float32),
+                              scene.height, scene.width, scene.h_min,
+                              maxmap=scene.maxmap)
+    level = scene.mip_level()
+    h, w = scene.mip_shapes[level]
+    _, sparams = scene.shadow_args()
+    packed = blocked.pack_windows(scene._wincache, scene._origins,
+                                  scene._shadowwin)
+    jitters = jnp.zeros((2, 2), jnp.float32)
+    outs = {}
+    for wd in (True, False):
+        outs[wd] = blocked.render_accumulate_pallas(
+            packed, sparams, None, scene.maxmap, scene.basis(), scene._fp,
+            jitters, scene.height, scene.width, h, w, scene.h_min,
+            ah=h, aw=w, n_samples=2, use_shadow=True,
+            hbound=scene._hbound, interpret=True, wide=wd)
+    rgb_w, hit_w = np.asarray(outs[True][0]), np.asarray(outs[True][1])
+    rgb_s, hit_s = np.asarray(outs[False][0]), np.asarray(outs[False][1])
+    assert ((hit_w[..., 3] > 0) == (hit_s[..., 3] > 0)).all()
+    # only float-associativity-level drift allowed (t_prev constant
+    # folding differs: Python double vs traced f32 rounding)
+    assert np.abs(rgb_w - rgb_s).max() < 2e-3
+
+
 def test_pallas_atan2_accuracy():
     from moonrtx_tpu.ops.pallas_march import _atan2
 
