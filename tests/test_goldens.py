@@ -30,7 +30,8 @@ def scenes():
 
 @pytest.mark.parametrize("name", ["quarter_shadows",
                                   "full_lunar_photometric",
-                                  "crescent_no_bounce"])
+                                  "crescent_no_bounce",
+                                  "eclipse_totality"])
 def test_golden(name, scenes):
     from PIL import Image
 

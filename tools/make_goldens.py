@@ -52,10 +52,15 @@ def golden_scenes():
     quarter = datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc)
     full = datetime(2024, 4, 23, 23, 49, tzinfo=timezone.utc)
     crescent = datetime(2024, 4, 11, 19, 30, tzinfo=timezone.utc)
+    # mid-totality of the 2025-03-14 lunar eclipse: pins the umbra
+    # coverage geometry + copper tint that only analytic tests cover
+    # elsewhere (tests/test_eclipse.py)
+    eclipse = datetime(2025, 3, 14, 6, 59, tzinfo=timezone.utc)
     return {
         "quarter_shadows": scene(quarter),
         "full_lunar_photometric": scene(full, photometric="lunar"),
         "crescent_no_bounce": scene(crescent, indirect=False),
+        "eclipse_totality": scene(eclipse),
     }
 
 
