@@ -177,3 +177,60 @@ def test_zoom_drag_and_dolly():
     far = nav.dolly_view(cam, 1e7, 1080)
     assert np.linalg.norm(np.asarray(near.eye)) >= C.MOON_RADIUS * 1.2 - 1e-9
     assert np.linalg.norm(np.asarray(far.eye)) <= C.MOON_RADIUS * 220.0 + 1e-9
+
+
+def test_random_navigation_sequence_keeps_invariants():
+    """400 random interaction events (orbit, drag, pan-tilt, axis
+    rotation, roll, wheel/drag zoom, dolly, recenter) never break the
+    camera: finite state, FOV inside the reference clamp, eye-target
+    distance inside the dolly clamp, unit up vector. Guards the whole
+    event-handler surface against cumulative drift/NaN regressions."""
+    from moonrtx_tpu.interact.navigation import (
+        dolly_view,
+        orbit_drag,
+        zoom_drag,
+    )
+
+    rng = np.random.default_rng(7)
+    rotation = np.eye(3)
+    cam = default_camera()
+    directions = ("Left", "Right", "Up", "Down")
+    for i in range(400):
+        op = rng.integers(0, 9)
+        if op == 0:
+            cam = navigate_view(cam, directions[rng.integers(0, 4)])
+        elif op == 1:
+            cam = orbit_drag(cam, float(rng.normal(0, 40)),
+                             float(rng.normal(0, 40)), 1080)
+        elif op == 2:
+            cam = pan_tilt_view(cam, float(rng.normal(0, 40)),
+                                float(rng.normal(0, 40)), 1080)
+        elif op == 3:
+            cam = rotate_around_moon_axis(cam, rotation,
+                                          directions[rng.integers(0, 4)])
+        elif op == 4:
+            cam = roll_view(cam, "cw" if rng.integers(0, 2) else "ccw",
+                            float(rng.uniform(0.1, 5.0)))
+        elif op == 5:
+            cam = zoom_fov(cam, float(rng.choice([-120, 120])))
+        elif op == 6:
+            cam = zoom_drag(cam, float(rng.normal(0, 200)), 1080)
+        elif op == 7:
+            cam = dolly_view(cam, float(rng.normal(0, 300)), 1080)
+        else:
+            pt = rng.normal(0, 1, 3)
+            pt = pt / np.linalg.norm(pt) * C.MOON_RADIUS
+            cam = center_on_point(cam, pt)
+
+        eye = np.asarray(cam.eye)
+        target = np.asarray(cam.target)
+        up = np.asarray(cam.up)
+        assert np.isfinite(eye).all() and np.isfinite(target).all()
+        assert np.isfinite(up).all() and np.isfinite(cam.fov)
+        assert C.FOV_RANGE[0] - 1e-9 <= cam.fov <= C.FOV_RANGE[1] + 1e-9
+        dist = np.linalg.norm(eye - target)
+        assert C.MOON_RADIUS * 1.2 - 1e-6 <= dist <= C.MOON_RADIUS * 220 + 1e-6
+        assert abs(np.linalg.norm(up) - 1.0) < 1e-6, f"up drifted at step {i}"
+        # up never collapses onto the view direction (basis stays usable)
+        vd = (target - eye) / dist
+        assert abs(float(vd @ up)) < 0.999
