@@ -135,6 +135,13 @@ def parse_args(argv=None):
                         help="Device-mesh width for multi-chip rendering: "
                              "1 = single device, 0 = all local devices, "
                              "N = exactly N (fails if unavailable)")
+    parser.add_argument("--hbm-budget-gb", type=float, default=0.0,
+                        help="Per-chip HBM budget (GiB) for the map "
+                             "pyramids with --devices > 1: maps that "
+                             "exceed it are band-sharded across the mesh "
+                             "instead of replicated (the non-destructive "
+                             "replacement for --downscale). 0 = use the "
+                             "device's reported memory limit")
     return parser.parse_args(argv)
 
 
@@ -305,6 +312,7 @@ def config_from_args(args) -> RenderConfig:
         accumulation_frames=args.accumulation_frames,
         indirect_light=not args.no_indirect_light,
         devices=args.devices,
+        hbm_budget_gb=args.hbm_budget_gb,
         photometric=args.photometric,
         eclipse_shading=not args.no_eclipse_shading,
         earthshine=not args.no_earthshine,

@@ -56,6 +56,15 @@ class RenderConfig:
     # 0 = auto (all local devices), N = exactly N (image rows + shadow-scan
     # phi wedges shard over the mesh; ICI gathers the frame)
     devices: int = 1
+    # Per-chip HBM budget (GiB) for the map pyramids in mesh mode. When
+    # devices > 1 and the device-ready pyramids exceed this budget, the
+    # render-level mips are band-sharded across the mesh
+    # (parallel/hfshard.py) instead of replicated — the non-destructive
+    # replacement for the reference's --downscale memory trade
+    # (main.py:25-29, data_loader.py:169-175). 0 = auto: read the
+    # device's memory limit when the backend reports one, otherwise
+    # replicate (today's behavior). Ignored with devices <= 1.
+    hbm_budget_gb: float = 0.0
     # surface photometric function: "lambert" = pure diffuse (matches the
     # reference's OptiX shading); "lunar" = McEwen lunar-Lambert blend
     # (Lommel-Seeliger back-scattering — the real regolith's flat-bright
@@ -116,4 +125,7 @@ class RenderConfig:
         if self.devices < 0 or int(self.devices) != self.devices:
             raise ConfigError("Invalid devices count. Must be 0 (auto) or a "
                               "positive integer.")
+        if self.hbm_budget_gb < 0:
+            raise ConfigError("Invalid HBM budget. Must be 0 (auto) or a "
+                              "positive number of GiB.")
         return self

@@ -166,22 +166,62 @@ class MoonScene:
         self.h_offset = ps.h_offset
         self.a_scale = ps.a_scale
         self.alb_min_level = ps.alb_min_level
-        self.mips = [jnp.asarray(m) for m in ps.mips]
+
+        # device mesh: image rows + shadow-scan phi wedges shard over it,
+        # the frame comes back over ICI (parallel/tiles.py). devices=N is
+        # a hard request — make_mesh fails loudly on a degraded mesh.
+        n_req = int(getattr(config, "devices", 1))
+        if n_req == 0:
+            n_req = len(jax.devices())
+        self.mesh = None
+        if n_req > 1:
+            from moonrtx_tpu.parallel import make_mesh
+            self.mesh = make_mesh(n_req)
+
+        # Host pyramids stay referenced: band-sharding builds per-device
+        # bands from them lazily, and full-resolution measurement samples
+        # endpoint windows from them without device transfers.
+        self._host_mips = list(ps.mips)
+        host_alb = [ps.albedo_kept[0]] * self.alb_min_level + list(
+            ps.albedo_kept)
+        self._host_albedo = host_alb
+        self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS)
+                           for m in ps.mips]
+
+        # Placement policy (mesh mode): levels too big for the per-chip
+        # HBM budget are band-sharded across the mesh (parallel/hfshard.py)
+        # instead of replicated — the non-destructive replacement for the
+        # reference's --downscale memory trade (main.py:25-29). Banded
+        # levels are never materialized whole on any single device; their
+        # self.mips/albedo_mips slots hold None and every render goes
+        # through the banded burst.
+        self._band_levels, self._band_alb_levels = self._plan_bands()
+        if self.alb_min_level in self._band_alb_levels:
+            # head slots alias the alb_min_level array; keep them banded
+            # too or the alias upload would re-materialize the big array
+            self._band_alb_levels.update(range(self.alb_min_level))
+        self._banded_mips = {}
+        self._banded_albedo = {}
+        self.mips = [None if k in self._band_levels else jnp.asarray(m)
+                     for k, m in enumerate(ps.mips)]
+        uploaded = {}
+        self.albedo_mips = []
+        for k, a in enumerate(host_alb):
+            if k in self._band_alb_levels:
+                self.albedo_mips.append(None)
+            elif id(a) in uploaded:  # aliased head slots upload once
+                self.albedo_mips.append(uploaded[id(a)])
+            else:
+                uploaded[id(a)] = jnp.asarray(a)
+                self.albedo_mips.append(uploaded[id(a)])
         self.maxmap = jnp.asarray(ps.maxmap)
         self.slope_maps = jnp.asarray(ps.slope_maps)
-        self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS)
-                           for m in self.mips]
-        kept = [jnp.asarray(a) for a in ps.albedo_kept]
-        self.albedo_mips = [kept[0]] * self.alb_min_level + kept
         self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
                         if starmap is not None else None)
 
         # scene state; internal render size padded to the block grid
         # (display crops back to the requested size). With a device mesh
         # the height additionally pads to equal row strips per device.
-        n_req = int(getattr(config, "devices", 1))
-        if n_req == 0:
-            n_req = len(jax.devices())
         self.out_width = config.width
         self.out_height = config.height
         w_mult = blocked.BLOCK_W * blocked.GROUP  # pallas groups 8 blocks
@@ -210,14 +250,6 @@ class MoonScene:
             # (large-map) scenes always render through the windowed paths
             self.backend = "blocked"
 
-        # device mesh: image rows + shadow-scan phi wedges shard over it,
-        # the frame comes back over ICI (parallel/tiles.py). devices=N is
-        # a hard request — make_mesh fails loudly on a degraded mesh.
-        self.mesh = None
-        if n_req > 1:
-            from moonrtx_tpu.parallel import make_mesh
-            self.mesh = make_mesh(n_req)
-
         self.ephem: Optional[MoonEphemeris] = None
         self._fp: Optional[FrameParams] = None
         self._basis: Optional[CameraBasis] = None
@@ -245,6 +277,132 @@ class MoonScene:
         self._elev_host_src = None
         self._prefetch = None        # speculative next-time-step results
         self._rng = np.random.default_rng(42)
+
+    # ---- heightfield band sharding (HBM placement policy) ---------------
+
+    def _hbm_budget_bytes(self) -> Optional[int]:
+        """Per-chip HBM budget: the config knob, or the backend-reported
+        memory limit (with headroom for framebuffers/windows/compile
+        scratch), or None when neither is known (=> replicate)."""
+        gb = float(getattr(self.config, "hbm_budget_gb", 0.0))
+        if gb > 0:
+            return int(gb * 2**30)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                return int(0.75 * limit)
+        except Exception:
+            pass
+        return None
+
+    def _plan_bands(self) -> tuple[set, set]:
+        """(mip levels, albedo levels) to band-shard across the mesh.
+
+        Bands engage only when a mesh exists and the device-ready pyramid
+        bytes exceed the per-chip budget. Only levels above the shadow-scan
+        working-set cap are candidates (the scan, the bounce alb_lum and
+        the host measurement copy read the <= SHADOW_MAX_TEXELS levels and
+        need them replicated), and a mip level k is banded only when the
+        row counts of k, k+1 and its albedo levels all divide the mesh —
+        the hf burst samples (level, level+1) pairs, so partial banding of
+        a pair is unrenderable. Biggest-first until the projected
+        per-device footprint fits the budget."""
+        if self.mesh is None:
+            return set(), set()
+        from moonrtx_tpu.parallel import BAND_HALO, TILE_AXIS
+        from moonrtx_tpu.utils.log import log_event
+
+        n_dev = self.mesh.shape[TILE_AXIS]
+        mips, albs = self._host_mips, self._host_albedo
+        total = (sum(m.nbytes for m in mips)
+                 + sum(a.nbytes for a in albs[self.alb_min_level:]))
+        budget = self._hbm_budget_bytes()
+        if budget is None or total <= budget:
+            if budget is None and total > 8 * 2**30:
+                log_event("hfshard_skipped", reason="unknown HBM budget",
+                          pyramid_bytes=total)
+            return set(), set()
+
+        def divides(arr):
+            return arr.shape[0] % n_dev == 0
+
+        def big(arr):
+            return (arr.shape[0] * (arr.shape[1] - PAD_COLS)
+                    > SHADOW_MAX_TEXELS)
+
+        def band_bytes(arr):
+            band_h = arr.shape[0] // n_dev
+            return arr.nbytes * (band_h + BAND_HALO) // arr.shape[0]
+
+        def alb_index(k):
+            return min(max(k + blocked.ALB_DOWN, self.alb_min_level),
+                       len(albs) - 1)
+
+        # Candidates are RENDER levels: banding level k bands mips[k] and
+        # its albedo together, and requires (k, k+1, albedo(k),
+        # albedo(k)+1) all divisible so the (level, level+1) sampling pair
+        # the hf burst reads is always bandable.
+        cand = []
+        for k, m in enumerate(mips):
+            nk = min(k + 1, len(mips) - 1)
+            ak, nak = alb_index(k), alb_index(nk)
+            if not (big(m) and divides(m) and divides(mips[nk])
+                    and divides(albs[ak]) and divides(albs[nak])):
+                continue
+            saving = m.nbytes - band_bytes(m)
+            a_part = (albs[ak].nbytes - band_bytes(albs[ak])
+                      if big(albs[ak]) else 0)
+            cand.append((k, ak if big(albs[ak]) else None, saving, a_part))
+        cand.sort(key=lambda c: -(c[2] + c[3]))
+
+        band_mips, band_albs = set(), set()
+        projected = total
+        for k, ak, saving, a_part in cand:
+            if projected <= budget:
+                break
+            band_mips.add(k)
+            projected -= saving
+            if ak is not None and ak not in band_albs:
+                band_albs.add(ak)
+                projected -= a_part
+        if band_mips or band_albs:
+            log_event("hfshard_engaged", devices=n_dev,
+                      pyramid_bytes=total, budget_bytes=budget,
+                      projected_bytes=projected,
+                      banded_mip_levels=sorted(band_mips),
+                      banded_albedo_levels=sorted(band_albs))
+            if projected > budget:
+                log_event("hfshard_over_budget",
+                          projected_bytes=projected, budget_bytes=budget)
+        return band_mips, band_albs
+
+    def _banded_mip(self, k: int):
+        """Per-device band stack of mip level k (built lazily, cached)."""
+        if k not in self._banded_mips:
+            from moonrtx_tpu.parallel import shard_bands
+            self._banded_mips[k] = shard_bands(self.mesh,
+                                               self._host_mips[k])
+        return self._banded_mips[k]
+
+    def _banded_alb(self, k: int):
+        if k not in self._banded_albedo:
+            from moonrtx_tpu.parallel import shard_bands
+            self._banded_albedo[k] = shard_bands(self.mesh,
+                                                 self._host_albedo[k])
+        return self._banded_albedo[k]
+
+    def hf_sharded(self) -> bool:
+        """True when the current render level renders through the banded
+        heightfield path."""
+        if self.mesh is None:
+            return False
+        level = self.mip_level()
+        nlevel = min(level + 1, len(self.mips) - 1)
+        alevel = self.albedo_level(level)
+        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        return any(k in self._band_levels for k in (level, nlevel)) or any(
+            k in self._band_alb_levels for k in (alevel, nalevel))
 
     # ---- state updates -------------------------------------------------
 
@@ -388,6 +546,44 @@ class MoonScene:
             self._basis = camera_basis(self.camera, self.view_orientation)
         return self._basis
 
+    def render_basis(self) -> CameraBasis:
+        """Camera basis compensated for the block-grid frame padding.
+
+        The internal render frame pads (width, height) up to the block
+        grid (and to equal row strips per device), but the image the user
+        asked for is the top-left (out_height, out_width) crop. Ray
+        generation maps pixels to NDC against the frame it is given, so
+        feeding it the padded sizes with the raw basis would center the
+        Moon in the PADDED frame — off-center and right-edge-clipped in
+        the crop whenever width isn't a multiple of 128 (the round-2 bug:
+        at 480x360 the disk sat 16 px right of center).
+
+        Instead of threading out-sizes through every kernel signature,
+        exploit that both mappings are affine in the pixel index: with
+        u_p, v_p the padded-frame NDC (camera.py:109-110) and u_o, v_o
+        the requested-frame NDC,
+            u_o = (pH/oH) u_p + (pW - oW)/oH
+            v_o = (pH/oH) v_p - (pH - oH)/oH
+        so a basis with
+            forward' = forward + thf ((pW-oW)/oH right - (pH-oH)/oH up)
+            thf'     = thf pH/oH
+        makes padded-frame ray gen emit exactly the requested-frame rays
+        (directions are normalized after the linear combination, so the
+        non-unit forward' is benign). Host-side math (picking, overlay
+        projection, probe rays) keeps the raw basis() with out-sizes —
+        the two are now the same mapping on the visible pixels."""
+        b = self.basis()
+        pw, ph = self.width, self.height
+        ow, oh = self.out_width, self.out_height
+        if pw == ow and ph == oh:
+            return b
+        du = (pw - ow) / oh
+        dv = (ph - oh) / oh
+        fwd = (b.forward + b.tan_half_fov
+               * (du * b.right - dv * b.up))
+        return CameraBasis(eye=b.eye, forward=fwd, right=b.right, up=b.up,
+                           tan_half_fov=b.tan_half_fov * (ph / oh))
+
     @staticmethod
     def _interp() -> bool:
         """Pallas interpret mode: Mosaic compiles only on real TPU
@@ -399,7 +595,7 @@ class MoonScene:
         """Footprint-matched mip level for the current view."""
         eye = np.asarray(self.camera.eye)
         dist = max(float(np.linalg.norm(eye)) - C.MOON_RADIUS, 1.0)
-        px_ang = math.radians(self.camera.fov) / self.height
+        px_ang = math.radians(self.camera.fov) / self.out_height
         ground_per_px = dist * px_ang
         h0, w0 = self.mip_shapes[0]
         texel_ground = 2 * math.pi * C.MOON_RADIUS / w0
@@ -437,7 +633,7 @@ class MoonScene:
         if self.starmap is None:
             return None
         if self._background is None:
-            b = self.basis()
+            b = self.render_basis()
             self._background = _render_background(
                 self.starmap, b.forward, b.right, b.up, b.tan_half_fov,
                 jnp.zeros((self.height, self.width), jnp.uint8))
@@ -480,6 +676,10 @@ class MoonScene:
 
         ncs, nf, nph = shadow_scan._resolution(acc)
         if nph % self.mesh.shape[TILE_AXIS]:
+            from moonrtx_tpu.utils.log import log_event
+            log_event("mesh_shadow_scan_fallback_single_device",
+                      n_phi=nph, devices=self.mesh.shape[TILE_AXIS],
+                      reason="phi grid does not divide the mesh")
             return None
         basis_np = _sun_frame_basis_np(np.asarray(sun_unit))
         smap, bmap = build_shadow_map_sharded(
@@ -631,7 +831,7 @@ class MoonScene:
             sun_basis, jnp.float32(ang),
             self._wincache, self._origins, self._packed.hwin,
             self._packed.awin, self.background(), self.maxmap,
-            self.basis(), fp, jitters, self.height, self.width,
+            self.render_basis(), fp, jitters, self.height, self.width,
             h, w, self.h_min, ah, aw, sh_, sw_, ncs, nf, nph,
             n_samples=n_samples, h_scale=self.h_scale,
             h_offset=self.h_offset, hbound=self._hbound,
@@ -751,7 +951,7 @@ class MoonScene:
             tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
             self.slope_maps[level:level + max_qexp + 1],
             smap, sparams, bounce_render, self.background(),
-            self.maxmap, self.basis(), fp, jitters,
+            self.maxmap, self.render_basis(), fp, jitters,
             self.height, self.width, h, w, ah, aw, self.h_min,
             max_qexp=max_qexp, n_samples=n_samples,
             use_shadow=self.shadows_on,
@@ -906,6 +1106,11 @@ class MoonScene:
         if self.ephem is None:
             self.update_view(self.dt_local)
         level = self.mip_level()
+        while self.mips[level] is None or self.albedo_mips[level] is None:
+            # banded (mesh-HBM-sharded) level reached from a replicated
+            # path (e.g. smooth-sphere preview): use the finest coarser
+            # level that is replicated
+            level += 1
         tex = self.mips[level]
         alb = self.albedo_mips[level]
         h, w = self.mip_shapes[level]
@@ -918,7 +1123,7 @@ class MoonScene:
             rgb, hitbuf = self._render_sharded(jitter[None, :], 1)
             out = render_mod.RenderOutput(rgb=rgb, hitbuf=hitbuf)
         elif self.backend in ("blocked", "pallas") and self.displaced:
-            geom = blocked.block_rays(self.basis(), self._fp.rotation, jitter,
+            geom = blocked.block_rays(self.render_basis(), self._fp.rotation, jitter,
                                       self.height, self.width, self.h_min,
                                       maxmap=self.maxmap)
             alevel = self._ensure_blocked_caches(level, geom)
@@ -937,7 +1142,7 @@ class MoonScene:
                 # windows exist only inside _packed)
                 rgb1, hitbuf1 = blocked.render_accumulate_pallas(
                     self._packed, sparams, self.background(), self.maxmap,
-                    self.basis(), self._fp, jitter[None, :],
+                    self.render_basis(), self._fp, jitter[None, :],
                     self.height, self.width, h, w, self.h_min,
                     ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on,
                     hbound=self._hbound, interpret=self._interp())
@@ -945,14 +1150,14 @@ class MoonScene:
             else:
                 out = blocked.render_frame_blocked(
                     self._wincache, self._origins, geom, shadow_windows,
-                    sparams, self.background(), self.basis(), self._fp,
+                    sparams, self.background(), self.render_basis(), self._fp,
                     jitter_t, self.height, self.width, h, w, ah, aw,
                     n_phi=n_phi)
         else:
             shadow_fn_args = self.shadow_args()
             out = render_mod.render_frame(
                 tex, alb, self.background(), shadow_fn_args,
-                self.basis(), self._fp, jitter,
+                self.render_basis(), self._fp, jitter,
                 self.height, self.width, h, w, self.h_min,
                 h_mean=1.0 / self.radius_scale, displaced=self.displaced,
                 bounce_map=(self._bounce if shadow_fn_args is not None
@@ -992,7 +1197,10 @@ class MoonScene:
         the shadow map comes from the phi-wedge-sharded scan. Pose caches
         are not used — extraction reruns per burst (mesh mode trades the
         single-device cache machinery for N-chip scale)."""
-        from moonrtx_tpu.parallel import render_burst_pallas_sharded
+        from moonrtx_tpu.parallel import (
+            render_burst_pallas_hfshard,
+            render_burst_pallas_sharded,
+        )
 
         level = self.mip_level()
         h, w = self.mip_shapes[level]
@@ -1003,17 +1211,32 @@ class MoonScene:
         smap = sparams = None
         if self.shadows_on:
             smap, sparams = self.shadow_args()
-        return render_burst_pallas_sharded(
-            self.mesh, self.mips[level], self.mips[nlevel],
-            self.albedo_mips[alevel], self.albedo_mips[nalevel],
-            self.maxmap, self.basis(), self._fp, jitters,
-            self.height, self.width, h, w, ah, aw, self.h_min,
+        common = dict(
             shadow_map=smap, smap_params=sparams, bounce_map=self._bounce,
             n_samples=n_samples, use_shadow=self.shadows_on,
             interpret=self._interp(),
             h_scale=self.h_scale, h_offset=self.h_offset,
             a_scale=self.a_scale,
             slope_maps=self.slope_maps[level:level + 2])
+        if self.hf_sharded():
+            # the render level exceeds the per-chip HBM budget: each chip
+            # holds a latitude band of the pyramid; windows are assembled
+            # by one psum_scatter over ICI (parallel/hfshard.py). Any
+            # needed level not already banded by the placement plan is
+            # banded lazily from the host pyramid (small, cached).
+            bmips = (self._banded_mip(level), self._banded_mip(nlevel))
+            balb = (self._banded_alb(alevel), self._banded_alb(nalevel))
+            return render_burst_pallas_hfshard(
+                self.mesh, bmips, balb,
+                self.maxmap, self.render_basis(), self._fp, jitters,
+                self.height, self.width, h, w, ah, aw, self.h_min,
+                **common)
+        return render_burst_pallas_sharded(
+            self.mesh, self.mips[level], self.mips[nlevel],
+            self.albedo_mips[alevel], self.albedo_mips[nalevel],
+            self.maxmap, self.render_basis(), self._fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            **common)
 
     def render_accumulation_burst(self, n_samples: int) -> None:
         """All accumulation samples in one device program (pallas backend)."""
@@ -1053,7 +1276,7 @@ class MoonScene:
             sparams = (self.shadow_args()[1] if self.shadows_on else None)
             accum, hitbuf = blocked.render_accumulate_pallas(
                 self._packed, sparams,
-                self.background(), self.maxmap, self.basis(), self._fp,
+                self.background(), self.maxmap, self.render_basis(), self._fp,
                 jitters, self.height, self.width, h, w, self.h_min,
                 ah=ah, aw=aw, n_samples=n_samples,
                 use_shadow=self.shadows_on, hbound=self._hbound,
@@ -1074,7 +1297,7 @@ class MoonScene:
                 accum, hitbuf, swin_p, scal = blocked.render_timestep_pallas(
                     smap, sparams, self._bounce, self._wincache,
                     self._origins, self._packed.hwin, self._packed.awin,
-                    self.background(), self.maxmap, self.basis(), self._fp,
+                    self.background(), self.maxmap, self.render_basis(), self._fp,
                     jitters, self.height, self.width, h, w, self.h_min,
                     ah, aw, n_samples=n_samples, hbound=self._hbound,
                     interpret=self._interp())
@@ -1095,7 +1318,7 @@ class MoonScene:
                 tuple(self.albedo_mips[alevel:alevel + max_qexp + 1]),
                 self.slope_maps[level:level + max_qexp + 1],
                 smap, sparams, self._bounce, self.background(),
-                self.maxmap, self.basis(), self._fp, jitters,
+                self.maxmap, self.render_basis(), self._fp, jitters,
                 self.height, self.width, h, w, ah, aw, self.h_min,
                 max_qexp=max_qexp, n_samples=n_samples,
                 use_shadow=self.shadows_on,

@@ -38,9 +38,13 @@ def project_to_screen(pos_scene: np.ndarray, basis: CameraBasis,
     z = v @ fwd
     in_front = z > 1e-6
     zs = np.where(in_front, z, 1.0)
-    x_ndc = (v @ right) / (zs * thf) * (height / width)
+    # Inverse of the ray-gen NDC mapping (engine/camera.py:110,123):
+    #   u = (2(x+0.5)/W - 1) * (W/H),  v = 1 - 2(y+0.5)/H
+    # so x = (u*(H/W) + 1) * 0.5 * W - 0.5. The H/W factor must survive —
+    # u spans [-W/H, W/H] across the frame, not [-1, 1].
+    u = (v @ right) / (zs * thf)
     y_ndc = (v @ up) / (zs * thf)
-    px = (x_ndc * (width / height) + 1.0) * 0.5 * width - 0.5
+    px = (u * (height / width) + 1.0) * 0.5 * width - 0.5
     py = (1.0 - y_ndc) * 0.5 * height - 0.5
 
     # occlusion: sphere of the mean Moon radius, slightly shrunk so overlay

