@@ -21,10 +21,7 @@ from moonrtx_tpu.app.codec import format_view_state
 from moonrtx_tpu.config import RenderConfig
 from moonrtx_tpu.engine.scene import MoonScene, default_camera
 from moonrtx_tpu.interact import navigation as nav
-from moonrtx_tpu.interact.measure import (
-    elevation_difference_m,
-    great_circle_distance_km,
-)
+from moonrtx_tpu.interact.measure import great_circle_distance_km
 from moonrtx_tpu.interact.picking import FeatureLookup, hit_to_selenographic
 from moonrtx_tpu.orientation import NSEW, NSWE, SNEW, SNWE, VIEW_ORIENTATIONS, flips
 from moonrtx_tpu.overlays import (
@@ -227,10 +224,11 @@ class Session:
             return
         lat1, lon1 = self.measure_start
         self.measured_distance = great_circle_distance_km(lat1, lon1, lat2, lon2)
-        # cached host elevation level: no device->host transfer per drag event
-        self.measured_height_diff = elevation_difference_m(
-            self.scene.elevation_host(), self.scene.radius_scale,
-            lat1, lon1, lat2, lon2)
+        # full-resolution endpoint samples off the retained host pyramid:
+        # no device->host transfer per drag event, no downscaled Δh
+        self.measured_height_diff = (
+            self.scene.elevation_m_at(lat2, lon2)
+            - self.scene.elevation_m_at(lat1, lon1))
 
     def finish_measurement(self, x: int, y: int) -> None:
         if not self.measuring:

@@ -664,11 +664,14 @@ class MoonScene:
         ang = math.asin(C.SUN_RADIUS_KM / e.sun_distance)
         return sun_body / np.linalg.norm(sun_body), ang
 
-    def _shadow_args_mesh(self, tex, h, w, sun_unit, ang, acc):
-        """Mesh-mode shadow rebuild: phi-wedge-sharded scan + ICI gather
-        (parallel/tiles.py). Returns True when it handled the rebuild,
-        None to fall through to the single-device programs (no mesh, or a
-        phi grid that does not divide the mesh)."""
+    def _dispatch_shadow_maps_mesh(self, sun_unit, ang, acc):
+        """Dispatch the phi-wedge-sharded scan (parallel/tiles.py) for an
+        arbitrary sun state with NO scene mutation (speculative prefetch
+        shares it with shadow_args). The one-bounce irradiance map drift-
+        reuses exactly like the single-device path: inside
+        BOUNCE_REUSE_DEG of its build frame the scan runs factor-only and
+        the cached map is reused. Returns None when ineligible (no mesh,
+        or a phi grid that does not divide it)."""
         if self.mesh is None:
             return None
         from moonrtx_tpu.ops import shadow_scan
@@ -681,12 +684,22 @@ class MoonScene:
                       n_phi=nph, devices=self.mesh.shape[TILE_AXIS],
                       reason="phi grid does not divide the mesh")
             return None
+        slevel = self.shadow_level()
+        tex = self.mips[slevel]
+        h, w = self.mip_shapes[slevel]
         basis_np = _sun_frame_basis_np(np.asarray(sun_unit))
+        reuse = (
+            self.indirect_light
+            and self._bounce is not None
+            and self._bounce_basis is not None
+            and self._bounce_key == (slevel, acc)
+            and _rotation_angle_deg(basis_np, self._bounce_basis)
+            <= BOUNCE_REUSE_DEG)
         smap, bmap = build_shadow_map_sharded(
             self.mesh, tex, jnp.asarray(basis_np, jnp.float32),
             jnp.float32(ang), h, w, ncs, nf, nph,
-            alb_lum=(self.alb_lum(self.shadow_level())
-                     if self.indirect_light else None),
+            alb_lum=(self.alb_lum(slevel)
+                     if self.indirect_light and not reuse else None),
             h_scale=self.h_scale, h_offset=self.h_offset)
         params = shadow_scan.ShadowMapParams(
             axis_x=jnp.asarray(basis_np[0], jnp.float32),
@@ -694,10 +707,23 @@ class MoonScene:
             axis_z=jnp.asarray(basis_np[2], jnp.float32),
             n_coarse=jnp.float32(ncs), n_fine=jnp.float32(nf),
             n_phi=jnp.float32(nph), sun_ang_radius=jnp.float32(ang))
-        self._shadow = (smap, params)
-        self._bounce = bmap
-        self._bounce_basis = None  # mesh mode rebuilds per time change
-        self._bounce_key = None
+        if reuse:
+            return dict(shadow=(smap, params), bounce_render=self._bounce,
+                        bounce=None, bounce_basis=None, bounce_key=None)
+        return dict(shadow=(smap, params), bounce_render=bmap, bounce=bmap,
+                    bounce_basis=basis_np, bounce_key=(slevel, acc))
+
+    def _shadow_args_mesh(self, sun_unit, ang, acc):
+        """Mesh-mode shadow rebuild: dispatch + install. Returns True when
+        handled, None to fall through to the single-device programs."""
+        r = self._dispatch_shadow_maps_mesh(sun_unit, ang, acc)
+        if r is None:
+            return None
+        self._shadow = r["shadow"]
+        if r["bounce"] is not None:
+            self._bounce = r["bounce"]
+            self._bounce_basis = r["bounce_basis"]
+            self._bounce_key = r["bounce_key"]
         return True
 
     def shadow_args(self):
@@ -706,12 +732,9 @@ class MoonScene:
         if not self.shadows_on or not self.displaced:
             return None
         if self._shadow is None or self._shadow_dirty:
-            level = self.shadow_level()
-            tex = self.mips[level]
-            h, w = self.mip_shapes[level]
             sun_unit, ang = self._sun_state()
             acc = self.shadow_accuracy if self.shadows_on else 1
-            mesh_scan = self._shadow_args_mesh(tex, h, w, sun_unit, ang, acc)
+            mesh_scan = self._shadow_args_mesh(sun_unit, ang, acc)
             if mesh_scan is not None:
                 self._shadow_dirty = False
                 return self._shadow
@@ -1016,7 +1039,7 @@ class MoonScene:
                 self.indirect_light, self.view_orientation,
                 id(self.camera), self.parallactic_mode, self.backend,
                 id(self._bounce))
-        if kind == "pose":
+        if kind in ("pose", "mesh_pose"):
             return base
         packed = self._packed
         return base + (id(self._origins), id(self._wincache),
@@ -1034,8 +1057,12 @@ class MoonScene:
         was dispatched. Mis-speculation is safe: results install only if
         the next update_view matches the datetime and _prefetch_token."""
         self._prefetch = None
-        if (self.backend != "pallas" or self.mesh is not None
-                or self.ephem is None or not self.displaced):
+        if self.ephem is None or not self.displaced:
+            return False
+        if self.mesh is not None:
+            if self.hf_sharded():
+                return False  # banded path has no cached-pose split yet
+        elif self.backend != "pallas":
             return False
         level = self.mip_level()
         e = calculate_ephemeris(dt_next, self.config.observer,
@@ -1049,6 +1076,16 @@ class MoonScene:
         # is deterministically zero, so a consumed prefetch is bit-exact
         # with the non-speculative burst and consumes no RNG state
         jit1 = jnp.zeros((1, 2), jnp.float32)
+        if self.mesh is not None:
+            r = self._dispatch_mesh_step(fp, sun_unit, ang, jit1, 1, level)
+            if r is None:
+                return False
+            r["dt"] = dt_next
+            r["token"] = self._prefetch_token(r["kind"])
+            r["pins"] = (self.camera, self._bounce, self._origins,
+                         self._wincache, self._packed)
+            self._prefetch = r
+            return True
         r = None
         if (self._origins is not None and self._packed is not None
                 and self._wincache is not None
@@ -1092,8 +1129,19 @@ class MoonScene:
                 or pf["dt"] != self.dt_local
                 or pf["token"] != self._prefetch_token(pf["kind"])):
             return None
-        if pf["kind"] == "pose":
+        if pf["kind"] in ("pose", "mesh_pose"):
             self._install_pose_step(pf)
+        elif pf["kind"] == "mesh_timestep":
+            if pf["shadow"] is not None:
+                self._shadow = pf["shadow"]
+            self._shadow_dirty = False
+            if pf["bounce"] is not None:
+                self._bounce = pf["bounce"]
+                self._bounce_basis = pf["bounce_basis"]
+                self._bounce_key = pf["bounce_key"]
+            self._packed = self._packed._replace(swin=pf["swin"],
+                                                 scal=pf["scal"])
+            self._shadowwin = blocked.FUSED_SHADOW_STATE
         else:
             self._install_timestep(pf)
             self._packed = self._packed._replace(swin=pf["swin"],
@@ -1120,7 +1168,10 @@ class MoonScene:
             jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
 
         if self.mesh is not None and self.displaced:
-            rgb, hitbuf = self._render_sharded(jitter[None, :], 1)
+            if self.hf_sharded():
+                rgb, hitbuf = self._render_sharded(jitter[None, :], 1)
+            else:
+                rgb, hitbuf = self._mesh_step(jitter[None, :], 1, level)
             out = render_mod.RenderOutput(rgb=rgb, hitbuf=hitbuf)
         elif self.backend in ("blocked", "pallas") and self.displaced:
             geom = blocked.block_rays(self.render_basis(), self._fp.rotation, jitter,
@@ -1238,6 +1289,146 @@ class MoonScene:
             self.height, self.width, h, w, ah, aw, self.h_min,
             **common)
 
+    def _mesh_step(self, jitters, n_samples: int, level: int):
+        """Interactive mesh-mode render with the same cached-pose split as
+        the single-device hot paths (round-2 gap: mesh mode re-extracted
+        everything per burst). A Q/W time step dispatches the phi-sharded
+        scan + ONE sharded program; a pose-stable re-accumulation is one
+        burst from the resident per-strip windows; only a pose/level
+        change pays extraction. Caches live SHARDED on the devices
+        (parallel/tiles.py render_pose_sharded) in the same scene fields
+        the single-device paths use, so update_view's drift-invalidation
+        policy applies unchanged."""
+        from moonrtx_tpu.parallel import (
+            render_accumulate_sharded,
+            render_pose_sharded,
+            render_timestep_sharded,
+        )
+
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        use_bg = self.starmap is not None
+        bg = self.background()
+        pose_valid = (self._origins is not None
+                      and self._cache_level == level
+                      and self._packed is not None)
+        sun_valid = (not self.shadows_on) or (
+            self._shadowwin is not None and not self._shadow_dirty)
+
+        if pose_valid and sun_valid:
+            sparams = (self.shadow_args()[1] if self.shadows_on else None)
+            return render_accumulate_sharded(
+                self.mesh, self._packed, sparams, bg, self.maxmap,
+                self.render_basis(), self._fp, jitters,
+                self.height, self.width, h, w, ah, aw, self.h_min,
+                n_samples=n_samples, use_shadow=self.shadows_on,
+                use_bg=use_bg, interpret=self._interp())
+        if pose_valid:
+            smap, sparams = self.shadow_args()
+            rgb, hitbuf, swin_p, scal = render_timestep_sharded(
+                self.mesh, smap, sparams, self._bounce,
+                self._wincache, self._origins,
+                self._packed.hwin, self._packed.awin, bg, self.maxmap,
+                self.render_basis(), self._fp, jitters,
+                self.height, self.width, h, w, ah, aw, self.h_min,
+                n_samples=n_samples, use_shadow=True, use_bg=use_bg,
+                interpret=self._interp())
+            self._packed = self._packed._replace(swin=swin_p, scal=scal)
+            self._shadowwin = blocked.FUSED_SHADOW_STATE
+            return rgb, hitbuf
+
+        smap = sparams = None
+        if self.shadows_on:
+            smap, sparams = self.shadow_args()
+        nlevel = min(level + 1, len(self.mips) - 1)
+        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        rgb, hitbuf, org, cache, packed = render_pose_sharded(
+            self.mesh, self.mips[level], self.mips[nlevel],
+            self.albedo_mips[alevel], self.albedo_mips[nalevel],
+            self.slope_maps[level:level + 2], smap, sparams, self._bounce,
+            bg, self.maxmap, self.render_basis(), self._fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            n_samples=n_samples, use_shadow=self.shadows_on,
+            use_bg=use_bg, interpret=self._interp(),
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            a_scale=self.a_scale)
+        self._origins = org
+        self._wincache = cache
+        self._cache_level = level
+        self._window_drift = 0.0
+        self._hbound = None  # mesh strips re-derive chord bounds per program
+        self._packed = packed
+        self._shadowwin = (blocked.FUSED_SHADOW_STATE
+                           if self.shadows_on else None)
+        return rgb, hitbuf
+
+    def _dispatch_mesh_step(self, fp, sun_unit, ang, jitters,
+                            n_samples: int, level: int):
+        """Dispatch the NEXT mesh step's programs for an arbitrary frame
+        state with NO scene mutation (the speculative half of _mesh_step).
+        Returns a prefetch dict or None."""
+        from moonrtx_tpu.parallel import (
+            render_pose_sharded,
+            render_timestep_sharded,
+        )
+
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        use_bg = self.starmap is not None
+        bg = self.background()
+        acc = self.shadow_accuracy if self.shadows_on else 1
+        sm = None
+        if self.shadows_on:
+            sm = self._dispatch_shadow_maps_mesh(sun_unit, ang, acc)
+            if sm is None:  # phi grid does not divide: unsharded scan
+                sm = self._dispatch_shadow_maps(np.asarray(sun_unit), ang)
+            smap, sparams = sm["shadow"]
+            bounce_render = sm["bounce_render"]
+        else:
+            smap = sparams = bounce_render = None
+
+        pose_valid = (self._origins is not None
+                      and self._cache_level == level
+                      and self._packed is not None)
+        if pose_valid:
+            rgb, hitbuf, swin_p, scal = render_timestep_sharded(
+                self.mesh, smap, sparams, bounce_render,
+                self._wincache, self._origins,
+                self._packed.hwin, self._packed.awin, bg, self.maxmap,
+                self.render_basis(), fp, jitters,
+                self.height, self.width, h, w, ah, aw, self.h_min,
+                n_samples=n_samples, use_shadow=self.shadows_on,
+                use_bg=use_bg, interpret=self._interp())
+            return dict(
+                kind="mesh_timestep", accum=rgb, hitbuf=hitbuf,
+                swin=swin_p, scal=scal,
+                shadow=(smap, sparams) if self.shadows_on else None,
+                bounce=None if sm is None else sm["bounce"],
+                bounce_basis=None if sm is None else sm["bounce_basis"],
+                bounce_key=None if sm is None else sm["bounce_key"])
+        nlevel = min(level + 1, len(self.mips) - 1)
+        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        rgb, hitbuf, org, cache, packed = render_pose_sharded(
+            self.mesh, self.mips[level], self.mips[nlevel],
+            self.albedo_mips[alevel], self.albedo_mips[nalevel],
+            self.slope_maps[level:level + 2], smap, sparams, bounce_render,
+            bg, self.maxmap, self.render_basis(), fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            n_samples=n_samples, use_shadow=self.shadows_on,
+            use_bg=use_bg, interpret=self._interp(),
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            a_scale=self.a_scale)
+        return dict(
+            kind="mesh_pose", accum=rgb, hitbuf=hitbuf,
+            origins=org, wincache=cache, cache_level=level, hbound=None,
+            packed=packed,
+            shadow=(smap, sparams) if self.shadows_on else None,
+            bounce=None if sm is None else sm["bounce"],
+            bounce_basis=None if sm is None else sm["bounce_basis"],
+            bounce_key=None if sm is None else sm["bounce_key"])
+
     def render_accumulation_burst(self, n_samples: int) -> None:
         """All accumulation samples in one device program (pallas backend)."""
         if self.ephem is None:
@@ -1249,8 +1440,19 @@ class MoonScene:
             jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
                         jnp.float32)])
         if self.mesh is not None and self.displaced:
-            self._accum, self._hitbuf = self._render_sharded(
-                jitters, n_samples)
+            if self.hf_sharded():
+                # banded-heightfield scenes re-extract per burst: the
+                # windows live nowhere whole, so the cached-pose split
+                # does not apply (documented trade in parallel/hfshard.py)
+                self._accum, self._hitbuf = self._render_sharded(
+                    jitters, n_samples)
+            else:
+                pf = self._consume_prefetch(n_samples)
+                if pf is not None:
+                    self._accum, self._hitbuf = pf
+                else:
+                    self._accum, self._hitbuf = self._mesh_step(
+                        jitters, n_samples, level)
             self._accum_n = n_samples
             return
 
@@ -1375,7 +1577,8 @@ class MoonScene:
         per mouse event. Uses the shadow-capped level for quantized
         (multi-gigatexel) maps so the host copy stays small."""
         lvl = self._capped_level(0) if self.quantized else 0
-        src = self.mips[lvl]
+        src = self.mips[lvl] if self.mips[lvl] is not None \
+            else self._host_mips[lvl]
         if self._elev_host is None or self._elev_host_src is not src:
             m = np.asarray(src)[:, : self.mip_shapes[lvl][1]]
             if self.quantized:
@@ -1383,3 +1586,32 @@ class MoonScene:
             self._elev_host = m
             self._elev_host_src = src
         return self._elev_host
+
+    def elevation_m_at(self, lat: float, lon: float) -> float:
+        """FULL-RESOLUTION elevation (meters vs the reference radius) at a
+        selenographic point: bilinear on the finest host pyramid level.
+
+        Measurement drags sample two endpoints per mouse event — a pure
+        host read of the retained pyramid costs microseconds and no
+        device transfer, at the source data's full resolution. (Round-2
+        gap: Δh came from the ≤20-Mtexel elevation_host() level, ~16x
+        coarser than the 118 m LDEM — too coarse for a crater rim.
+        Reference: full-res bilinear sampling,
+        renderer_navigation.py:555-596.)"""
+        m = self._host_mips[0]
+        h, w = self.mip_shapes[0]
+        row = (90.0 - lat) / 180.0 * h - 0.5
+        col = ((lon + 180.0) / 360.0 * w - 0.5) % w
+        r0 = int(np.clip(math.floor(row), 0, h - 2))
+        fr = min(max(row - r0, 0.0), 1.0)
+        c0 = int(math.floor(col))
+        fc = col - c0
+        # the pyramid stores PAD_COLS wrap columns at the right edge, so
+        # c0+1 <= w stays in-bounds without a modulo
+        win = m[r0:r0 + 2, c0:c0 + 2].astype(np.float32)
+        if self.quantized:
+            win = win * self.h_scale + self.h_offset
+        val = (win[0, 0] * (1 - fr) * (1 - fc) + win[1, 0] * fr * (1 - fc)
+               + win[0, 1] * (1 - fr) * fc + win[1, 1] * fr * fc)
+        return (float(val) * self.radius_scale - 1.0) \
+            * C.MOON_RADIUS_KM * 1000.0

@@ -273,3 +273,229 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
     bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
                                            n_coarse_rows, n_fine, n_phi)
     return _wrap(factor), _wrap(bounce)
+
+
+# ---- interactive mesh mode: cached pose/window state ----------------------
+#
+# The burst above re-extracts windows every call — fine for a one-shot
+# frame, wasteful for interaction. These three programs mirror the
+# single-device hot-path split (engine/blocked.py render_pose_pallas /
+# render_timestep_pallas / render_accumulate_pallas) with every per-block
+# tensor sharded along the block axis: blocks are row-major, so an image
+# strip is a contiguous block range and P(TILE_AXIS) on the leading axis
+# keeps each device's cache resident next to the strip it renders. A Q/W
+# time step on N chips then dispatches the phi-wedge-sharded scan plus ONE
+# of these programs (<= 2 dispatches), instead of re-extracting the caches
+# per burst (the round-2 gap; reference design point: the Moon mesh is
+# never re-uploaded on time change, moon_renderer.py:648-663).
+
+
+def _strip_burst(packed, smap_params, background, maxmap, basis, fp,
+                 jitters, strip_h, width, height, row_offset, h, w,
+                 ah, aw, h_min, n_samples, n_coarse, use_sh, interpret,
+                 geom0=None):
+    """Accumulation burst for one strip from kernel-packed windows.
+    Returns (rgb, hitbuf) for the strip; runs INSIDE shard_map."""
+    from moonrtx_tpu.ops import pallas_march as pk
+
+    def rays(jitter):
+        return blocked.block_rays(basis, fp.rotation, jitter, strip_h,
+                                  width, h_min, maxmap=maxmap,
+                                  row_offset=row_offset,
+                                  full_height=height)
+
+    if geom0 is None:
+        geom0 = rays(jitters[0])
+    params = blocked._kernel_params(
+        geom0.ob, fp, smap_params, use_sh,
+        2.0 * basis.tan_half_fov / height, ah, aw)
+    ns = geom0.db.shape[0] // blocked.GROUP
+
+    def run_kernel(geom):
+        G, B = blocked.GROUP, blocked.BLOCK
+        return pk.march_shade_pallas(
+            params,
+            geom.db[..., 0].reshape(ns, G, B),
+            geom.db[..., 1].reshape(ns, G, B),
+            geom.db[..., 2].reshape(ns, G, B),
+            geom.t_enter.reshape(ns, G, B),
+            geom.t_end.reshape(ns, G, B),
+            geom.hit_outer.astype(jnp.float32).reshape(ns, G, B),
+            packed.scal, packed.hwin, packed.awin, packed.swin,
+            h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
+            use_earth=fp.earth is not None, interpret=interpret)
+
+    r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
+    acc = (r0_, g0_, b0_)
+    for i in range(1, n_samples):
+        r, g, b, *_ = run_kernel(rays(jitters[i]))
+        k = i + 1.0
+        acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+    return blocked.composite_kernel_outputs(
+        *acc, hit0, t0_, px0, py0, pz0, strip_h, width,
+        geom0.dirs_scene, basis.eye, fp, background=background)
+
+
+def _dummy(x):
+    return x if x is not None else jnp.zeros((1, 1), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
+                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "interpret", "h_scale", "h_offset", "a_scale"),
+)
+def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
+                        slope_maps, smap, smap_params, bmap, background,
+                        maxmap, basis: CameraBasis, fp: FrameParams,
+                        jitters, height: int, width: int, h: int, w: int,
+                        ah: int, aw: int, h_min: float,
+                        n_samples: int = 1, n_coarse: int = 12,
+                        use_shadow: bool = True, use_bg: bool = False,
+                        interpret: bool = False, h_scale: float = 1.0,
+                        h_offset: float = 0.0, a_scale: float = 1.0):
+    """Mesh pose-change hot path: per strip, rays + window origins +
+    extraction + kernel pack + shadow windows + burst in ONE sharded
+    program. Returns (rgb, hitbuf, org, cache, packed) with org/cache/
+    packed LEFT SHARDED on the devices (leading axis = blocks/groups of
+    this device's strip) for the time-step/accumulate programs to reuse.
+    """
+    n_dev = mesh.shape[TILE_AXIS]
+    strip_h = height // n_dev
+    assert strip_h % blocked.BLOCK_H == 0
+    mip_pad_w = mip.shape[1]
+    a_pad_w = albedo_mip.shape[1]
+    use_sh = use_shadow and smap is not None
+
+    def strip(mip, mip_next, albedo_mip, albedo_next, slope_maps, smap,
+              bmap, bg, maxmap, basis, fp, jitters):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        row_offset = idx * strip_h
+        geom0 = blocked.block_rays(basis, fp.rotation, jitters[0],
+                                   strip_h, width, h_min, maxmap=maxmap,
+                                   row_offset=row_offset,
+                                   full_height=height)
+        org = blocked.window_origins(geom0, h, w, mip_pad_w, ah, aw,
+                                     a_pad_w, max_qexp=1,
+                                     slope_maps=slope_maps)
+        cache = blocked.extract_window_cache(
+            (mip, mip_next), (albedo_mip, albedo_next), org,
+            h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
+        sw = (blocked.build_shadow_windows(smap, smap_params, geom0,
+                                           bounce_map=bmap)
+              if use_sh else None)
+        packed = blocked.pack_windows(cache, org, sw)
+        rgb, hitbuf = _strip_burst(
+            packed, smap_params, bg if use_bg else None, maxmap, basis,
+            fp, jitters, strip_h, width, height, row_offset, h, w, ah, aw,
+            h_min, n_samples, n_coarse, use_sh, interpret, geom0=geom0)
+        return rgb, hitbuf, org, cache, packed
+
+    out = shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(TILE_AXIS), P(),
+                  P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+                   P(TILE_AXIS)),
+        check_vma=False,
+    )(mip, mip_next, albedo_mip, albedo_next, slope_maps, _dummy(smap),
+      _dummy(bmap),
+      background if background is not None
+      else jnp.zeros((height, width, 3), jnp.float32),
+      maxmap, basis, fp, jitters)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
+                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "interpret"),
+)
+def render_timestep_sharded(mesh: Mesh, smap, smap_params, bmap,
+                            cache, org, hwin_p, awin_p, background,
+                            maxmap, basis: CameraBasis, fp: FrameParams,
+                            jitters, height: int, width: int,
+                            h: int, w: int, ah: int, aw: int,
+                            h_min: float, n_samples: int = 1,
+                            n_coarse: int = 12, use_shadow: bool = True,
+                            use_bg: bool = False,
+                            interpret: bool = False):
+    """Mesh time-step (Q/W) hot path: shadow windows from the freshly
+    scanned maps + sun-side repack + burst, reusing the POSE-CACHED
+    sharded windows (hwin/awin stay resident per device; a time step
+    never re-moves them). Returns (rgb, hitbuf, swin_p, scal) with the
+    sun pack sharded for the accumulate program to reuse."""
+    n_dev = mesh.shape[TILE_AXIS]
+    strip_h = height // n_dev
+    use_sh = use_shadow and smap is not None
+
+    def strip(smap, bmap, cache, org, hwin_p, awin_p, bg, maxmap, basis,
+              fp, jitters):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        row_offset = idx * strip_h
+        geom0 = blocked.block_rays(basis, fp.rotation, jitters[0],
+                                   strip_h, width, h_min, maxmap=maxmap,
+                                   row_offset=row_offset,
+                                   full_height=height)
+        sw = (blocked.build_shadow_windows(smap, smap_params, geom0,
+                                           bounce_map=bmap)
+              if use_sh else None)
+        swin_p, scal = blocked._pack_sun_parts(cache, org, sw)
+        packed = blocked.PackedWindows(hwin=hwin_p, awin=awin_p,
+                                       swin=swin_p, scal=scal)
+        rgb, hitbuf = _strip_burst(
+            packed, smap_params, bg if use_bg else None, maxmap, basis,
+            fp, jitters, strip_h, width, height, row_offset, h, w, ah, aw,
+            h_min, n_samples, n_coarse, use_sh, interpret, geom0=geom0)
+        return rgb, hitbuf, swin_p, scal
+
+    return shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+                  P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=False,
+    )(_dummy(smap), _dummy(bmap), cache, org, hwin_p, awin_p,
+      background if background is not None
+      else jnp.zeros((height, width, 3), jnp.float32),
+      maxmap, basis, fp, jitters)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
+                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "interpret"),
+)
+def render_accumulate_sharded(mesh: Mesh, packed, smap_params, background,
+                              maxmap, basis: CameraBasis, fp: FrameParams,
+                              jitters, height: int, width: int,
+                              h: int, w: int, ah: int, aw: int,
+                              h_min: float, n_samples: int = 1,
+                              n_coarse: int = 12, use_shadow: bool = True,
+                              use_bg: bool = False,
+                              interpret: bool = False):
+    """Mesh steady-state burst: pose AND sun packs valid (brightness
+    reset, extra accumulation) — just jittered samples through the fused
+    kernel from the cached sharded windows."""
+    n_dev = mesh.shape[TILE_AXIS]
+    strip_h = height // n_dev
+
+    def strip(packed, bg, maxmap, basis, fp, jitters):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        return _strip_burst(
+            packed, smap_params, bg if use_bg else None, maxmap, basis,
+            fp, jitters, strip_h, width, height, idx * strip_h, h, w,
+            ah, aw, h_min, n_samples, n_coarse, use_shadow, interpret)
+
+    return shard_map(
+        strip, mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=False,
+    )(packed,
+      background if background is not None
+      else jnp.zeros((height, width, 3), jnp.float32),
+      maxmap, basis, fp, jitters)

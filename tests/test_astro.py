@@ -217,3 +217,69 @@ def test_major_lunar_standstill_2025():
         obs).dec for i in range(60)]
     assert max(decs) > 28.0
     assert min(decs) < -28.0
+
+
+def test_range_sweep_invariants():
+    """Physical invariants at 120 samples across the FULL supported range
+    (1900-2051) — a series blow-up anywhere in the range cannot pass.
+    Backs the error budget in docs/EPHEMERIS.md: point checks pin
+    accuracy at known dates; this pins sanity everywhere else."""
+    obs = Observer(50.06, 19.94, 219)
+    start = datetime(1900, 1, 15, 12, tzinfo=timezone.utc)
+    end = datetime(2050, 12, 15, 12, tzinfo=timezone.utc)
+    n = 120
+    step = (end - start) / (n - 1)
+    prev_col, prev_dt = None, None
+    for i in range(n):
+        dt = start + step * i
+        e = calculate_ephemeris(dt, obs, False)
+        # geometry stays inside hard physical bounds (topocentric
+        # distance: geocentric extremes widened by the Earth radius)
+        assert 350000 < e.distance < 413500, (dt, e.distance)
+        assert abs(e.libr_lat_geo) < 8.0 and abs(e.libr_long_geo) < 9.0
+        assert abs(e.libr_lat_topo) < 9.0 and abs(e.libr_long_topo) < 10.0
+        assert 0.0 <= e.phase_angle <= 180.0
+        assert 0.0 <= e.colongitude < 360.0
+        R = np.asarray(e.rotation_matrix)
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-9)
+        prev_col, prev_dt = e.colongitude, dt
+
+    # colongitude advances ~12.19 deg/day: check the mean rate over a
+    # fortnight at three widely separated epochs (sun-theory drift at any
+    # epoch would show up directly here)
+    for year in (1905, 1977, 2049):
+        d0 = datetime(year, 3, 1, tzinfo=timezone.utc)
+        c0 = calculate_ephemeris(d0, obs, False).colongitude
+        c1 = calculate_ephemeris(d0 + timedelta(days=14), obs,
+                                 False).colongitude
+        rate = (((c1 - c0) % 360.0) + 360.0) % 360.0 / 14.0
+        assert rate == pytest.approx(12.19, abs=0.1), (year, rate)
+
+
+def test_colongitude_consistent_with_rotation_matrix():
+    """docs/EPHEMERIS.md cross-path pin: the subsolar longitude derived
+    from `colongitude` (the pure ephemeris scalar) must match the sun
+    direction obtained INDEPENDENTLY by rotating the renderer's light
+    position into the body frame (rotation_matrix chain + light-geometry
+    code, the path the parity harness measures the terminator with).
+    Agreement here bounds frame/sign errors between the two paths well
+    below the 0.012-deg series budget, at epochs across the range."""
+    from moonrtx_tpu.engine.light import calculate_light_pos
+
+    obs = Observer(50.06, 19.94, 219)
+    for year, month in ((1902, 3), (1968, 7), (2024, 4), (2049, 11)):
+        dt = datetime(year, month, 15, 21, tzinfo=timezone.utc)
+        e = calculate_ephemeris(dt, obs, False)
+        sun_body = np.asarray(e.rotation_matrix).T @ np.asarray(
+            calculate_light_pos(e))
+        sun_body /= np.linalg.norm(sun_body)
+        # renderer body frame: lon 0 at -Y, +X at 90E
+        lon_from_matrix = math.degrees(
+            math.atan2(sun_body[0], -sun_body[1]))
+        lon_from_colong = (90.0 - e.colongitude + 180.0) % 360.0 - 180.0
+        d = abs((lon_from_matrix - lon_from_colong + 180.0) % 360.0 - 180.0)
+        # the light-position path bakes in the reference's documented
+        # 21,460-unit parallax (~0.027 deg, moon_renderer.py:44-48);
+        # anything beyond parallax + budget is a frame bug
+        assert d < 0.05, (year, d)

@@ -131,3 +131,52 @@ def test_quantized_forces_windowed_backend():
                        quantize="i16").validate()
     s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
     assert s.backend == "blocked"
+
+
+def test_full_resolution_measurement_resolves_fine_feature(monkeypatch):
+    """Δh measurement must sample the FINEST pyramid level, not the
+    shadow-capped host copy (round-2 gap: at full LDEM the capped level
+    is ~16x coarser than the data — a narrow crater rim averages away).
+
+    A one-texel-wide ridge is planted in the fine map; the capped host
+    level (forced 16x coarser here) smears it to ~1/16 amplitude, while
+    elevation_m_at recovers it at full amplitude with zero device
+    transfers."""
+    monkeypatch.setattr("moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 2048)
+    elev, albedo = synthesize_moon(512, 1024, seed=9, n_craters=0)
+    rs0 = float(elev.max())
+    elev = (elev / rs0).astype(np.float32)
+    # narrow meridional ridge at lon=0 (one column), +0.0005 of radius
+    ridge_col = 512  # lon 0 column on a 1024-wide equirect grid
+    base = elev.copy()
+    elev[:, ridge_col] += 5e-4
+    rs = float(elev.max())
+    elev = elev / rs
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219), dt_local=DT0,
+        width=128, height=128, shadow_accuracy=1, quantize="i16",
+    ).validate()
+    s = MoonScene(cfg, elev, rs, albedo, None)
+    assert s.quantized
+
+    lat = 0.0
+    lon_ridge = (ridge_col + 0.5) / 1024.0 * 360.0 - 180.0
+    lon_off = lon_ridge + 8.0   # well clear of the ridge
+    dh_full = s.elevation_m_at(lat, lon_ridge) - s.elevation_m_at(lat, lon_off)
+    expected = 5e-4 * 1737.4e3  # ridge height in meters (~869 m)
+    local_relief = abs(
+        (base[256, ridge_col] - base[256, (ridge_col + 23) % 1024])
+        * rs0) * 1737.4e3
+
+    # the capped host level (what round 2 measured from) is too coarse
+    capped_level = s._capped_level(0)
+    assert capped_level >= 3  # forced at least 8x coarser
+    from moonrtx_tpu.interact.measure import elevation_difference_m
+
+    dh_capped = elevation_difference_m(
+        s.elevation_host(), s.radius_scale, lat, lon_ridge, lat, lon_off)
+    # full-res sees the ridge (within terrain relief + quantization)
+    assert abs(dh_full - expected) < local_relief + 100.0
+    assert dh_full > 0.6 * expected
+    # the capped level smears it to a fraction of its height
+    assert dh_capped < 0.4 * dh_full

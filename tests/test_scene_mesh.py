@@ -102,3 +102,122 @@ def test_mesh_devices_auto_and_validation(maps):
     # an unavailable explicit mesh fails loudly (make_mesh raises)
     with pytest.raises(Exception):
         MoonScene(_cfg(devices=64), elev, rs, albedo, None)
+
+
+class TestMeshInteractive:
+    """Round-2 gap: mesh mode had no pose/window caches — every burst
+    re-extracted windows. These tests pin the cached split: a Q/W time
+    step dispatches the phi-sharded scan + ONE sharded program, reusing
+    the resident pose windows; speculation covers mesh steps too."""
+
+    def _counted(self, monkeypatch):
+        import moonrtx_tpu.parallel as par
+
+        counts = {"pose": 0, "timestep": 0, "accum": 0, "scan": 0,
+                  "burst": 0}
+        reals = (par.render_pose_sharded, par.render_timestep_sharded,
+                 par.render_accumulate_sharded, par.build_shadow_map_sharded,
+                 par.render_burst_pallas_sharded)
+
+        def wrap(name, fn):
+            def w(*a, **k):
+                counts[name] += 1
+                return fn(*a, **k)
+            return w
+
+        monkeypatch.setattr(par, "render_pose_sharded",
+                            wrap("pose", reals[0]))
+        monkeypatch.setattr(par, "render_timestep_sharded",
+                            wrap("timestep", reals[1]))
+        monkeypatch.setattr(par, "render_accumulate_sharded",
+                            wrap("accum", reals[2]))
+        monkeypatch.setattr(par, "build_shadow_map_sharded",
+                            wrap("scan", reals[3]))
+        monkeypatch.setattr(par, "render_burst_pallas_sharded",
+                            wrap("burst", reals[4]))
+        return counts
+
+    def test_time_step_dispatches_at_most_two_programs(self, maps,
+                                                       monkeypatch):
+        elev, rs, albedo = maps
+        counts = self._counted(monkeypatch)
+        s = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+        assert counts["pose"] == 1      # cold frame pays extraction once
+        assert counts["burst"] == 0     # cache-less burst path not used
+
+        for c in counts:
+            counts[c] = 0
+        s.update_view(s.dt_local + timedelta(minutes=15))
+        img_step = s.render(1)
+        # the Q/W step: scan + ONE cached-pose program, nothing else
+        assert counts == {"pose": 0, "timestep": 1, "accum": 0,
+                          "scan": 1, "burst": 0}, counts
+
+        # parity: the cached step must match a cold scene at that time
+        fresh = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        fresh.shadows_on = True
+        fresh.update_view(s.dt_local)
+        img_fresh = fresh.render(1)
+        d = np.abs(img_step.astype(np.float32)
+                   - img_fresh.astype(np.float32))
+        assert d.max() <= 1.0, d.max()  # uint8 rounding of float noise
+
+    def test_brightness_reset_is_one_cached_burst(self, maps, monkeypatch):
+        elev, rs, albedo = maps
+        counts = self._counted(monkeypatch)
+        s = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+        for c in counts:
+            counts[c] = 0
+        s.set_brightness(s.brightness + 20)
+        s.render(1)
+        assert counts == {"pose": 0, "timestep": 0, "accum": 1,
+                          "scan": 0, "burst": 0}, counts
+
+    def test_mesh_prefetch_hit_consumes_speculation(self, maps,
+                                                    monkeypatch):
+        elev, rs, albedo = maps
+        counts = self._counted(monkeypatch)
+        s = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+
+        dt2 = s.dt_local + timedelta(minutes=15)
+        assert s.prefetch_time(dt2)     # speculation dispatched
+        for c in counts:
+            counts[c] = 0
+        s.update_view(dt2)
+        img = s.render(1)
+        # the step consumed the speculation: ZERO new programs
+        assert counts == {"pose": 0, "timestep": 0, "accum": 0,
+                          "scan": 0, "burst": 0}, counts
+
+        fresh = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        fresh.shadows_on = True
+        fresh.update_view(dt2)
+        img_fresh = fresh.render(1)
+        d = np.abs(img.astype(np.float32) - img_fresh.astype(np.float32))
+        assert d.max() <= 1.0, d.max()
+
+    def test_mesh_prefetch_miss_is_safe(self, maps, monkeypatch):
+        elev, rs, albedo = maps
+        s = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        s.shadows_on = True
+        s.update_view()
+        s.render(1)
+        assert s.prefetch_time(s.dt_local + timedelta(minutes=15))
+        # the user went the OTHER way: speculation must not install
+        s.update_view(s.dt_local - timedelta(minutes=15))
+        img = s.render(1)
+        fresh = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+        fresh.shadows_on = True
+        fresh.update_view(s.dt_local)
+        d = np.abs(img.astype(np.float32)
+                   - fresh.render(1).astype(np.float32))
+        assert d.max() <= 1.0, d.max()
