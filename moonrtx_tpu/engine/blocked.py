@@ -897,7 +897,7 @@ def render_frame_pallas(cache: WindowCache, org: WindowOrigins,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
+    "height", "width", "h", "w", "ah", "aw", "n_coarse",
     "use_shadow", "interpret", "warm_start", "wide"))
 def render_accumulate_pallas(packed: PackedWindows,
                              smap_params, background, maxmap,
@@ -1020,7 +1020,7 @@ def build_shadow_state_from_maps(smap, smap_params, geom: RayGeom,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "h", "w", "ah", "aw", "max_qexp", "n_samples",
+    "height", "width", "h", "w", "ah", "aw", "max_qexp",
     "n_coarse", "use_shadow", "interpret", "h_scale", "h_offset",
     "a_scale"))
 def render_pose_pallas(mips, albedo_mips, slope_maps, smap, smap_params,
@@ -1063,7 +1063,7 @@ def render_pose_pallas(mips, albedo_mips, slope_maps, smap, smap_params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "h", "w", "ah", "aw", "n_samples", "n_coarse",
+    "height", "width", "h", "w", "ah", "aw", "n_coarse",
     "interpret"))
 def render_timestep_pallas(smap, smap_params, bmap,
                            cache: WindowCache, org: WindowOrigins,
@@ -1101,7 +1101,7 @@ def render_timestep_pallas(smap, smap_params, bmap,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "h", "w", "ah", "aw", "sh", "sw",
-    "n_coarse_scan", "n_fine", "n_phi", "n_samples", "n_coarse",
+    "n_coarse_scan", "n_fine", "n_phi", "n_coarse",
     "h_scale", "h_offset", "interpret"))
 def render_timestep_scan_pallas(stex, bmap, sun_basis, sun_ang_radius,
                                 cache: WindowCache, org: WindowOrigins,

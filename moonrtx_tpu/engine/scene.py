@@ -502,7 +502,12 @@ class MoonScene:
         absorb)."""
         if old is new:
             return 0.0
-        if old is None or old.fov != new.fov:
+        if old is None:
+            return None
+        # tolerance, not exact equality: an fov that round-trips through
+        # float32 (codec, presets) must not silently kill the drag fast
+        # path; a real zoom changes fov by far more than 1e-6 relative
+        if abs(old.fov - new.fov) > 1e-5 * max(abs(new.fov), 1.0):
             return None
         r_old = float(np.linalg.norm(np.asarray(old.eye, np.float64)))
         r_new = float(np.linalg.norm(np.asarray(new.eye, np.float64)))
@@ -1075,7 +1080,7 @@ class MoonScene:
         # n_samples=1 (what the app renders first after a step); its jitter
         # is deterministically zero, so a consumed prefetch is bit-exact
         # with the non-speculative burst and consumes no RNG state
-        jit1 = jnp.zeros((1, 2), jnp.float32)
+        jit1 = self._padded_jitters(1)
         if self.mesh is not None:
             r = self._dispatch_mesh_step(fp, sun_unit, ang, jit1, 1, level)
             if r is None:
@@ -1169,9 +1174,11 @@ class MoonScene:
 
         if self.mesh is not None and self.displaced:
             if self.hf_sharded():
-                rgb, hitbuf = self._render_sharded(jitter[None, :], 1)
+                rgb, hitbuf = self._render_sharded(
+                    self._jitter_rows(jitter), 1)
             else:
-                rgb, hitbuf = self._mesh_step(jitter[None, :], 1, level)
+                rgb, hitbuf = self._mesh_step(
+                    self._jitter_rows(jitter), 1, level)
             out = render_mod.RenderOutput(rgb=rgb, hitbuf=hitbuf)
         elif self.backend in ("blocked", "pallas") and self.displaced:
             geom = blocked.block_rays(self.render_basis(), self._fp.rotation, jitter,
@@ -1193,7 +1200,8 @@ class MoonScene:
                 # windows exist only inside _packed)
                 rgb1, hitbuf1 = blocked.render_accumulate_pallas(
                     self._packed, sparams, self.background(), self.maxmap,
-                    self.render_basis(), self._fp, jitter[None, :],
+                    self.render_basis(), self._fp,
+                    self._jitter_rows(jitter),
                     self.height, self.width, h, w, self.h_min,
                     ah=ah, aw=aw, n_samples=1, use_shadow=self.shadows_on,
                     hbound=self._hbound, interpret=self._interp())
@@ -1288,6 +1296,26 @@ class MoonScene:
             self.maxmap, self.render_basis(), self._fp, jitters,
             self.height, self.width, h, w, ah, aw, self.h_min,
             **common)
+
+    def _padded_jitters(self, n_samples: int) -> jnp.ndarray:
+        """Accumulation jitters padded to a FIXED row count (sample 0 is
+        always the deterministic center). n_samples is a traced argument
+        of every burst program and the jitter shape no longer varies with
+        it, so the n=1 interactive step, the speculative prefetch and the
+        n=32 cold burst all share ONE compiled program per pipeline —
+        cold-start compile work is proportional to the variant count
+        through a remote-compile service (docs/PERF.md)."""
+        rows = max(C.MAX_ACCUMULATION_FRAMES, n_samples)
+        j = np.zeros((rows, 2), np.float32)
+        if n_samples > 1:
+            j[1:n_samples] = self._rng.random((n_samples - 1, 2)) - 0.5
+        return jnp.asarray(j)
+
+    def _jitter_rows(self, jitter) -> jnp.ndarray:
+        """One per-frame jitter as row 0 of the fixed-shape jitter block
+        (same program variant as _padded_jitters bursts)."""
+        rows = jnp.zeros((C.MAX_ACCUMULATION_FRAMES, 2), jnp.float32)
+        return rows.at[0].set(jitter)
 
     def _mesh_step(self, jitters, n_samples: int, level: int):
         """Interactive mesh-mode render with the same cached-pose split as
@@ -1435,10 +1463,7 @@ class MoonScene:
             self.update_view(self.dt_local)
         level = self.mip_level()
         h, w = self.mip_shapes[level]
-        jitters = jnp.concatenate([
-            jnp.zeros((1, 2), jnp.float32),
-            jnp.asarray(self._rng.random((max(n_samples - 1, 0), 2)) - 0.5,
-                        jnp.float32)])
+        jitters = self._padded_jitters(n_samples)
         if self.mesh is not None and self.displaced:
             if self.hf_sharded():
                 # banded-heightfield scenes re-extract per burst: the

@@ -99,7 +99,7 @@ def _mask_blocks(x, own, packed_group: Optional[int]):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_samples", "n_coarse", "use_shadow", "interpret",
+                     "n_coarse", "use_shadow", "interpret",
                      "h_scale", "h_offset", "a_scale"),
 )
 def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
@@ -239,12 +239,15 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
 
         geom0 = strip_rays(jitters[0])
         r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
-        acc = (r0_, g0_, b0_)
-        for i in range(1, n_samples):
+
+        def sample(i, acc):
             r, g, b, *_ = run_kernel(strip_rays(jitters[i]))
             k = i + 1.0
-            acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
-        ar, ag, ab = acc
+            return tuple(a + (v - a) / k
+                         for a, v in zip(acc, (r, g, b)))
+
+        ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample,
+                                       (r0_, g0_, b0_))
 
         return blocked.composite_kernel_outputs(
             ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,

@@ -97,7 +97,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_samples", "n_coarse", "use_shadow", "interpret",
+                     "n_coarse", "use_shadow", "interpret",
                      "h_scale", "h_offset", "a_scale"),
 )
 def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
@@ -185,12 +185,15 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                 use_earth=fp.earth is not None, interpret=interpret)
 
         r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
-        acc = (r0_, g0_, b0_)
-        for i in range(1, n_samples):
+
+        def sample(i, acc):
             r, g, b, *_ = run_kernel(rays(jitters[i]))
             k = i + 1.0
-            acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
-        ar, ag, ab = acc
+            return tuple(a + (v - a) / k
+                         for a, v in zip(acc, (r, g, b)))
+
+        ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample,
+                                       (r0_, g0_, b0_))
 
         return blocked.composite_kernel_outputs(
             ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
@@ -326,13 +329,15 @@ def _strip_burst(packed, smap_params, background, maxmap, basis, fp,
             use_earth=fp.earth is not None, interpret=interpret)
 
     r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
-    acc = (r0_, g0_, b0_)
-    for i in range(1, n_samples):
+
+    def sample(i, acc):
         r, g, b, *_ = run_kernel(rays(jitters[i]))
         k = i + 1.0
-        acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+        return tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+
+    ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample, (r0_, g0_, b0_))
     return blocked.composite_kernel_outputs(
-        *acc, hit0, t0_, px0, py0, pz0, strip_h, width,
+        ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
         geom0.dirs_scene, basis.eye, fp, background=background)
 
 
@@ -343,7 +348,7 @@ def _dummy(x):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "n_coarse", "use_shadow", "use_bg",
                      "interpret", "h_scale", "h_offset", "a_scale"),
 )
 def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
@@ -410,7 +415,7 @@ def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "n_coarse", "use_shadow", "use_bg",
                      "interpret"),
 )
 def render_timestep_sharded(mesh: Mesh, smap, smap_params, bmap,
@@ -466,7 +471,7 @@ def render_timestep_sharded(mesh: Mesh, smap, smap_params, bmap,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_samples", "n_coarse", "use_shadow", "use_bg",
+                     "n_coarse", "use_shadow", "use_bg",
                      "interpret"),
 )
 def render_accumulate_sharded(mesh: Mesh, packed, smap_params, background,

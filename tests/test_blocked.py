@@ -261,3 +261,23 @@ def test_shadow_windows_cover_seam_blocks(scenes):
                                | (wy > blocked.SWIN_H - 0.25))
         worst = max(worst, float(wx.max(initial=0.0)))
         assert not bad.any(), (a_deg, int(bad.sum()), worst)
+
+
+def test_camera_drift_fast_path_survives_float32_fov(scenes):
+    """A camera whose fov round-tripped through float32 (the init-view
+    codec packs 10 floats as '<10f', app/codec.py) must keep the drag
+    fast path: _camera_drift_deg uses a tolerance, not exact equality.
+    A real zoom still invalidates."""
+    import numpy as np
+
+    from moonrtx_tpu.types import Camera
+
+    s = scenes["blocked"]
+    cam = s.camera
+    f32_cam = Camera(eye=cam.eye, target=cam.target, up=cam.up,
+                     fov=float(np.float32(cam.fov)))
+    d = s._camera_drift_deg(cam, f32_cam)
+    assert d is not None and d < 1e-6, d
+    zoomed = Camera(eye=cam.eye, target=cam.target, up=cam.up,
+                    fov=cam.fov * 1.1)
+    assert s._camera_drift_deg(cam, zoomed) is None
