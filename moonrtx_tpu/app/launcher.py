@@ -175,6 +175,8 @@ def run_launcher() -> None:
     eclipse_var = tk.BooleanVar(value=True)
     earthshine_var = tk.BooleanVar(value=True)
     size_var = tk.StringVar(value="1920x1080")
+    devices_var = tk.StringVar(value="1")
+    hbm_var = tk.StringVar(value="0")
 
     tk.Entry(add_row("Downscale:"), textvariable=downscale_var,
              width=4).pack(side=tk.LEFT)
@@ -203,6 +205,12 @@ def run_launcher() -> None:
                    variable=earthshine_var).pack(side=tk.LEFT)
     tk.Entry(add_row("Size:"), textvariable=size_var,
              width=10).pack(side=tk.LEFT)
+    fr_dev = add_row("Devices:")
+    tk.Entry(fr_dev, textvariable=devices_var, width=4).pack(side=tk.LEFT)
+    tk.Label(fr_dev, text="(0 = all)").pack(side=tk.LEFT, padx=2)
+    fr_hbm = add_row("HBM budget (GiB):")
+    tk.Entry(fr_hbm, textvariable=hbm_var, width=6).pack(side=tk.LEFT)
+    tk.Label(fr_hbm, text="(0 = auto)").pack(side=tk.LEFT, padx=2)
 
     # --- presets -------------------------------------------------------------
     preset_var = tk.StringVar()
@@ -238,6 +246,8 @@ def run_launcher() -> None:
             "eclipse_shading": bool(eclipse_var.get()),
             "earthshine": bool(earthshine_var.get()),
             "width": int(w), "height": int(h),
+            "devices": int(devices_var.get()),
+            "hbm_budget_gb": float(hbm_var.get()),
             "elevation_file": elevfile_var.get().strip(),
             "color_file": colorfile_var.get().strip(),
             "starmap_file": starfile_var.get().strip(),
@@ -278,6 +288,10 @@ def run_launcher() -> None:
             earthshine_var.set(bool(v["earthshine"]))
         if "width" in v and "height" in v:
             size_var.set(f"{v['width']}x{v['height']}")
+        if "devices" in v:
+            devices_var.set(str(v["devices"]))
+        if "hbm_budget_gb" in v:
+            hbm_var.set(str(v["hbm_budget_gb"]))
         for key, var in (("elevation_file", elevfile_var),
                          ("color_file", colorfile_var),
                          ("starmap_file", starfile_var),
@@ -350,7 +364,9 @@ def run_launcher() -> None:
                 "--shadow-accuracy", str(v["shadow_accuracy"]),
                 "--backend", v["backend"],
                 "--photometric", v.get("photometric", "lambert"),
-                "--width", str(v["width"]), "--height", str(v["height"])]
+                "--width", str(v["width"]), "--height", str(v["height"]),
+                "--devices", str(v.get("devices", 1)),
+                "--hbm-budget-gb", str(v.get("hbm_budget_gb", 0.0))]
         if not v.get("eclipse_shading", True):
             argv += ["--no-eclipse-shading"]
         if not v.get("earthshine", True):
