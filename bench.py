@@ -257,15 +257,17 @@ def main():
     time_step_prefetch_ms = sum(pf_times) / len(pf_times) * 1000.0
 
     # mixed-pattern speculation: direction flips are the worst case for
-    # the one-direction speculative pipeline (the app re-speculates in
-    # the LAST key's direction, session.change_time), so each flip pays
-    # exactly one miss and the miss falls back to the merged one-program
-    # time step. W W W Q W Q Q W — 5 flips in 8 steps, far denser than
-    # real interaction; report hit rate AND the measured miss latency so
-    # the happy-path hit rate above cannot hide flip cost.
+    # the speculative pipeline — a mis-speculated step's device work is
+    # already queued and the real step waits behind it. The app therefore
+    # gates speculation adaptively (session.change_time: speculate only
+    # when the last two steps agree in direction), which this loop
+    # mirrors. W W W Q W Q Q W — 5 flips in 8 steps, far denser than real
+    # interaction; report hit rate AND the worst observed step so the
+    # happy-path hit rate above cannot hide flip cost.
     pattern = [+1, +1, +1, -1, +1, -1, -1, +1]
     scene.prefetch_time(scene.dt_local + step15)
     scene.display()
+    prev_sgn = +1
     mixed_hits, hit_times, miss_times = 0, [], []
     for sgn in pattern:
         dt_next = scene.dt_local + sgn * step15
@@ -276,10 +278,14 @@ def main():
         scene.render_accumulation_burst(1)
         sync()
         (hit_times if hit else miss_times).append(time.time() - t0)
-        scene.prefetch_time(scene.dt_local + sgn * step15)
+        if prev_sgn == sgn:  # the session's adaptive speculation gate
+            scene.prefetch_time(scene.dt_local + sgn * step15)
+        prev_sgn = sgn
         scene.display()
     time_step_miss_ms = (max(miss_times) * 1000.0 if miss_times else None)
     mixed_hit_rate = mixed_hits / len(pattern)
+    time_step_mixed_mean_ms = (sum(hit_times) + sum(miss_times)) \
+        / len(pattern) * 1000.0
 
     # without exact shadows
     scene.shadows_on = False
@@ -309,6 +315,7 @@ def main():
         "time_step_prefetch_ms": round(time_step_prefetch_ms, 1),
         "prefetch_hit_rate": round(pf_hits / n_held, 2),
         "prefetch_hit_rate_mixed": round(mixed_hit_rate, 2),
+        "time_step_mixed_mean_ms": round(time_step_mixed_mean_ms, 1),
         "time_step_miss_ms": (None if time_step_miss_ms is None
                               else round(time_step_miss_ms, 1)),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),

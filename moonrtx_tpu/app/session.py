@@ -64,6 +64,7 @@ class Session:
         # held-key speculation: direction of the last time step, armed by
         # change_time, consumed (one prefetch dispatch) by frame()
         self._prefetch_step_minutes: Optional[int] = None
+        self._last_step_minutes: Optional[int] = None
 
         # measurement state
         self.measuring = False
@@ -90,8 +91,22 @@ class Session:
         # frame() dispatches it behind the first rendered sample, so a
         # held key (or auto-advance) finds step t+1 already computed on
         # device (reference design point: held-key steps must be cheap,
-        # moon_renderer.py:648-663)
-        self._prefetch_step_minutes = delta_minutes
+        # moon_renderer.py:648-663).
+        #
+        # ADAPTIVE gate: a mis-speculated step is worse than an unassisted
+        # one — the wrong-direction programs are already queued on the
+        # device and the real step waits behind them (bench.py
+        # time_step_miss_ms). So speculate only when the last two steps
+        # agree in direction: a held key speculates from its second step
+        # on (hit rate unchanged), while direction-flappy scrubbing
+        # degrades to plain merged steps instead of paying miss + stale
+        # device work on every flip.
+        prev = self._last_step_minutes
+        self._last_step_minutes = delta_minutes
+        if prev is None or (prev > 0) == (delta_minutes > 0):
+            self._prefetch_step_minutes = delta_minutes
+        else:
+            self._prefetch_step_minutes = None
 
     def set_time_to_now(self) -> None:
         self.scene.update_view(datetime.now().astimezone())

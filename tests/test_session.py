@@ -273,7 +273,15 @@ def test_held_key_prefetch_armed_once_per_step(session, monkeypatch):
     session.frame(2)  # further accumulation: no re-speculation
     assert calls == [expected]
 
-    session.handle_key("q")  # -step: speculate backwards
+    # direction FLIP: the adaptive gate skips one speculation — a
+    # mis-speculated step's device work would queue ahead of the real
+    # step (bench.py time_step_miss_ms), so flips degrade to plain
+    # merged steps instead
+    session.handle_key("q")
+    session.frame(1)
+    assert calls == [expected]
+
+    session.handle_key("q")  # second backward step: speculate again
     expected2 = session.scene.dt_local - timedelta(
         minutes=session.time_step_minutes)
     session.frame(1)
