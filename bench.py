@@ -145,7 +145,8 @@ def main():
           file=sys.stderr)
     scene.render_accumulation_burst(n)
     sync()
-    print(f"# first burst (compile+caches) {time.time()-t0:.0f}s",
+    first_burst_s = time.time() - t0
+    print(f"# first burst (compile+caches) {first_burst_s:.0f}s",
           file=sys.stderr)
 
     reps = 3
@@ -319,6 +320,7 @@ def main():
         "time_step_miss_ms": (None if time_step_miss_ms is None
                               else round(time_step_miss_ms, 1)),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
+        "first_burst_s": round(first_burst_s, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),
         "map_shape": list(scene.mip_shapes[0]),
