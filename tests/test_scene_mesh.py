@@ -221,3 +221,52 @@ class TestMeshInteractive:
         d = np.abs(img.astype(np.float32)
                    - fresh.render(1).astype(np.float32))
         assert d.max() <= 1.0, d.max()
+
+
+def test_mesh_interactive_randomized_stress(maps):
+    """Cache-invalidation soundness of the mesh-interactive split under a
+    random mix of events (time steps both directions, prefetches, small
+    drags, brightness, shadow toggles): after the storm, the rendered
+    frame must match a COLD scene configured with the same final state.
+    Any stale pose/sun/speculation cache shows up as a pixel diff."""
+    from moonrtx_tpu.interact.navigation import orbit_drag
+
+    elev, rs, albedo = maps
+    s = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+    s.shadows_on = True
+    s.update_view()
+    s.render(1)
+
+    rng = np.random.default_rng(1234)
+    for i in range(24):
+        ev = rng.integers(0, 5)
+        if ev == 0:
+            sgn = int(rng.choice([-1, 1]))
+            s.update_view(s.dt_local + timedelta(minutes=15 * sgn))
+        elif ev == 1:
+            # speculate (sometimes the wrong way) then step
+            sgn = int(rng.choice([-1, 1]))
+            s.prefetch_time(s.dt_local + timedelta(minutes=15))
+            s.update_view(s.dt_local + timedelta(minutes=15 * sgn))
+        elif ev == 2:
+            s.set_camera(orbit_drag(s.camera, float(rng.normal(0, 3)),
+                                    float(rng.normal(0, 3)), s.out_height))
+        elif ev == 3:
+            s.set_brightness(int(rng.integers(60, 100)))
+        else:
+            s.set_shadows(not s.shadows_on)
+        if i % 6 == 5:
+            s.render(1)  # render mid-storm so caches actually engage
+
+    s.set_shadows(True)  # resets accumulation + marks shadow state stale
+    img = s.render(1)
+
+    cold = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+    cold.shadows_on = True
+    cold.brightness = s.brightness
+    cold.camera = s.camera
+    cold.update_view(s.dt_local)
+    cold.set_brightness(s.brightness)
+    img_cold = cold.render(1)
+    d = np.abs(img.astype(np.float32) - img_cold.astype(np.float32))
+    assert d.max() <= 1.0, (d.max(), (d > 1).mean())
