@@ -1064,10 +1064,7 @@ class MoonScene:
         self._prefetch = None
         if self.ephem is None or not self.displaced:
             return False
-        if self.mesh is not None:
-            if self.hf_sharded():
-                return False  # banded path has no cached-pose split yet
-        elif self.backend != "pallas":
+        if self.mesh is None and self.backend != "pallas":
             return False
         level = self.mip_level()
         e = calculate_ephemeris(dt_next, self.config.observer,
@@ -1173,12 +1170,8 @@ class MoonScene:
             jitter = jnp.asarray(self._rng.random(2) - 0.5, jnp.float32)
 
         if self.mesh is not None and self.displaced:
-            if self.hf_sharded():
-                rgb, hitbuf = self._render_sharded(
-                    self._jitter_rows(jitter), 1)
-            else:
-                rgb, hitbuf = self._mesh_step(
-                    self._jitter_rows(jitter), 1, level)
+            rgb, hitbuf = self._mesh_step(
+                self._jitter_rows(jitter), 1, level)
             out = render_mod.RenderOutput(rgb=rgb, hitbuf=hitbuf)
         elif self.backend in ("blocked", "pallas") and self.displaced:
             geom = blocked.block_rays(self.render_basis(), self._fp.rotation, jitter,
@@ -1249,53 +1242,6 @@ class MoonScene:
         (uint8 RGB)."""
         self.ensure_accumulated(n_frames)
         return self.display()
-
-    def _render_sharded(self, jitters, n_samples: int):
-        """One sharded burst over the device mesh: row strips + window
-        extraction + fused kernel inside shard_map (parallel/tiles.py);
-        the shadow map comes from the phi-wedge-sharded scan. Pose caches
-        are not used — extraction reruns per burst (mesh mode trades the
-        single-device cache machinery for N-chip scale)."""
-        from moonrtx_tpu.parallel import (
-            render_burst_pallas_hfshard,
-            render_burst_pallas_sharded,
-        )
-
-        level = self.mip_level()
-        h, w = self.mip_shapes[level]
-        alevel = self.albedo_level(level)
-        ah, aw = self.mip_shapes[alevel]
-        nlevel = min(level + 1, len(self.mips) - 1)
-        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
-        smap = sparams = None
-        if self.shadows_on:
-            smap, sparams = self.shadow_args()
-        common = dict(
-            shadow_map=smap, smap_params=sparams, bounce_map=self._bounce,
-            n_samples=n_samples, use_shadow=self.shadows_on,
-            interpret=self._interp(),
-            h_scale=self.h_scale, h_offset=self.h_offset,
-            a_scale=self.a_scale,
-            slope_maps=self.slope_maps[level:level + 2])
-        if self.hf_sharded():
-            # the render level exceeds the per-chip HBM budget: each chip
-            # holds a latitude band of the pyramid; windows are assembled
-            # by one psum_scatter over ICI (parallel/hfshard.py). Any
-            # needed level not already banded by the placement plan is
-            # banded lazily from the host pyramid (small, cached).
-            bmips = (self._banded_mip(level), self._banded_mip(nlevel))
-            balb = (self._banded_alb(alevel), self._banded_alb(nalevel))
-            return render_burst_pallas_hfshard(
-                self.mesh, bmips, balb,
-                self.maxmap, self.render_basis(), self._fp, jitters,
-                self.height, self.width, h, w, ah, aw, self.h_min,
-                **common)
-        return render_burst_pallas_sharded(
-            self.mesh, self.mips[level], self.mips[nlevel],
-            self.albedo_mips[alevel], self.albedo_mips[nalevel],
-            self.maxmap, self.render_basis(), self._fp, jitters,
-            self.height, self.width, h, w, ah, aw, self.h_min,
-            **common)
 
     def _padded_jitters(self, n_samples: int) -> jnp.ndarray:
         """Accumulation jitters padded to a FIXED row count (sample 0 is
@@ -1369,18 +1315,9 @@ class MoonScene:
         smap = sparams = None
         if self.shadows_on:
             smap, sparams = self.shadow_args()
-        nlevel = min(level + 1, len(self.mips) - 1)
-        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
-        rgb, hitbuf, org, cache, packed = render_pose_sharded(
-            self.mesh, self.mips[level], self.mips[nlevel],
-            self.albedo_mips[alevel], self.albedo_mips[nalevel],
-            self.slope_maps[level:level + 2], smap, sparams, self._bounce,
-            bg, self.maxmap, self.render_basis(), self._fp, jitters,
-            self.height, self.width, h, w, ah, aw, self.h_min,
-            n_samples=n_samples, use_shadow=self.shadows_on,
-            use_bg=use_bg, interpret=self._interp(),
-            h_scale=self.h_scale, h_offset=self.h_offset,
-            a_scale=self.a_scale)
+        rgb, hitbuf, org, cache, packed = self._pose_program_sharded(
+            jitters, n_samples, level, smap, sparams, bg, use_bg, self._fp,
+            bounce=self._bounce)
         self._origins = org
         self._wincache = cache
         self._cache_level = level
@@ -1390,6 +1327,49 @@ class MoonScene:
         self._shadowwin = (blocked.FUSED_SHADOW_STATE
                            if self.shadows_on else None)
         return rgb, hitbuf
+
+    def _pose_program_sharded(self, jitters, n_samples: int, level: int,
+                              smap, sparams, bg, use_bg: bool, fp,
+                              bounce=None):
+        """The mesh pose program, routed by map placement: replicated maps
+        go through render_pose_sharded; a banded render level goes through
+        the hf burst with return_caches — once the strip caches are
+        assembled (one psum_scatter), they are map-layout-agnostic, so
+        time steps and re-accumulations on BANDED scenes use the same
+        cached programs as replicated ones."""
+        from moonrtx_tpu.parallel import (
+            render_burst_pallas_hfshard,
+            render_pose_sharded,
+        )
+
+        h, w = self.mip_shapes[level]
+        alevel = self.albedo_level(level)
+        ah, aw = self.mip_shapes[alevel]
+        nlevel = min(level + 1, len(self.mips) - 1)
+        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        if self.hf_sharded():
+            bmips = (self._banded_mip(level), self._banded_mip(nlevel))
+            balb = (self._banded_alb(alevel), self._banded_alb(nalevel))
+            return render_burst_pallas_hfshard(
+                self.mesh, bmips, balb, self.maxmap, self.render_basis(),
+                fp, jitters, self.height, self.width, h, w, ah, aw,
+                self.h_min, shadow_map=smap, smap_params=sparams,
+                bounce_map=bounce, n_samples=n_samples,
+                use_shadow=self.shadows_on, interpret=self._interp(),
+                h_scale=self.h_scale, h_offset=self.h_offset,
+                a_scale=self.a_scale,
+                slope_maps=self.slope_maps[level:level + 2],
+                return_caches=True)
+        return render_pose_sharded(
+            self.mesh, self.mips[level], self.mips[nlevel],
+            self.albedo_mips[alevel], self.albedo_mips[nalevel],
+            self.slope_maps[level:level + 2], smap, sparams, bounce,
+            bg, self.maxmap, self.render_basis(), fp, jitters,
+            self.height, self.width, h, w, ah, aw, self.h_min,
+            n_samples=n_samples, use_shadow=self.shadows_on,
+            use_bg=use_bg, interpret=self._interp(),
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            a_scale=self.a_scale)
 
     def _dispatch_mesh_step(self, fp, sun_unit, ang, jitters,
                             n_samples: int, level: int):
@@ -1436,18 +1416,9 @@ class MoonScene:
                 bounce=None if sm is None else sm["bounce"],
                 bounce_basis=None if sm is None else sm["bounce_basis"],
                 bounce_key=None if sm is None else sm["bounce_key"])
-        nlevel = min(level + 1, len(self.mips) - 1)
-        nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
-        rgb, hitbuf, org, cache, packed = render_pose_sharded(
-            self.mesh, self.mips[level], self.mips[nlevel],
-            self.albedo_mips[alevel], self.albedo_mips[nalevel],
-            self.slope_maps[level:level + 2], smap, sparams, bounce_render,
-            bg, self.maxmap, self.render_basis(), fp, jitters,
-            self.height, self.width, h, w, ah, aw, self.h_min,
-            n_samples=n_samples, use_shadow=self.shadows_on,
-            use_bg=use_bg, interpret=self._interp(),
-            h_scale=self.h_scale, h_offset=self.h_offset,
-            a_scale=self.a_scale)
+        rgb, hitbuf, org, cache, packed = self._pose_program_sharded(
+            jitters, n_samples, level, smap, sparams, bg, use_bg, fp,
+            bounce=bounce_render)
         return dict(
             kind="mesh_pose", accum=rgb, hitbuf=hitbuf,
             origins=org, wincache=cache, cache_level=level, hbound=None,
@@ -1465,19 +1436,12 @@ class MoonScene:
         h, w = self.mip_shapes[level]
         jitters = self._padded_jitters(n_samples)
         if self.mesh is not None and self.displaced:
-            if self.hf_sharded():
-                # banded-heightfield scenes re-extract per burst: the
-                # windows live nowhere whole, so the cached-pose split
-                # does not apply (documented trade in parallel/hfshard.py)
-                self._accum, self._hitbuf = self._render_sharded(
-                    jitters, n_samples)
+            pf = self._consume_prefetch(n_samples)
+            if pf is not None:
+                self._accum, self._hitbuf = pf
             else:
-                pf = self._consume_prefetch(n_samples)
-                if pf is not None:
-                    self._accum, self._hitbuf = pf
-                else:
-                    self._accum, self._hitbuf = self._mesh_step(
-                        jitters, n_samples, level)
+                self._accum, self._hitbuf = self._mesh_step(
+                    jitters, n_samples, level)
             self._accum_n = n_samples
             return
 

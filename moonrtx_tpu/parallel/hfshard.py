@@ -100,7 +100,7 @@ def _mask_blocks(x, own, packed_group: Optional[int]):
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse", "use_shadow", "interpret",
-                     "h_scale", "h_offset", "a_scale"),
+                     "h_scale", "h_offset", "a_scale", "return_caches"),
 )
 def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 maxmap, basis: CameraBasis, fp: FrameParams,
@@ -112,11 +112,18 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 use_shadow: bool = True,
                                 interpret: bool = False,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
-                                a_scale: float = 1.0, slope_maps=None):
+                                a_scale: float = 1.0, slope_maps=None,
+                                return_caches: bool = False):
     """The flagship Pallas burst with the HEIGHTFIELD sharded, not just the
     image: banded_mips/banded_albedo are (n_dev, band_h_k+HALO, W_k[, 3])
     stacks (shard_bands) for the render level and the next-coarser level.
-    Returns (rgb_mean, hitbuf) sharded by image rows.
+    Returns (rgb_mean, hitbuf) sharded by image rows — plus, with
+    return_caches, the per-strip (origins, cache, packed) LEFT SHARDED on
+    the devices: once assembled, the strip caches are map-layout-agnostic,
+    so the ordinary cached time-step/accumulate programs
+    (parallel/tiles.py render_timestep_sharded / render_accumulate_sharded)
+    drive interactive stepping on banded scenes with no further touch of
+    the banded maps.
 
     Per device: full-frame ray geometry (replicated math), extraction of
     the windows whose origin row falls in its band, one psum_scatter to
@@ -249,9 +256,12 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
         ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample,
                                        (r0_, g0_, b0_))
 
-        return blocked.composite_kernel_outputs(
+        rgb, hitbuf = blocked.composite_kernel_outputs(
             ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
             geom0.dirs_scene, basis.eye, fp)
+        if return_caches:
+            return rgb, hitbuf, org_s, cache_s, packed
+        return rgb, hitbuf
 
     n_mips = len(banded_mips)
     n_alb = len(banded_albedo)
@@ -266,10 +276,12 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
 
     in_specs = ((P(TILE_AXIS),) * (n_mips + n_alb)
                 + (P(), P(), P(), P(), P(), P(), P()))
+    out_specs = ((P(TILE_AXIS),) * 5 if return_caches
+                 else (P(TILE_AXIS), P(TILE_AXIS)))
     return shard_map(
         wrap, mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=out_specs,
         check_vma=False,
     )(*banded_mips, *banded_albedo, maxmap, basis, fp, jitters,
       smap_in, bmap_in, slope_maps)

@@ -179,3 +179,72 @@ class TestScenePolicy:
         s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
         assert not s._band_levels
         assert all(m is not None for m in s.mips)
+
+
+def test_banded_scene_interactive_cached_steps(monkeypatch):
+    """Banded scenes get the SAME cached interactive split as replicated
+    ones: after the first frame the strip caches are resident (assembled
+    once by the hf pose program's psum_scatter), a Q/W step runs the
+    cached timestep program without touching the banded maps, and a
+    prefetch is consumed."""
+    import moonrtx_tpu.parallel as par
+    from datetime import timedelta
+
+    monkeypatch.setattr(
+        "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)
+    elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=120)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=2,
+        devices=8, hbm_budget_gb=1e-6,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    assert s.hf_sharded()
+    s.shadows_on = True
+    s.update_view()
+
+    counts = {"hf": 0, "timestep": 0, "pose_rep": 0}
+    real_hf = par.render_burst_pallas_hfshard
+    real_ts = par.render_timestep_sharded
+    real_pose = par.render_pose_sharded
+    monkeypatch.setattr(par, "render_burst_pallas_hfshard",
+                        lambda *a, **k: (counts.__setitem__(
+                            "hf", counts["hf"] + 1) or real_hf(*a, **k)))
+    monkeypatch.setattr(par, "render_timestep_sharded",
+                        lambda *a, **k: (counts.__setitem__(
+                            "timestep", counts["timestep"] + 1)
+                            or real_ts(*a, **k)))
+    monkeypatch.setattr(par, "render_pose_sharded",
+                        lambda *a, **k: (counts.__setitem__(
+                            "pose_rep", counts["pose_rep"] + 1)
+                            or real_pose(*a, **k)))
+
+    s.render(1)
+    assert counts == {"hf": 1, "timestep": 0, "pose_rep": 0}
+    assert s._packed is not None and s._origins is not None
+
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    img_step = s.render(1)
+    # the step reused the strip caches: ONE timestep program, no
+    # re-extraction of the banded maps
+    assert counts == {"hf": 1, "timestep": 1, "pose_rep": 0}
+
+    # prefetch covers banded scenes too
+    dt2 = s.dt_local + timedelta(minutes=15)
+    expected = dict(counts)
+    expected["timestep"] += 1  # the speculation itself
+    assert s.prefetch_time(dt2)
+    assert counts == expected
+    s.update_view(dt2)
+    s.render(1)
+    assert counts == expected  # consumed: no new programs
+
+    # parity of the cached step against a cold banded scene
+    cold = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    cold.shadows_on = True
+    cold.update_view(s.dt_local - timedelta(minutes=15))
+    img_cold = cold.render(1)
+    d = np.abs(img_step.astype(np.float32) - img_cold.astype(np.float32))
+    assert d.max() <= 1.0, d.max()
