@@ -18,7 +18,6 @@ import numpy as np
 from moonrtx_tpu import constants as C
 from moonrtx_tpu.app import status as status_mod
 from moonrtx_tpu.app.codec import format_view_state
-from moonrtx_tpu.config import RenderConfig
 from moonrtx_tpu.engine.scene import MoonScene, default_camera
 from moonrtx_tpu.interact import navigation as nav
 from moonrtx_tpu.interact.measure import great_circle_distance_km
@@ -31,7 +30,7 @@ from moonrtx_tpu.overlays import (
     build_standard_labels,
     draw_overlays,
 )
-from moonrtx_tpu.types import Camera, MoonFeature
+from moonrtx_tpu.types import MoonFeature
 from moonrtx_tpu.utils.profiling import FrameStats
 
 

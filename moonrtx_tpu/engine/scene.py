@@ -31,7 +31,7 @@ from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
 from moonrtx_tpu.engine import camera as camera_mod
-from moonrtx_tpu.engine.camera import CameraBasis, camera_basis, pixel_ray
+from moonrtx_tpu.engine.camera import CameraBasis, camera_basis
 from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.ops import sampler
 from moonrtx_tpu.types import Camera, MoonEphemeris

@@ -15,7 +15,6 @@ map used by shading.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
