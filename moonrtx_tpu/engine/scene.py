@@ -1359,7 +1359,7 @@ class MoonScene:
                 h_scale=self.h_scale, h_offset=self.h_offset,
                 a_scale=self.a_scale,
                 slope_maps=self.slope_maps[level:level + 2],
-                return_caches=True)
+                return_caches=True, background=bg, use_bg=use_bg)
         return render_pose_sharded(
             self.mesh, self.mips[level], self.mips[nlevel],
             self.albedo_mips[alevel], self.albedo_mips[nalevel],

@@ -100,7 +100,8 @@ def _mask_blocks(x, own, packed_group: Optional[int]):
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse", "use_shadow", "interpret",
-                     "h_scale", "h_offset", "a_scale", "return_caches"),
+                     "h_scale", "h_offset", "a_scale", "return_caches",
+                     "use_bg"),
 )
 def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 maxmap, basis: CameraBasis, fp: FrameParams,
@@ -113,7 +114,8 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 interpret: bool = False,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
                                 a_scale: float = 1.0, slope_maps=None,
-                                return_caches: bool = False):
+                                return_caches: bool = False,
+                                background=None, use_bg: bool = False):
     """The flagship Pallas burst with the HEIGHTFIELD sharded, not just the
     image: banded_mips/banded_albedo are (n_dev, band_h_k+HALO, W_k[, 3])
     stacks (shard_bands) for the render level and the next-coarser level.
@@ -154,7 +156,7 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
         slope_maps = jnp.zeros((2, 1, 1), jnp.float32)
 
     def strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap,
-              slope_maps):
+              slope_maps, bg):
         idx = jax.lax.axis_index(TILE_AXIS)
         mips_loc = tuple(bm[0] for bm in bmips)      # (bh_k, W_k)
         alb_loc = tuple(bm[0] for bm in balb)        # (bh_k, W_k, 3)
@@ -258,7 +260,8 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
 
         rgb, hitbuf = blocked.composite_kernel_outputs(
             ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
-            geom0.dirs_scene, basis.eye, fp)
+            geom0.dirs_scene, basis.eye, fp,
+            background=bg if use_bg else None)
         if return_caches:
             return rgb, hitbuf, org_s, cache_s, packed
         return rgb, hitbuf
@@ -270,12 +273,14 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
         bmips = flat[:n_mips]
         balb = flat[n_mips:n_mips + n_alb]
         (maxmap, basis, fp, jitters, smap, bmap,
-         slope_maps) = flat[n_mips + n_alb:]
+         slope_maps, bg) = flat[n_mips + n_alb:]
         return strip(bmips, balb, maxmap, basis, fp, jitters, smap, bmap,
-                     slope_maps)
+                     slope_maps, bg)
 
+    bg_in = (background if background is not None
+             else jnp.zeros((height, width, 3), jnp.float32))
     in_specs = ((P(TILE_AXIS),) * (n_mips + n_alb)
-                + (P(), P(), P(), P(), P(), P(), P()))
+                + (P(), P(), P(), P(), P(), P(), P(), P(TILE_AXIS)))
     out_specs = ((P(TILE_AXIS),) * 5 if return_caches
                  else (P(TILE_AXIS), P(TILE_AXIS)))
     return shard_map(
@@ -284,4 +289,4 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
         out_specs=out_specs,
         check_vma=False,
     )(*banded_mips, *banded_albedo, maxmap, basis, fp, jitters,
-      smap_in, bmap_in, slope_maps)
+      smap_in, bmap_in, slope_maps, bg_in)

@@ -270,3 +270,24 @@ def test_mesh_interactive_randomized_stress(maps):
     img_cold = cold.render(1)
     d = np.abs(img.astype(np.float32) - img_cold.astype(np.float32))
     assert d.max() <= 1.0, (d.max(), (d > 1).mean())
+
+
+def test_mesh_mode_composites_star_background(maps):
+    """Mesh-mode frames must include the star background on miss pixels
+    (round-3 fix: the sharded strips previously composited without it) —
+    on the cached replicated path AND after a cached time step."""
+    elev, rs, albedo = maps
+    star = np.zeros((128, 256, 3), np.float32)
+    star[::4, ::4] = 1.0  # bright star lattice
+    s = MoonScene(_cfg(devices=8), elev, rs, albedo, star)
+    s.shadows_on = True
+    s.update_view()
+    img = s.render(1)
+    hit = s.hit_buffer_host()[: s.out_height, : s.out_width, 3] > 0
+    sky = img[~hit]
+    assert sky.max() > 60, "stars missing from mesh-mode sky"
+    # after a cached step the background must survive the timestep program
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    img2 = s.render(1)
+    sky2 = img2[~(s.hit_buffer_host()[: s.out_height, : s.out_width, 3] > 0)]
+    assert sky2.max() > 60
