@@ -180,7 +180,11 @@ class MoonScene:
 
         # Host pyramids stay referenced: band-sharding builds per-device
         # bands from them lazily, and full-resolution measurement samples
-        # endpoint windows from them without device transfers.
+        # the finest level without device transfers. Without a mesh only
+        # the measurement reader exists, so everything but level 0 is
+        # dropped after upload (host-RAM hygiene; the reference likewise
+        # keeps its one elevation array for measurement,
+        # renderer_navigation.py:555-596).
         self._host_mips = list(ps.mips)
         host_alb = [ps.albedo_kept[0]] * self.alb_min_level + list(
             ps.albedo_kept)
@@ -216,6 +220,9 @@ class MoonScene:
                 self.albedo_mips.append(uploaded[id(a)])
         self.maxmap = jnp.asarray(ps.maxmap)
         self.slope_maps = jnp.asarray(ps.slope_maps)
+        if self.mesh is None:
+            self._host_mips = [ps.mips[0]] + [None] * (len(ps.mips) - 1)
+            self._host_albedo = None
         self.starmap = (jnp.asarray(pad_lon_wrap(starmap, PAD_COLS))
                         if starmap is not None else None)
 
@@ -350,22 +357,50 @@ class MoonScene:
             if not (big(m) and divides(m) and divides(mips[nk])
                     and divides(albs[ak]) and divides(albs[nak])):
                 continue
-            saving = m.nbytes - band_bytes(m)
-            a_part = (albs[ak].nbytes - band_bytes(albs[ak])
-                      if big(albs[ak]) else 0)
-            cand.append((k, ak if big(albs[ak]) else None, saving, a_part))
-        cand.sort(key=lambda c: -(c[2] + c[3]))
+            cand.append((k, ak if big(albs[ak]) else None,
+                         m.nbytes + (albs[ak].nbytes if big(albs[ak])
+                                     else 0)))
+        cand.sort(key=lambda c: -c[2])
+
+        def projected_bytes(band_mips, band_albs):
+            """EXACT per-device footprint of a placement: replicated
+            levels in full, banded levels as band+halo — including the
+            lazily-banded (level+1, albedo, albedo+1) neighbors the hf
+            burst creates at render time, which coexist with their
+            replicated copies (round-3 review finding: the earlier
+            savings-based projection omitted those copies)."""
+            lazy_m, lazy_a = set(), set()
+            for k in band_mips:
+                nk = min(k + 1, len(mips) - 1)
+                if nk not in band_mips:
+                    lazy_m.add(nk)
+                for a in (alb_index(k), alb_index(nk)):
+                    if a not in band_albs:
+                        lazy_a.add(a)
+            tot = 0
+            for k, m in enumerate(mips):
+                tot += band_bytes(m) if k in band_mips else m.nbytes
+                if k in lazy_m:
+                    tot += band_bytes(m)
+            seen = set()
+            for k, a in enumerate(albs):
+                if k < self.alb_min_level or id(a) in seen:
+                    continue
+                seen.add(id(a))
+                tot += band_bytes(a) if k in band_albs else a.nbytes
+                if k in lazy_a:
+                    tot += band_bytes(a)
+            return tot
 
         band_mips, band_albs = set(), set()
         projected = total
-        for k, ak, saving, a_part in cand:
+        for k, ak, _ in cand:
             if projected <= budget:
                 break
             band_mips.add(k)
-            projected -= saving
-            if ak is not None and ak not in band_albs:
+            if ak is not None:
                 band_albs.add(ak)
-                projected -= a_part
+            projected = projected_bytes(band_mips, band_albs)
         if band_mips or band_albs:
             log_event("hfshard_engaged", devices=n_dev,
                       pyramid_bytes=total, budget_bytes=budget,
@@ -1156,11 +1191,16 @@ class MoonScene:
         if self.ephem is None:
             self.update_view(self.dt_local)
         level = self.mip_level()
-        while self.mips[level] is None or self.albedo_mips[level] is None:
+        if not (self.mesh is not None and self.displaced):
             # banded (mesh-HBM-sharded) level reached from a replicated
             # path (e.g. smooth-sphere preview): use the finest coarser
-            # level that is replicated
-            level += 1
+            # replicated level. The mesh path must NOT take this bump —
+            # it handles banded levels itself (hf_sharded routing), and
+            # bumping here would mix two mip levels in one accumulation
+            # and thrash the pose cache (round-3 review finding).
+            while (self.mips[level] is None
+                   or self.albedo_mips[level] is None):
+                level += 1
         tex = self.mips[level]
         alb = self.albedo_mips[level]
         h, w = self.mip_shapes[level]
@@ -1581,26 +1621,18 @@ class MoonScene:
         selenographic point: bilinear on the finest host pyramid level.
 
         Measurement drags sample two endpoints per mouse event — a pure
-        host read of the retained pyramid costs microseconds and no
+        host read of the retained finest level costs microseconds and no
         device transfer, at the source data's full resolution. (Round-2
         gap: Δh came from the ≤20-Mtexel elevation_host() level, ~16x
         coarser than the 118 m LDEM — too coarse for a crater rim.
         Reference: full-res bilinear sampling,
-        renderer_navigation.py:555-596.)"""
-        m = self._host_mips[0]
-        h, w = self.mip_shapes[0]
-        row = (90.0 - lat) / 180.0 * h - 0.5
-        col = ((lon + 180.0) / 360.0 * w - 0.5) % w
-        r0 = int(np.clip(math.floor(row), 0, h - 2))
-        fr = min(max(row - r0, 0.0), 1.0)
-        c0 = int(math.floor(col))
-        fc = col - c0
-        # the pyramid stores PAD_COLS wrap columns at the right edge, so
-        # c0+1 <= w stays in-bounds without a modulo
-        win = m[r0:r0 + 2, c0:c0 + 2].astype(np.float32)
-        if self.quantized:
-            win = win * self.h_scale + self.h_offset
-        val = (win[0, 0] * (1 - fr) * (1 - fc) + win[1, 0] * fr * (1 - fc)
-               + win[0, 1] * (1 - fr) * fc + win[1, 1] * fr * fc)
-        return (float(val) * self.radius_scale - 1.0) \
-            * C.MOON_RADIUS_KM * 1000.0
+        renderer_navigation.py:555-596.) Shares the bilinear/wrap math
+        with interact.measure.elevation_m; only the storage decode
+        differs."""
+        from moonrtx_tpu.interact.measure import elevation_m
+
+        w = self.mip_shapes[0][1]
+        return elevation_m(
+            self._host_mips[0][:, :w], self.radius_scale, lat, lon,
+            scale=self.h_scale if self.quantized else 1.0,
+            offset=self.h_offset if self.quantized else 0.0)

@@ -23,12 +23,16 @@ def great_circle_distance_km(lat1: float, lon1: float,
 
 
 def elevation_m(elevation: np.ndarray, radius_scale: float,
-                lat: float, lon: float) -> float:
+                lat: float, lon: float,
+                scale: float = 1.0, offset: float = 0.0) -> float:
     """Bilinear elevation sample in meters relative to the reference radius.
 
     Texel-center convention with longitude wrap at the +/-180 seam
     (reference renderer_navigation.py:555-596); the stored values are
     peak-normalized displacement factors, rescaled by radius_scale.
+    scale/offset decode quantized (int16) storage per sampled texel —
+    the shared math for both the host-level copy and the full-resolution
+    pyramid reader (MoonScene.elevation_m_at).
     """
     h, w = elevation.shape[0], elevation.shape[1]
     row = (90.0 - lat) / 180.0 * h - 0.5
@@ -40,11 +44,11 @@ def elevation_m(elevation: np.ndarray, radius_scale: float,
     c1 = (c0 + 1) % w
     fc = col - c0
 
-    val = (elevation[r0, c0] * (1 - fr) * (1 - fc)
-           + elevation[r0 + 1, c0] * fr * (1 - fc)
-           + elevation[r0, c1] * (1 - fr) * fc
-           + elevation[r0 + 1, c1] * fr * fc)
-    displacement = float(val) * radius_scale
+    val = (float(elevation[r0, c0]) * (1 - fr) * (1 - fc)
+           + float(elevation[r0 + 1, c0]) * fr * (1 - fc)
+           + float(elevation[r0, c1]) * (1 - fr) * fc
+           + float(elevation[r0 + 1, c1]) * fr * fc)
+    displacement = (val * scale + offset) * radius_scale
     return (displacement - 1.0) * C.MOON_RADIUS_KM * 1000.0
 
 

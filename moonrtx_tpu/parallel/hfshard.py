@@ -219,49 +219,15 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                   bounce_map=bmap if use_bounce else None)
               if use_sh else None)
         packed = blocked.pack_windows(cache_s, org_s, sw)
-        params = blocked._kernel_params(
-            geom.ob, fp, smap_params, use_sh,
-            2.0 * basis.tan_half_fov / height, ah, aw)
-        ns = nblk_s // blocked.GROUP
 
-        from moonrtx_tpu.ops import pallas_march as pk
-
-        def run_kernel(g):
-            G, B = blocked.GROUP, blocked.BLOCK
-            return pk.march_shade_pallas(
-                params,
-                g.db[..., 0].reshape(ns, G, B),
-                g.db[..., 1].reshape(ns, G, B),
-                g.db[..., 2].reshape(ns, G, B),
-                g.t_enter.reshape(ns, G, B),
-                g.t_end.reshape(ns, G, B),
-                g.hit_outer.astype(jnp.float32).reshape(ns, G, B),
-                packed.scal, packed.hwin, packed.awin, packed.swin,
-                h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
-                use_earth=fp.earth is not None, interpret=interpret)
-
-        def strip_rays(jitter):
-            return blocked.block_rays(
-                basis, fp.rotation, jitter, strip_h, width, h_min,
-                maxmap=maxmap, row_offset=idx * strip_h,
-                full_height=height)
-
-        geom0 = strip_rays(jitters[0])
-        r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
-
-        def sample(i, acc):
-            r, g, b, *_ = run_kernel(strip_rays(jitters[i]))
-            k = i + 1.0
-            return tuple(a + (v - a) / k
-                         for a, v in zip(acc, (r, g, b)))
-
-        ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample,
-                                       (r0_, g0_, b0_))
-
-        rgb, hitbuf = blocked.composite_kernel_outputs(
-            ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
-            geom0.dirs_scene, basis.eye, fp,
-            background=bg if use_bg else None)
+        # the burst itself is the shared strip burst (warm-started
+        # samples, background compositing) — one implementation for the
+        # replicated and banded mesh paths (parallel/tiles.py)
+        from moonrtx_tpu.parallel.tiles import _strip_burst
+        rgb, hitbuf = _strip_burst(
+            packed, smap_params, bg if use_bg else None, maxmap, basis,
+            fp, jitters, strip_h, width, height, idx * strip_h, h, w,
+            ah, aw, h_min, n_samples, n_coarse, use_sh, interpret)
         if return_caches:
             return rgb, hitbuf, org_s, cache_s, packed
         return rgb, hitbuf

@@ -15,6 +15,7 @@ map used by shading.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -313,7 +314,7 @@ def _strip_burst(packed, smap_params, background, maxmap, basis, fp,
         2.0 * basis.tan_half_fov / height, ah, aw)
     ns = geom0.db.shape[0] // blocked.GROUP
 
-    def run_kernel(geom):
+    def run_kernel(geom, t_prev=None, f_prev=None):
         G, B = blocked.GROUP, blocked.BLOCK
         return pk.march_shade_pallas(
             params,
@@ -325,16 +326,28 @@ def _strip_burst(packed, smap_params, background, maxmap, basis, fp,
             geom.hit_outer.astype(jnp.float32).reshape(ns, G, B),
             packed.scal, packed.hwin, packed.awin, packed.swin,
             h=h, w=w, n_coarse=n_coarse, use_shadow=use_sh,
-            use_earth=fp.earth is not None, interpret=interpret)
+            use_earth=fp.earth is not None, interpret=interpret,
+            t_prev=t_prev, f_prev=f_prev)
 
     r0_, g0_, b0_, hit0, t0_, px0, py0, pz0 = run_kernel(geom0)
 
-    def sample(i, acc):
-        r, g, b, *_ = run_kernel(rays(jitters[i]))
-        k = i + 1.0
-        return tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+    # samples >= 2 warm-start from the previous sample's hit state, same
+    # as the single-device burst (blocked._burst_core): re-bracketing
+    # strips skip the full coarse march
+    warm = os.environ.get("MOONRTX_NO_WARM_START") is None
 
-    ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample, (r0_, g0_, b0_))
+    def sample(i, carry):
+        acc, tp, fpv = carry
+        r, g, b, hitf, t_hit, *_ = run_kernel(
+            rays(jitters[i]),
+            t_prev=tp if warm else None,
+            f_prev=fpv if warm else None)
+        k = i + 1.0
+        acc = tuple(a + (v - a) / k for a, v in zip(acc, (r, g, b)))
+        return acc, t_hit, hitf
+
+    (ar, ag, ab), _, _ = jax.lax.fori_loop(
+        1, n_samples, sample, ((r0_, g0_, b0_), t0_, hit0))
     return blocked.composite_kernel_outputs(
         ar, ag, ab, hit0, t0_, px0, py0, pz0, strip_h, width,
         geom0.dirs_scene, basis.eye, fp, background=background)
@@ -371,6 +384,7 @@ def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
     mip_pad_w = mip.shape[1]
     a_pad_w = albedo_mip.shape[1]
     use_sh = use_shadow and smap is not None
+    use_bounce = bmap is not None
 
     def strip(mip, mip_next, albedo_mip, albedo_next, slope_maps, smap,
               bmap, bg, maxmap, basis, fp, jitters):
@@ -386,8 +400,9 @@ def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
         cache = blocked.extract_window_cache(
             (mip, mip_next), (albedo_mip, albedo_next), org,
             h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
-        sw = (blocked.build_shadow_windows(smap, smap_params, geom0,
-                                           bounce_map=bmap)
+        sw = (blocked.build_shadow_windows(
+                  smap, smap_params, geom0,
+                  bounce_map=bmap if use_bounce else None)
               if use_sh else None)
         packed = blocked.pack_windows(cache, org, sw)
         rgb, hitbuf = _strip_burst(
@@ -434,6 +449,7 @@ def render_timestep_sharded(mesh: Mesh, smap, smap_params, bmap,
     n_dev = mesh.shape[TILE_AXIS]
     strip_h = height // n_dev
     use_sh = use_shadow and smap is not None
+    use_bounce = bmap is not None
 
     def strip(smap, bmap, cache, org, hwin_p, awin_p, bg, maxmap, basis,
               fp, jitters):
@@ -443,8 +459,9 @@ def render_timestep_sharded(mesh: Mesh, smap, smap_params, bmap,
                                    strip_h, width, h_min, maxmap=maxmap,
                                    row_offset=row_offset,
                                    full_height=height)
-        sw = (blocked.build_shadow_windows(smap, smap_params, geom0,
-                                           bounce_map=bmap)
+        sw = (blocked.build_shadow_windows(
+                  smap, smap_params, geom0,
+                  bounce_map=bmap if use_bounce else None)
               if use_sh else None)
         swin_p, scal = blocked._pack_sun_parts(cache, org, sw)
         packed = blocked.PackedWindows(hwin=hwin_p, awin=awin_p,

@@ -248,3 +248,35 @@ def test_banded_scene_interactive_cached_steps(monkeypatch):
     img_cold = cold.render(1)
     d = np.abs(img_step.astype(np.float32) - img_cold.astype(np.float32))
     assert d.max() <= 1.0, d.max()
+
+
+def test_banded_progressive_accumulation_stays_on_one_level(monkeypatch):
+    """Regression (round-3 review): progressive accumulation samples
+    after the first burst went through render_accumulation_frame, whose
+    banded-level bump switched the MESH path to a coarser replicated
+    level — mixing two mip levels in one image and thrashing the pose
+    cache. The bump now applies only to non-mesh fallbacks."""
+    monkeypatch.setattr(
+        "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)
+    elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=120)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=2,
+        devices=8, hbm_budget_gb=1e-6,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    s.shadows_on = True
+    s.update_view()
+    s.render(1)
+    lvl = s._cache_level
+    assert s.hf_sharded() and s.mips[lvl] is None
+    # idle-time refinement: two more samples through the frame path
+    s.ensure_accumulated(2)
+    s.ensure_accumulated(3)
+    assert s._cache_level == lvl, "accumulation switched mip levels"
+    # and only the banded level (+ its lazy neighbors) were banded — the
+    # coarser replicated level was never pulled into the banded set
+    assert all(k <= lvl + 1 or k in s._band_levels
+               for k in s._banded_mips), sorted(s._banded_mips)

@@ -291,3 +291,23 @@ def test_mesh_mode_composites_star_background(maps):
     img2 = s.render(1)
     sky2 = img2[~(s.hit_buffer_host()[: s.out_height, : s.out_width, 3] > 0)]
     assert sky2.max() > 60
+
+
+def test_mesh_mode_no_indirect_light(maps):
+    """Regression (round-3 review): the cached mesh programs passed the
+    (1,1) shard_map dummy as a REAL bounce map when indirect light is
+    off, crashing window slicing on the first frame. Shadows on +
+    indirect off must render, step, and prefetch."""
+    elev, rs, albedo = maps
+    s = MoonScene(_cfg(devices=8, indirect_light=False), elev, rs, albedo,
+                  None)
+    s.shadows_on = True
+    s.update_view()
+    img = s.render(1)
+    assert img.max() > 0
+    assert s._bounce is None
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    assert s.render(1).max() > 0           # cached timestep, no bounce
+    assert s.prefetch_time(s.dt_local + timedelta(minutes=15))
+    s.update_view(s.dt_local + timedelta(minutes=15))
+    assert s.render(1).max() > 0           # consumed speculation
