@@ -17,6 +17,8 @@ PRESET_KEYS = [
     "parallactic_mode", "shadow_accuracy", "elevation_file", "color_file",
     "starmap_file", "features_file", "init_view",
     "backend", "width", "height",
+    "photometric", "eclipse_shading", "earthshine",
+    "devices", "hbm_budget_gb",
 ]
 
 

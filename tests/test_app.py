@@ -141,3 +141,13 @@ def test_frame_stats():
     assert "FPS" in fs.status_text(1000)
     fs.reset()
     assert fs.fps == 0.0
+
+
+def test_preset_carries_every_launcher_field(tmp_path):
+    """Regression: PRESET_KEYS silently dropped the physics and mesh
+    fields the launcher form exposes (photometric, eclipse/earthshine
+    toggles, devices, HBM budget) — a saved preset lost them on reload."""
+    values = {"photometric": "lunar", "eclipse_shading": False,
+              "earthshine": False, "devices": 8, "hbm_budget_gb": 12.5}
+    presets.save_preset("phys", values, str(tmp_path))
+    assert presets.load_preset("phys", str(tmp_path)) == values
