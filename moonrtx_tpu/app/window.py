@@ -142,6 +142,12 @@ def run_window(config: RenderConfig) -> None:
         action = session.handle_key(
             event.keysym, shift=bool(event.state & 0x1),
             ctrl=bool(event.state & 0x4), cursor=(event.x, event.y))
+        if event.keysym.lower() in ("q", "w", "m", "n", "t") \
+                or event.keysym in ("F9", "F10"):
+            # manual time/step changes restart the auto-advance interval
+            # (reference moon_renderer.py:350-354, 384-421 resets
+            # _auto_advance_elapsed on change_time/change_time_step/now)
+            state["auto_elapsed"] = 0
         if action == "save_dialog":
             save_dialog()
         elif action == "search_dialog":
