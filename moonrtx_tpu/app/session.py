@@ -64,6 +64,12 @@ class Session:
         # change_time, consumed (one prefetch dispatch) by frame()
         self._prefetch_step_minutes: Optional[int] = None
         self._last_step_minutes: Optional[int] = None
+        # bumped by every manual time/step change; the window's
+        # auto-advance restarts its interval when it observes a new epoch
+        # (reference resets _auto_advance_elapsed inside
+        # change_time/change_time_step/set_time_to_now,
+        # moon_renderer.py:350-354, 384-421)
+        self.time_epoch = 0
 
         # measurement state
         self.measuring = False
@@ -100,6 +106,7 @@ class Session:
         # on (hit rate unchanged), while direction-flappy scrubbing
         # degrades to plain merged steps instead of paying miss + stale
         # device work on every flip.
+        self.time_epoch += 1
         prev = self._last_step_minutes
         self._last_step_minutes = delta_minutes
         if prev is None or (prev > 0) == (delta_minutes > 0):
@@ -108,12 +115,15 @@ class Session:
             self._prefetch_step_minutes = None
 
     def set_time_to_now(self) -> None:
+        self.time_epoch += 1
         self.scene.update_view(datetime.now().astimezone())
 
     def set_time(self, dt_local: datetime) -> None:
+        self.time_epoch += 1
         self.scene.update_view(dt_local)
 
     def change_time_step(self, delta: int) -> None:
+        self.time_epoch += 1
         self.time_step_minutes = int(np.clip(
             self.time_step_minutes + delta, *C.TIME_STEP_RANGE))
 

@@ -111,7 +111,7 @@ def run_window(config: RenderConfig) -> None:
 
     state = {"photo": None, "accum_target": config.accumulation_frames,
              "measuring_line": None, "auto_advance_id": None,
-             "auto_elapsed": 0}
+             "auto_elapsed": 0, "time_epoch": session.time_epoch}
 
     def refresh_status():
         panels = session.status_panels()
@@ -134,6 +134,13 @@ def run_window(config: RenderConfig) -> None:
             root.after(1, present)
 
     def full_redraw():
+        # manual time/step changes (keys OR dialogs) restart the
+        # auto-advance interval, exactly where the session recorded them
+        # (session.time_epoch; reference resets _auto_advance_elapsed
+        # inside change_time/change_time_step/now)
+        if state["time_epoch"] != session.time_epoch:
+            state["time_epoch"] = session.time_epoch
+            state["auto_elapsed"] = 0
         present()
 
     # --- event handlers -----------------------------------------------------
@@ -142,12 +149,7 @@ def run_window(config: RenderConfig) -> None:
         action = session.handle_key(
             event.keysym, shift=bool(event.state & 0x1),
             ctrl=bool(event.state & 0x4), cursor=(event.x, event.y))
-        if event.keysym.lower() in ("q", "w", "m", "n", "t") \
-                or event.keysym in ("F9", "F10"):
-            # manual time/step changes restart the auto-advance interval
-            # (reference moon_renderer.py:350-354, 384-421 resets
-            # _auto_advance_elapsed on change_time/change_time_step/now)
-            state["auto_elapsed"] = 0
+
         if action == "save_dialog":
             save_dialog()
         elif action == "search_dialog":

@@ -363,18 +363,26 @@ class MoonScene:
         cand.sort(key=lambda c: -c[2])
 
         def projected_bytes(band_mips, band_albs):
-            """EXACT per-device footprint of a placement: replicated
-            levels in full, banded levels as band+halo — including the
-            lazily-banded (level+1, albedo, albedo+1) neighbors the hf
-            burst creates at render time, which coexist with their
-            replicated copies (round-3 review finding: the earlier
-            savings-based projection omitted those copies)."""
+            """Worst-case per-device footprint of a placement: replicated
+            levels in full, banded levels as band+halo — including every
+            lazily-banded copy the hf burst can create at render time.
+            The hf route engages for ANY render level whose (level,
+            level+1, albedo, albedo+1) set touches a banded entry (a
+            replicated level adjacent to a banded one, or sharing a
+            banded albedo, still renders banded), and each such level
+            lazily bands its whole set; those copies coexist with their
+            replicated originals (round-3 review findings)."""
             lazy_m, lazy_a = set(), set()
-            for k in band_mips:
-                nk = min(k + 1, len(mips) - 1)
-                if nk not in band_mips:
-                    lazy_m.add(nk)
-                for a in (alb_index(k), alb_index(nk)):
+            for r in range(len(mips)):
+                nr = min(r + 1, len(mips) - 1)
+                ar, nar = alb_index(r), alb_index(nr)
+                if not (r in band_mips or nr in band_mips
+                        or ar in band_albs or nar in band_albs):
+                    continue
+                for k in (r, nr):
+                    if k not in band_mips:
+                        lazy_m.add(k)
+                for a in (ar, nar):
                     if a not in band_albs:
                         lazy_a.add(a)
             tot = 0
@@ -392,14 +400,30 @@ class MoonScene:
                     tot += band_bytes(a)
             return tot
 
+        def closure_bandable(band_mips, band_albs):
+            """Every level the hf route would lazily band under this plan
+            must divide the mesh, or rendering would raise at runtime."""
+            for r in range(len(mips)):
+                nr = min(r + 1, len(mips) - 1)
+                ar, nar = alb_index(r), alb_index(nr)
+                if not (r in band_mips or nr in band_mips
+                        or ar in band_albs or nar in band_albs):
+                    continue
+                if not (divides(mips[r]) and divides(mips[nr])
+                        and divides(albs[ar]) and divides(albs[nar])):
+                    return False
+            return True
+
         band_mips, band_albs = set(), set()
         projected = total
         for k, ak, _ in cand:
             if projected <= budget:
                 break
-            band_mips.add(k)
-            if ak is not None:
-                band_albs.add(ak)
+            trial_m = band_mips | {k}
+            trial_a = band_albs | ({ak} if ak is not None else set())
+            if not closure_bandable(trial_m, trial_a):
+                continue
+            band_mips, band_albs = trial_m, trial_a
             projected = projected_bytes(band_mips, band_albs)
         if band_mips or band_albs:
             log_event("hfshard_engaged", devices=n_dev,

@@ -39,12 +39,14 @@ def main():
     from moonrtx_tpu.app.cli import config_from_args, parse_args
     from moonrtx_tpu.app.headless import build_scene
 
-    argv = sys.argv[1:]
-    if "--no-download" not in argv:
-        argv = argv + ["--no-download"]
-    if not any(a == "--lat" for a in argv):
-        argv = argv + ["--lat", "50.06", "--lon", "19.94",
-                       "--time", "2024-04-15T21:00:00Z"]
+    # Defaults FIRST so any user flag wins (argparse last-wins, and this
+    # also covers --lat=VALUE forms). No --no-download injection: the
+    # tool must warm against the SAME data files the app will use —
+    # programs are shape-specialized to the map pyramids, so warming
+    # against the procedural fallback while the app later downloads the
+    # real LDEM would waste the entire warm (round-3 review finding).
+    argv = ["--lat", "50.06", "--lon", "19.94",
+            "--time", "2024-04-15T21:00:00Z"] + sys.argv[1:]
     cfg = config_from_args(parse_args(argv))
 
     import jax
