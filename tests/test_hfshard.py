@@ -280,3 +280,51 @@ def test_banded_progressive_accumulation_stays_on_one_level(monkeypatch):
     # coarser replicated level was never pulled into the banded set
     assert all(k <= lvl + 1 or k in s._band_levels
                for k in s._banded_mips), sorted(s._banded_mips)
+
+
+def test_banded_scene_zoom_across_placement_boundary(monkeypatch):
+    """Zooming changes the render level; crossing between banded and
+    replicated levels must re-extract cleanly in both directions (the
+    placement routing is per-frame: _pose_program_sharded picks the hf
+    or replicated pose program by hf_sharded())."""
+    from moonrtx_tpu.types import Camera
+
+    monkeypatch.setattr(
+        "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)
+    elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=120)
+    rs = float(elev.max())
+    cfg = RenderConfig(
+        observer=Observer(50.06, 19.94, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=128, height=128, shadow_accuracy=1,
+        devices=8, hbm_budget_gb=1e-6,
+    ).validate()
+    s = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    s.update_view()
+    lvl_near = s.mip_level()
+    assert s.hf_sharded()
+    img_near = s.render(1)
+    assert img_near.max() > 0
+
+    # zoom the camera out until the render level leaves the banded set
+    cam = s.camera
+    for zoom in (3.0, 6.0, 12.0):
+        far = Camera(eye=[c * zoom for c in cam.eye], target=cam.target,
+                     up=cam.up, fov=cam.fov)
+        s.set_camera(far)
+        if s.mip_level() != lvl_near:
+            break
+    lvl_far = s.mip_level()
+    assert lvl_far != lvl_near, "zoom did not change the level"
+    img_far = s.render(1)
+    assert img_far.max() > 0
+    assert s._cache_level == lvl_far
+
+    # and back in: banded routing again, parity with a cold scene
+    s.set_camera(cam)
+    img_back = s.render(1)
+    cold = MoonScene(cfg, (elev / rs).astype(np.float32), rs, albedo, None)
+    cold.update_view(s.dt_local)
+    d = np.abs(img_back.astype(np.float32)
+               - cold.render(1).astype(np.float32))
+    assert d.max() <= 1.0, d.max()
