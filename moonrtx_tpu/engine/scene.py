@@ -31,6 +31,7 @@ from moonrtx_tpu.engine import blocked
 from moonrtx_tpu.engine import light as light_mod
 from moonrtx_tpu.engine import render as render_mod
 from moonrtx_tpu.engine import camera as camera_mod
+from moonrtx_tpu.engine import geometry
 from moonrtx_tpu.engine.camera import CameraBasis, camera_basis
 from moonrtx_tpu.engine.render import FrameParams
 from moonrtx_tpu.ops import sampler
@@ -130,9 +131,7 @@ def _render_background(starmap, forward, right, up, tan_half_fov, shape2):
     d = (forward[None, None, :]
          + tan_half_fov * (u[..., None] * right[None, None, :]
                            + v[..., None] * up[None, None, :]))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    lat = jnp.rad2deg(jnp.arcsin(jnp.clip(d[..., 2], -1, 1)))
-    lon = jnp.rad2deg(jnp.arctan2(d[..., 0], -d[..., 1]))
+    lat, lon = geometry.unit_to_latlon(d)
     h, w = starmap.shape[0], starmap.shape[1] - PAD_COLS
     row, col = sampler.latlon_to_rowcol(lat, lon, h, w)
     return sampler.gather_bilinear(starmap, row, col)
@@ -346,14 +345,28 @@ class MoonScene:
             return min(max(k + blocked.ALB_DOWN, self.alb_min_level),
                        len(albs) - 1)
 
+        def level_set(r):
+            """The exact (mip, mip+1, albedo, albedo+1) indices the hf
+            burst samples for render level r — MUST mirror
+            _pose_program_sharded/hf_sharded (nalevel is
+            albedo_level(r)+1, not albedo_level(r+1))."""
+            nr = min(r + 1, len(mips) - 1)
+            ar = alb_index(r)
+            nar = min(ar + 1, len(albs) - 1)
+            return r, nr, ar, nar
+
+        def hf_routed(r, band_mips, band_albs):
+            rr, nr, ar, nar = level_set(r)
+            return (rr in band_mips or nr in band_mips
+                    or ar in band_albs or nar in band_albs)
+
         # Candidates are RENDER levels: banding level k bands mips[k] and
         # its albedo together, and requires (k, k+1, albedo(k),
         # albedo(k)+1) all divisible so the (level, level+1) sampling pair
         # the hf burst reads is always bandable.
         cand = []
         for k, m in enumerate(mips):
-            nk = min(k + 1, len(mips) - 1)
-            ak, nak = alb_index(k), alb_index(nk)
+            _, nk, ak, nak = level_set(k)
             if not (big(m) and divides(m) and divides(mips[nk])
                     and divides(albs[ak]) and divides(albs[nak])):
                 continue
@@ -374,12 +387,10 @@ class MoonScene:
             replicated originals (round-3 review findings)."""
             lazy_m, lazy_a = set(), set()
             for r in range(len(mips)):
-                nr = min(r + 1, len(mips) - 1)
-                ar, nar = alb_index(r), alb_index(nr)
-                if not (r in band_mips or nr in band_mips
-                        or ar in band_albs or nar in band_albs):
+                if not hf_routed(r, band_mips, band_albs):
                     continue
-                for k in (r, nr):
+                rr, nr, ar, nar = level_set(r)
+                for k in (rr, nr):
                     if k not in band_mips:
                         lazy_m.add(k)
                 for a in (ar, nar):
@@ -404,12 +415,10 @@ class MoonScene:
             """Every level the hf route would lazily band under this plan
             must divide the mesh, or rendering would raise at runtime."""
             for r in range(len(mips)):
-                nr = min(r + 1, len(mips) - 1)
-                ar, nar = alb_index(r), alb_index(nr)
-                if not (r in band_mips or nr in band_mips
-                        or ar in band_albs or nar in band_albs):
+                if not hf_routed(r, band_mips, band_albs):
                     continue
-                if not (divides(mips[r]) and divides(mips[nr])
+                rr, nr, ar, nar = level_set(r)
+                if not (divides(mips[rr]) and divides(mips[nr])
                         and divides(albs[ar]) and divides(albs[nar])):
                     return False
             return True
@@ -1411,6 +1420,13 @@ class MoonScene:
         ah, aw = self.mip_shapes[alevel]
         nlevel = min(level + 1, len(self.mips) - 1)
         nalevel = min(alevel + 1, len(self.albedo_mips) - 1)
+        # at the coarsest level the "next" map aliases the render map:
+        # q=2 origins would be computed in half-res coordinates against
+        # the full-res array (round-3 review finding) — disable striding
+        # exactly like the single-device max_qexp guard (scene.py pose
+        # path)
+        max_qexp = max(0, min(1, len(self.mips) - 1 - level,
+                              len(self.albedo_mips) - 1 - alevel))
         if self.hf_sharded():
             bmips = (self._banded_mip(level), self._banded_mip(nlevel))
             balb = (self._banded_alb(alevel), self._banded_alb(nalevel))
@@ -1423,7 +1439,8 @@ class MoonScene:
                 h_scale=self.h_scale, h_offset=self.h_offset,
                 a_scale=self.a_scale,
                 slope_maps=self.slope_maps[level:level + 2],
-                return_caches=True, background=bg, use_bg=use_bg)
+                return_caches=True, background=bg, use_bg=use_bg,
+                max_qexp=max_qexp)
         return render_pose_sharded(
             self.mesh, self.mips[level], self.mips[nlevel],
             self.albedo_mips[alevel], self.albedo_mips[nalevel],
@@ -1433,7 +1450,7 @@ class MoonScene:
             n_samples=n_samples, use_shadow=self.shadows_on,
             use_bg=use_bg, interpret=self._interp(),
             h_scale=self.h_scale, h_offset=self.h_offset,
-            a_scale=self.a_scale)
+            a_scale=self.a_scale, max_qexp=max_qexp)
 
     def _dispatch_mesh_step(self, fp, sun_unit, ang, jitters,
                             n_samples: int, level: int):

@@ -101,7 +101,7 @@ def _mask_blocks(x, own, packed_group: Optional[int]):
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse", "use_shadow", "interpret",
                      "h_scale", "h_offset", "a_scale", "return_caches",
-                     "use_bg"),
+                     "use_bg", "max_qexp"),
 )
 def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 maxmap, basis: CameraBasis, fp: FrameParams,
@@ -115,7 +115,8 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
                                 a_scale: float = 1.0, slope_maps=None,
                                 return_caches: bool = False,
-                                background=None, use_bg: bool = False):
+                                background=None, use_bg: bool = False,
+                                max_qexp: int = 1):
     """The flagship Pallas burst with the HEIGHTFIELD sharded, not just the
     image: banded_mips/banded_albedo are (n_dev, band_h_k+HALO, W_k[, 3])
     stacks (shard_bands) for the render level and the next-coarser level.
@@ -163,9 +164,10 @@ def render_burst_pallas_hfshard(mesh: Mesh, banded_mips, banded_albedo,
 
         # full-frame geometry (every device runs the same cheap math)
         geom = blocked.block_rays(basis, fp.rotation, jitters[0],
-                                  height, width, h_min, maxmap=maxmap)
+                                  height, width, h_min, maxmap=maxmap,
+                                  image_dirs=False)
         org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw,
-                                     a_pad_w, max_qexp=1,
+                                     a_pad_w, max_qexp=max_qexp,
                                      slope_maps=slope_maps)
         qexp = jnp.round(jnp.log2(org.q)).astype(jnp.int32)
         qi = jnp.clip(qexp, 0, len(mips_loc) - 1)

@@ -31,7 +31,8 @@ from moonrtx_tpu.parallel.mesh import TILE_AXIS
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
-                     "n_coarse", "h_scale", "h_offset", "a_scale"),
+                     "n_coarse", "h_scale", "h_offset", "a_scale",
+                     "max_qexp"),
 )
 def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          albedo_next, maxmap,
@@ -41,7 +42,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                          shadow_map=None, smap_params=None,
                          bounce_map=None, n_coarse: int = 24,
                          h_scale: float = 1.0, h_offset: float = 0.0,
-                         a_scale: float = 1.0):
+                         a_scale: float = 1.0, max_qexp: int = 1):
     """One frame with rows sharded over the mesh. Returns (rgb, hitbuf)
     sharded by rows; mips replicated.
 
@@ -63,7 +64,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                   strip_h, width, h_min, maxmap=maxmap,
                                   row_offset=row_offset, full_height=height)
         org = blocked.window_origins(geom, h, w, mip_pad_w, ah, aw, a_pad_w,
-                                     max_qexp=1)
+                                     max_qexp=max_qexp)
         cache = blocked.extract_window_cache(
             (mip, mip_next), (albedo_mip, albedo_next), org,
             h_scale=h_scale, h_offset=h_offset, a_scale=a_scale)
@@ -98,7 +99,7 @@ def render_frame_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse", "use_shadow", "interpret",
-                     "h_scale", "h_offset", "a_scale"),
+                     "h_scale", "h_offset", "a_scale", "max_qexp"),
 )
 def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                 albedo_next, maxmap,
@@ -110,7 +111,8 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
                                 n_coarse: int = 12, use_shadow: bool = True,
                                 interpret: bool = False,
                                 h_scale: float = 1.0, h_offset: float = 0.0,
-                                a_scale: float = 1.0, slope_maps=None):
+                                a_scale: float = 1.0, slope_maps=None,
+                                max_qexp: int = 1):
     """The FLAGSHIP path sharded: per row strip, window extraction + kernel
     pack + the fused Pallas march/shade accumulation burst all run inside
     shard_map — the whole pose-change-to-accumulated-frame pipeline is one
@@ -152,7 +154,7 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 
         geom0 = rays(jitters[0])
         org = blocked.window_origins(geom0, h, w, mip_pad_w, ah, aw,
-                                     a_pad_w, max_qexp=1,
+                                     a_pad_w, max_qexp=max_qexp,
                                      slope_maps=slope_maps)
         cache = blocked.extract_window_cache(
             (mip, mip_next), (albedo_mip, albedo_next), org,
@@ -361,7 +363,8 @@ def _dummy(x):
     jax.jit,
     static_argnames=("mesh", "height", "width", "h", "w", "ah", "aw",
                      "n_coarse", "use_shadow", "use_bg",
-                     "interpret", "h_scale", "h_offset", "a_scale"),
+                     "interpret", "h_scale", "h_offset", "a_scale",
+                     "max_qexp"),
 )
 def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
                         slope_maps, smap, smap_params, bmap, background,
@@ -371,7 +374,8 @@ def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
                         n_samples: int = 1, n_coarse: int = 12,
                         use_shadow: bool = True, use_bg: bool = False,
                         interpret: bool = False, h_scale: float = 1.0,
-                        h_offset: float = 0.0, a_scale: float = 1.0):
+                        h_offset: float = 0.0, a_scale: float = 1.0,
+                        max_qexp: int = 1):
     """Mesh pose-change hot path: per strip, rays + window origins +
     extraction + kernel pack + shadow windows + burst in ONE sharded
     program. Returns (rgb, hitbuf, org, cache, packed) with org/cache/
@@ -395,7 +399,7 @@ def render_pose_sharded(mesh: Mesh, mip, mip_next, albedo_mip, albedo_next,
                                    row_offset=row_offset,
                                    full_height=height)
         org = blocked.window_origins(geom0, h, w, mip_pad_w, ah, aw,
-                                     a_pad_w, max_qexp=1,
+                                     a_pad_w, max_qexp=max_qexp,
                                      slope_maps=slope_maps)
         cache = blocked.extract_window_cache(
             (mip, mip_next), (albedo_mip, albedo_next), org,

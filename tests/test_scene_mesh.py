@@ -311,3 +311,36 @@ def test_mesh_mode_no_indirect_light(maps):
     assert s.prefetch_time(s.dt_local + timedelta(minutes=15))
     s.update_view(s.dt_local + timedelta(minutes=15))
     assert s.render(1).max() > 0           # consumed speculation
+
+
+def test_mesh_coarsest_level_matches_single_device(maps):
+    """Regression (round-3 review): the sharded programs hardcoded
+    max_qexp=1, so at the COARSEST pyramid level (where scene passes
+    mip_next aliased to the same array) limb blocks with stride q=2
+    computed half-resolution window origins against the full-resolution
+    map and shaded from unrelated terrain. The scene now disables
+    striding at the boundary exactly like the single-device guard."""
+    from moonrtx_tpu.types import Camera
+
+    elev, rs, albedo = maps
+    single = MoonScene(_cfg(), elev, rs, albedo, None)
+    single.update_view()
+    meshed = MoonScene(_cfg(devices=8), elev, rs, albedo, None)
+    meshed.update_view()
+
+    # zoom far out until the render level is the last pyramid level
+    cam = single.camera
+    zoom = 1.0
+    while (single.mip_level() < len(single.mips) - 1 and zoom < 64):
+        zoom *= 2
+        far = Camera(eye=[c * zoom for c in cam.eye], target=cam.target,
+                     up=cam.up, fov=cam.fov)
+        single.set_camera(far)
+        meshed.set_camera(far)
+    assert single.mip_level() == len(single.mips) - 1
+
+    img_s = single.render(1).astype(np.float32)
+    img_m = meshed.render(1).astype(np.float32)
+    d = np.abs(img_m - img_s)
+    assert np.percentile(d, 99) < 6.0, np.percentile(d, 99)
+    assert d.mean() < 1.0, d.mean()
