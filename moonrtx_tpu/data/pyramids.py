@@ -184,9 +184,14 @@ def _load_cached(path: str):
         meta = json.load(f)
     if meta.get("version") != CACHE_VERSION:
         return None
-    mips = [np.load(os.path.join(path, f"mip{i:02d}.npy"))
+    # memory-mapped: every consumer is read-only (device upload reads
+    # through; measurement bilinear-taps a few texels; band sharding
+    # slices rows) and most levels of a banded or single-device scene are
+    # never touched on the host at all — at the full 46080x92160 LDEM the
+    # eager load would pin ~8.5 GiB of host RSS per process for nothing
+    mips = [np.load(os.path.join(path, f"mip{i:02d}.npy"), mmap_mode="r")
             for i in range(meta["n_mips"])]
-    kept = [np.load(os.path.join(path, f"alb{i:02d}.npy"))
+    kept = [np.load(os.path.join(path, f"alb{i:02d}.npy"), mmap_mode="r")
             for i in range(meta["n_alb"])]
     return PyramidSet(
         mips=mips, maxmap=np.load(os.path.join(path, "maxmap.npy")),
