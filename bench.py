@@ -274,7 +274,9 @@ def main():
         dt_next = scene.dt_local + sgn * step15
         t0 = time.time()
         scene.update_view(dt_next)
-        hit = scene._prefetch is not None
+        # a step is covered either by speculation (same-direction run) or
+        # by the one-deep flip cache (direction flip to a resident step)
+        hit = scene._prefetch is not None or scene.last_flip_hit
         mixed_hits += hit
         scene.render_accumulation_burst(1)
         sync()

@@ -282,6 +282,13 @@ class MoonScene:
         self._elev_host = None       # host elevation cache for measurement
         self._elev_host_src = None
         self._prefetch = None        # speculative next-time-step results
+        # one-deep flip cache: the previous time step's fully-rendered
+        # state, restorable when a Q/W direction flip targets it (t-1 is
+        # a state the device just computed — re-rendering it synchronously
+        # was the round-3 flip penalty, bench time_step_mixed_mean_ms)
+        self._flip_cache = None
+        self._flip_ready = False     # consumable: next burst may no-op
+        self.last_flip_hit = False   # observability (bench/tests)
         self._rng = np.random.default_rng(42)
 
     # ---- heightfield band sharding (HBM placement policy) ---------------
@@ -474,8 +481,91 @@ class MoonScene:
 
     # ---- state updates -------------------------------------------------
 
+    def _flip_token(self):
+        """Everything a flip-cache entry's validity depends on besides its
+        datetime: any of these changing means the snapshot's frame/caches
+        no longer describe the scene the user sees. The camera is carried
+        by identity and pinned inside the entry (same aliasing discipline
+        as the prefetch token pins)."""
+        return (self.brightness, self.shadows_on, self.shadow_accuracy,
+                self.indirect_light, self.view_orientation,
+                id(self.camera), self.parallactic_mode, self.backend,
+                self.displaced)
+
+    def _snapshot_step(self) -> Optional[dict]:
+        """Capture the CURRENT fully-rendered time step as a flip-cache
+        entry (references only — all fields are immutable device arrays or
+        host values, so a snapshot costs no copies; the HBM it retains is
+        one accum + hit buffer + the sun-dependent packed windows)."""
+        if (self.ephem is None or self._accum is None or self._accum_n < 1
+                or not self.displaced
+                # _shadow_dirty is only meaningful while shadows render;
+                # with them off nothing ever clears it after a step
+                or (self._shadow_dirty and self.shadows_on)):
+            return None
+        return dict(
+            dt=self.dt_local, token=self._flip_token(), ephem=self.ephem,
+            shadow_dirty=self._shadow_dirty,
+            fp=self._fp, shadow=self._shadow, bounce=self._bounce,
+            bounce_basis=self._bounce_basis, bounce_key=self._bounce_key,
+            origins=self._origins, wincache=self._wincache,
+            cache_level=self._cache_level,
+            window_drift=getattr(self, "_window_drift", 0.0),
+            hbound=self._hbound, packed=self._packed,
+            shadowwin=self._shadowwin, accum=self._accum,
+            hitbuf=self._hitbuf, accum_n=self._accum_n,
+            pins=(self.camera,))
+
+    def _restore_step(self, fc: dict) -> None:
+        """Install a flip-cache entry as the current scene state — the
+        exact inverse of _snapshot_step. The restored accumulation is
+        already materialized on device, so the following
+        render_accumulation_burst is a no-op (_flip_ready) and the step
+        costs only the display readback."""
+        self.dt_local = fc["dt"]
+        self.ephem = fc["ephem"]
+        self._fp = fc["fp"]
+        self._shadow = fc["shadow"]
+        self._shadow_dirty = fc["shadow_dirty"]
+        self._bounce = fc["bounce"]
+        self._bounce_basis = fc["bounce_basis"]
+        self._bounce_key = fc["bounce_key"]
+        self._origins = fc["origins"]
+        self._wincache = fc["wincache"]
+        self._cache_level = fc["cache_level"]
+        self._window_drift = fc["window_drift"]
+        self._hbound = fc["hbound"]
+        self._packed = fc["packed"]
+        self._shadowwin = fc["shadowwin"]
+        self._accum = fc["accum"]
+        self._hitbuf = fc["hitbuf"]
+        self._accum_n = fc["accum_n"]
+        self._flip_ready = True
+        if self._prefetch is not None \
+                and self._prefetch["dt"] != self.dt_local:
+            self._prefetch = None  # speculation missed: free its buffers
+
     def update_view(self, dt_local: Optional[datetime] = None) -> MoonEphemeris:
         """Recompute ephemeris-driven state (reference moon_renderer.py:638-664)."""
+        self.last_flip_hit = False
+        if (dt_local is not None and self.dt_local is not None
+                and dt_local != self.dt_local):
+            # Direction flips target a datetime the device may have JUST
+            # rendered (t-1). Snapshot the outgoing step and, when the
+            # cache holds the target, swap: the flip costs zero device
+            # work and W<->Q toggling ping-pongs between two resident
+            # steps (round-3 verdict item 2).
+            snap = self._snapshot_step()
+            fc = self._flip_cache
+            if fc is not None and fc["token"] != self._flip_token():
+                fc = self._flip_cache = None  # stale entry: free its HBM
+            if fc is not None and fc["dt"] == dt_local:
+                self._flip_cache = snap
+                self._restore_step(fc)
+                self.last_flip_hit = True
+                return self.ephem
+            if snap is not None:
+                self._flip_cache = snap
         if dt_local is not None:
             self.dt_local = dt_local
         prev_rotation = (None if self.ephem is None
@@ -1513,6 +1603,15 @@ class MoonScene:
         """All accumulation samples in one device program (pallas backend)."""
         if self.ephem is None:
             self.update_view(self.dt_local)
+        if self._flip_ready:
+            # a flip-cache restore just installed a fully-rendered step:
+            # its accumulation is already materialized on device, so the
+            # burst is a no-op. Consumable flag — explicit re-render
+            # requests against unchanged state (bench timing loops) still
+            # dispatch.
+            self._flip_ready = False
+            if self._accum is not None and self._accum_n >= n_samples:
+                return
         level = self.mip_level()
         h, w = self.mip_shapes[level]
         jitters = self._padded_jitters(n_samples)
