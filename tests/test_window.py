@@ -1,0 +1,275 @@
+"""app/window.py driven headless through the fake-Tk double (round-3
+verdict item 5: the Tk shells were the only untested code). These tests
+exercise the REAL shell wiring — modifier decoding, drag state machine,
+dialog flows, the auto-advance timer — against a real (small) scene.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pytest
+
+import tests.fake_tk as fake_tk
+
+T0 = datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def small_scene_factory():
+    """Builds fresh small scenes (module-cached maps)."""
+    from moonrtx_tpu.config import RenderConfig
+    from moonrtx_tpu.data.synth import synthesize_moon
+    from moonrtx_tpu.engine.scene import MoonScene
+    from moonrtx_tpu.types import MoonFeature, Observer
+
+    elev, albedo = synthesize_moon(180, 360, seed=5, n_craters=40)
+    rs = float(elev.max())
+    elev = (elev / rs).astype(np.float32)
+
+    def make():
+        cfg = RenderConfig(
+            observer=Observer(50.06, 19.94, 219), dt_local=T0,
+            width=96, height=96, shadow_accuracy=2,
+            accumulation_frames=2, time_step_minutes=15,
+        ).validate()
+        scene = MoonScene(cfg, elev, rs, albedo, None)
+        scene.features = [
+            MoonFeature(name="Alpha Crater", lat=10.0, lon=20.0,
+                        diameter_km=100.0, angular_radius=1.0,
+                        standard_label=True, spot_label=False,
+                        status_bar=True, feature_id="123",
+                        www_address=""),
+            MoonFeature(name="Beta Mons", lat=-5.0, lon=-30.0,
+                        diameter_km=50.0, angular_radius=0.5,
+                        standard_label=False, spot_label=True,
+                        status_bar=True, feature_id="",
+                        www_address="example.org/beta"),
+        ]
+        return cfg, scene
+    return make
+
+
+@pytest.fixture
+def shell(monkeypatch, small_scene_factory):
+    """run_window against the fake Tk; returns a driver namespace."""
+    from types import SimpleNamespace
+
+    import moonrtx_tpu.app.window as window_mod
+    from moonrtx_tpu.app.session import Session
+
+    fake_tk.install(monkeypatch)
+    cfg, scene = small_scene_factory()
+
+    captured = {}
+
+    def capture_session(scn, features):
+        s = Session(scn, features)
+        captured["session"] = s
+        return s
+
+    monkeypatch.setattr(window_mod, "build_scene",
+                        lambda config, with_starmap=True: scene)
+    monkeypatch.setattr(window_mod, "Session", capture_session)
+    # ImageTk needs a live display; presentation is not under test
+    import PIL.ImageTk
+
+    monkeypatch.setattr(PIL.ImageTk, "PhotoImage", lambda img: img)
+
+    window_mod.run_window(cfg)
+    root = fake_tk.roots[-1]
+    canvas = next(w for w in fake_tk.descendants(root)
+                  if isinstance(w, fake_tk.Canvas))
+    return SimpleNamespace(root=root, canvas=canvas, scene=scene,
+                           session=captured["session"], cfg=cfg)
+
+
+def _key(shell, keysym, state=0, x=0, y=0):
+    shell.root.fire("<Key>", fake_tk.Event(keysym=keysym, state=state,
+                                           x=x, y=y))
+
+
+def _disk_xy(shell):
+    """An (x, y) over the lit disk (nonzero hit distance)."""
+    buf = shell.scene.hit_buffer_host()
+    ys, xs = np.nonzero(buf[: shell.scene.out_height,
+                            : shell.scene.out_width, 3] > 0)
+    assert len(xs), "no disk pixels rendered"
+    i = len(xs) // 2
+    return int(xs[i]), int(ys[i])
+
+
+def test_window_presents_frame_and_title(shell):
+    items = shell.canvas.find_withtag("frame")
+    assert len(items) == 1
+    img = shell.canvas._items[items[0]]["kw"]["image"]
+    assert np.asarray(img).shape == (96, 96, 3)
+    assert "lat 50.0600" in shell.root.title()
+    assert "2024-04-15" in shell.root.title()
+
+
+def test_key_modifier_decoding(shell):
+    s = shell.session
+    step0 = s.time_step_minutes
+    _key(shell, "m")                    # plain: +1 minute
+    assert s.time_step_minutes == step0 + 1
+    _key(shell, "m", state=0x1)         # shift: +60 minutes
+    assert s.time_step_minutes == step0 + 61
+    _key(shell, "n", state=0x1)         # shift: -60
+    assert s.time_step_minutes == step0 + 1
+
+    cam0 = s.scene.camera
+    _key(shell, "Right")                # plain arrow: orbit navigate
+    cam1 = s.scene.camera
+    assert cam1 is not cam0
+    _key(shell, "Right", state=0x4)     # ctrl arrow: Moon-axis rotation
+    assert s.scene.camera is not cam1
+
+
+def test_time_keys_advance_and_flip(shell):
+    s = shell.session
+    _key(shell, "w")
+    assert s.scene.dt_local == T0 + timedelta(minutes=s.time_step_minutes)
+    _key(shell, "q")
+    assert s.scene.dt_local == T0
+    assert s.scene.last_flip_hit      # the shell drives the flip cache
+
+
+def test_measurement_drag_draws_line_and_status(shell):
+    s = shell.session
+    x0, y0 = _disk_xy(shell)
+    # ctrl + left press starts measurement and creates the canvas line
+    shell.canvas.fire("<ButtonPress-1>",
+                      fake_tk.Event(x=x0, y=y0, state=0x4))
+    assert s.measuring
+    lines = [i for i, it in shell.canvas._items.items()
+             if it["kind"] == "line"]
+    assert len(lines) == 1
+    x1, y1 = x0 + 3, y0
+    shell.canvas.fire("<B1-Motion>", fake_tk.Event(x=x1, y=y1, state=0x4))
+    assert shell.canvas.coords(lines[0]) == [x0, y0, x1, y1]
+    assert s.measured_distance is not None and s.measured_distance > 0
+    shell.canvas.fire("<ButtonRelease-1>", fake_tk.Event(x=x1, y=y1))
+    assert not s.measuring
+    assert not [i for i, it in shell.canvas._items.items()
+                if it["kind"] == "line"]
+
+
+def test_orbit_and_pan_drags(shell):
+    s = shell.session
+    cam0 = s.scene.camera
+    shell.canvas.fire("<ButtonPress-1>", fake_tk.Event(x=40, y=40))
+    shell.canvas.fire("<B1-Motion>", fake_tk.Event(x=45, y=42))
+    assert s.scene.camera is not cam0          # orbit applied
+    cam1 = s.scene.camera
+    shell.canvas.fire("<ButtonRelease-1>", fake_tk.Event(x=45, y=42))
+    shell.canvas.fire("<ButtonPress-3>", fake_tk.Event(x=40, y=40))
+    shell.canvas.fire("<B3-Motion>", fake_tk.Event(x=38, y=41))
+    assert s.scene.camera is not cam1          # pan/tilt applied
+
+
+def test_wheel_zoom(shell):
+    fov0 = shell.session.scene.camera.fov
+    shell.canvas.fire("<MouseWheel>", fake_tk.Event(delta=120))
+    assert shell.session.scene.camera.fov < fov0
+    # X11 button-4/5 path
+    shell.canvas.fire("<Button-5>", fake_tk.Event(delta=0, num=5))
+    assert shell.session.scene.camera.fov >= fov0 * 0.5
+
+
+def test_datetime_dialog_set_and_error(shell):
+    s = shell.session
+    _key(shell, "t")
+    dlg = fake_tk.toplevels[-1]
+    assert dlg.title() == "Date/Time"
+    entries = fake_tk.find_by_class(dlg, fake_tk.Entry)
+    # identify by initial content (creation order is grid row order but
+    # keep the test robust): the date entry holds YYYY-MM-DD
+    date_var, time_var = (entries[0].kw["textvariable"],
+                          entries[1].kw["textvariable"])
+    if "-" not in date_var.get():
+        date_var, time_var = time_var, date_var
+    date_var.set("2024-05-01")
+    time_var.set("12:30:00")
+    fake_tk.find_buttons(dlg, "Set")[0].invoke()
+    assert s.scene.dt_local.strftime("%Y-%m-%d %H:%M") == "2024-05-01 12:30"
+
+    # invalid date: error label set, time unchanged
+    date_var.set("not-a-date")
+    fake_tk.find_buttons(dlg, "Set")[0].invoke()
+    err_vars = [w.kw["textvariable"] for w in fake_tk.find_by_class(
+        dlg, fake_tk.Label) if w.kw.get("fg") == "red"]
+    assert err_vars and err_vars[0].get().startswith("Error:")
+    assert s.scene.dt_local.strftime("%Y-%m-%d %H:%M") == "2024-05-01 12:30"
+
+    # HH:MM (no seconds) parses via the fallback format
+    date_var.set("2024-05-02")
+    time_var.set("06:45")
+    fake_tk.find_buttons(dlg, "Set")[0].invoke()
+    assert s.scene.dt_local.strftime("%Y-%m-%d %H:%M") == "2024-05-02 06:45"
+
+
+def test_auto_advance_ticks_and_manual_reset(shell):
+    s = shell.session
+    s.time_step_minutes = 1            # 60 ticks per advance
+    _key(shell, "F10")                 # now + start auto-advance
+    t_start = s.scene.dt_local
+    # 59 seconds: not yet
+    for _ in range(59):
+        assert shell.root.run_pending_after() >= 1
+    assert s.scene.dt_local == t_start
+    shell.root.run_pending_after()     # 60th second fires the step
+    assert s.scene.dt_local == t_start + timedelta(minutes=1)
+
+    # a manual key RESTARTS the interval (reference resets
+    # _auto_advance_elapsed inside change_time)
+    t1 = s.scene.dt_local
+    for _ in range(30):
+        shell.root.run_pending_after()
+    _key(shell, "w")                   # manual step: epoch bump
+    t2 = s.scene.dt_local
+    assert t2 == t1 + timedelta(minutes=1)
+    for _ in range(59):                # 30 + 59 < reset-free 60+30
+        shell.root.run_pending_after()
+    assert s.scene.dt_local == t2      # interval restarted: no tick yet
+    shell.root.run_pending_after()
+    assert s.scene.dt_local == t2 + timedelta(minutes=1)
+
+
+def test_save_dialog_writes_file(shell, tmp_path):
+    path = str(tmp_path / "shot.png")
+    fake_tk.filedialog.save_path = path
+    _key(shell, "F12")
+    import os
+
+    assert os.path.isfile(path)
+    from PIL import Image
+
+    assert Image.open(path).size == (96, 96)
+    # the suggested default filename encodes the full view state
+    assert fake_tk.filedialog.last_save_kw["initialfile"].startswith("2024-")
+
+
+def test_search_dialog_centers_on_feature(shell):
+    s = shell.session
+    _key(shell, "f")
+    dlg = fake_tk.toplevels[-1]
+    entry = fake_tk.find_by_class(dlg, fake_tk.Entry)[0]
+    lb = fake_tk.find_by_class(dlg, fake_tk.Listbox)[0]
+    cam0 = s.scene.camera
+    entry.kw["textvariable"].set("alpha")     # trace fires update()
+    assert lb.items and "Alpha Crater" in lb.items[0]
+    lb.selection_set(0)
+    lb.fire("<Double-Button-1>")
+    assert s.scene.camera is not cam0          # centered on the feature
+    assert dlg.destroyed
+
+
+def test_grid_toggle_composites_overlay(shell):
+    s = shell.session
+    assert not s.grid_visible
+    _key(shell, "g")
+    assert s.grid_visible and s._grid_graphs is not None
+    items = shell.canvas.find_withtag("frame")
+    img = np.asarray(shell.canvas._items[items[0]]["kw"]["image"])
+    _key(shell, "g")
+    assert not s.grid_visible
