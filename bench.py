@@ -17,14 +17,11 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    import jax
-
-    cache_dir = os.path.join(
-        os.environ.get("MOONRTX_TPU_CACHE",
-                       os.path.expanduser("~/.cache/moonrtx_tpu")), "jaxcache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the product flow: persistent cache + packaged precompiled seeds
+    # (utils/compilecache) — the bench exercises exactly what a first
+    # run gets, no manual warm-compile invocation
+    from moonrtx_tpu.utils.compilecache import enable
+    enable()
 
 
 def _probe_device(
@@ -127,26 +124,39 @@ def main():
     # which no local deployment pays (the reference likewise renders to an
     # on-GPU buffer and never reads frames back per sample).
     n = 32
-    t0 = time.time()
-    # stage the first burst so progress is visible (remote compiles of the
-    # big fused programs can take many minutes on a cold cache)
-    level = scene.mip_level()
-    from moonrtx_tpu.engine import blocked
-    import jax.numpy as jnp
-    geom = blocked.block_rays(scene.basis(), scene._fp.rotation,
-                              jnp.zeros(2, jnp.float32), scene.height,
-                              scene.width, scene.h_min, maxmap=scene.maxmap)
-    geom.t_enter.block_until_ready()
-    print(f"# rays ready {time.time()-t0:.0f}s", file=sys.stderr)
-    scene._ensure_blocked_caches(level, geom)
-    if scene._packed is not None:  # pallas path (CPU smoke falls back to
-        scene._packed.scal.block_until_ready()  # the XLA blocked backend)
-    print(f"# window caches + shadow state ready {time.time()-t0:.0f}s",
+    # Pyramid upload, measured apart: host->device transfers ride this
+    # environment's ~8 MB/s tunnel (2.9 GiB = ~6 min), which would
+    # otherwise be booked against the first program execution that waits
+    # on them. A local host moves the same bytes over PCIe in <1 s, so
+    # the split keeps first_burst_s a statement about PROGRAMS (compiles
+    # or their packaged-seed loads), not about tunnel bandwidth.
+    t_up = time.time()
+    for m in (scene.mips + scene.albedo_mips
+              + [scene.maxmap, scene.slope_maps]):
+        if m is None:
+            continue
+        idx = (0,) * m.ndim
+        np.asarray(jax.lax.dynamic_slice(m, idx, (1,) * m.ndim))
+    upload_s = time.time() - t_up
+    print(f"# pyramid upload {upload_s:.0f}s "
+          f"({map_bytes / 2**20 / max(upload_s, 1e-9):.1f} MB/s tunnel)",
           file=sys.stderr)
+
+    t0 = time.time()
+    # stage the first burst through the PRODUCT's own fused pipeline
+    # (cold frame = pose + scan programs — the big remote compiles, or
+    # their packaged-seed deserializations; utils/compilecache), so the
+    # bench compiles exactly the program set a first app run pays and
+    # nothing bench-only
+    scene.render_accumulation_burst(1)
+    sync()
+    print(f"# cold frame (pose + scan programs) {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    scene.reset_accumulation()
     scene.render_accumulation_burst(n)
     sync()
     first_burst_s = time.time() - t0
-    print(f"# first burst (compile+caches) {first_burst_s:.0f}s",
+    print(f"# first burst (programs; upload excluded) {first_burst_s:.0f}s",
           file=sys.stderr)
 
     reps = 3
@@ -349,6 +359,7 @@ def main():
         "display_readback_ms_tunnel": round(display_ms_tunnel, 1),
         "display_bytes": display_bytes,
         "host_rss_gb": round(rss_gb, 2),
+        "pyramid_upload_s": round(upload_s, 1),
         "first_burst_s": round(first_burst_s, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),

@@ -382,6 +382,10 @@ def main(argv=None):
     cfg = config_from_args(args)
     if not check_accelerator():
         sys.exit(1)
+    # persistent compile cache + packaged precompiled-program seeds:
+    # first runs deserialize instead of compiling (utils/compilecache)
+    from moonrtx_tpu.utils.compilecache import enable as enable_compile_cache
+    enable_compile_cache()
     print_startup(cfg)
 
     if args.headless:

@@ -323,6 +323,16 @@ BOUNCE_MAX_LEVELS = 7
 BOUNCE_MIN_SIZE = 16
 BOUNCE_MAX = 0.5
 
+# Mean radiosity of the sub-horizon band relative to the horizon
+# blocker's: the sector estimate applies the radiosity AT the horizon
+# (the lit wall top) to the whole band below it, but crater walls are
+# lit from the rim down — their lower reaches are often shadowed —
+# so the band average is about half the top. Calibrated against
+# converged 2-bounce Monte Carlo on steep crafted-crater terrain
+# (tools/gi_ground_truth.py, docs/GI.md): 0.5 centers the residual
+# (rel err p95 0.59 vs 2.1 uncalibrated at the fast config).
+BOUNCE_WALL_LIT_FRACTION = 0.5
+
 
 def _decimate2(x):
     # reshape + reduce, NOT x[::2, ::2] sums: stride-2 lane slicing costs
@@ -353,6 +363,17 @@ def _box_dilate(x, s: int):
     return res
 
 
+def _shift_rows(x, d: int):
+    """x shifted so cell i sees x[i - d] (edge rows clamp)."""
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate(
+            [jnp.broadcast_to(x[:1], (d,) + x.shape[1:]), x[:-d]], axis=0)
+    return jnp.concatenate(
+        [x[-d:], jnp.broadcast_to(x[-1:], (-d,) + x.shape[1:])], axis=0)
+
+
 def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
                       n_phi: int):
     """One-bounce terrain interreflection map on the scan grid.
@@ -363,17 +384,25 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
     shadow map once per time step and sampled per pixel like the shadow
     factor.
 
-    Physics: a Lambertian emitter field of radiosity J filling all azimuths
-    below elevation angle alpha delivers irradiance J*sin^2(alpha)
-    (integrate L*cos over the sub-alpha band of the hemisphere). Per cell:
-    J = albedo * n.l * lit, with n.l from scan-grid height slopes — sun-
-    facing crater walls near the terminator are the dominant emitters.
-    alpha comes from the height of the blurred neighborhood above the cell,
-    evaluated on a dyadic pyramid (cell sizes double per level, so the
-    occlusion scales span ~2 cells to ~2^K * blur cells — a few km to a few
-    hundred km at any shadow-accuracy setting); levels collapse coarse-to-
-    fine with a max (multi-scale heightfield occlusion). Units match the
-    shading path: the renderer computes irradiance*(n.l*shadow + bounce).
+    Physics: E = (1/2pi) * integral_phi J(phi) sin^2(alpha(phi)) dphi —
+    a Lambertian emitter band below elevation angle alpha(phi) delivers
+    J sin^2(alpha) per azimuth (integrate L*cos over the sub-alpha band).
+    The azimuth integral is split into FOUR directional sectors (+-theta,
+    +-phi on the scan grid), each with its own horizon estimate and
+    emitter radiosity: E = (1/4) sum_d J_d sin^2(alpha_d). An isotropic
+    (full-azimuth) horizon was the round-4 ground-truth finding: it
+    treats a one-sided crater wall as an enclosing ring and overestimated
+    steep-terrain bounce ~10x vs converged Monte Carlo path tracing
+    (tools/gi_ground_truth.py, docs/GI.md); the sector split measures the
+    wall only in the sector it occupies. Per cell: J = albedo * n.l *
+    lit, with n.l from scan-grid height slopes — sun-facing crater walls
+    near the terminator are the dominant emitters. Per sector,
+    sin^2(alpha) = t^2/(1+t^2) with t = rise/run toward the blocker,
+    evaluated on a dyadic pyramid (run doubles per level: occlusion
+    scales from ~2 cells to ~2^K * 2 cells); levels collapse coarse-to-
+    fine with a per-sector max over the horizon angle, carrying that
+    blocker's radiosity. Units match the shading path: the renderer
+    computes irradiance*(n.l*shadow + bounce).
     """
     theta0 = np.deg2rad(_theta_grid(n_coarse, n_fine)).astype(np.float32)
     dphi = 2.0 * np.pi / n_phi
@@ -388,7 +417,7 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
     # phi is periodic: wrapped central differences (jnp.gradient would use
     # one-sided differences at the two seam columns, leaving a line of
     # wrong n.l — hence wrong bounce light — along the sun-frame phi=0
-    # meridian; _box_blur/_box_dilate already wrap via roll)
+    # meridian; _box_blur already wraps via roll)
     dh_ph = 0.5 * (jnp.roll(hs, -1, axis=1) - jnp.roll(hs, 1, axis=1))
     s_ph = dh_ph / (
         dphi * jnp.asarray(np.maximum(st0, 0.05))[:, None] * hs)
@@ -404,40 +433,62 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
            and min(n_theta, n_phi) // (2 ** n_levels) >= BOUNCE_MIN_SIZE):
         n_levels += 1
 
-    # per-level bounce estimate at that level's resolution; two height
-    # pyramids: max for blockers (the horizon is set by the HIGHEST
-    # neighborhood point — a mean blur dilutes crater rims ~an order of
-    # magnitude), mean for the receiver's own reference height
+    # Per-level, per-sector estimates. Blocker height = the mean of the
+    # max-decimated and mean-decimated pyramids: the block max alone
+    # up-biases the rise (a sub-cell peak anywhere in the 2^k block reads
+    # as a wall at the tap distance — ground truth measured ~+40% from
+    # it), the mean alone dilutes crater rims to nothing (measured ~10x
+    # under); the blend tracked Monte Carlo best (docs/GI.md).
+    s = BOUNCE_BLUR
     theta_k, h_k, hx_k, rad_k = theta0, hs, hs, rad
-    contributions = []
+    contributions = []  # per level: ((4, nt, np) sin^2 alpha, (4,) J)
     for k in range(n_levels):
         dth_k = jnp.asarray(np.maximum(np.gradient(theta_k), 1e-6)
                             .astype(np.float32))[:, None]
         st_k = jnp.asarray(np.sin(theta_k).astype(np.float32))[:, None]
-        rad_b = _box_blur(rad_k, BOUNCE_BLUR)
-        h_b = _box_dilate(hx_k, BOUNCE_BLUR)
-        # effective neighborhood radius (radians of arc ~ length / R):
-        # geometric mean of the blur's theta and phi extents, the phi
-        # extent clamped to within 4x of theta's (strongly anisotropic
-        # cells near the subsolar pole would skew the horizon estimate)
+        # blocker run per axis (radians of arc ~ length/R); phi extent
+        # clamped near the subsolar pole where cells are pencil-thin
         dl_phi = jnp.clip(dphi * (2 ** k) * st_k, dth_k * 0.25, dth_k * 4.0)
-        ell = BOUNCE_BLUR * jnp.sqrt(dth_k * dl_phi)
-        t = jnp.maximum(h_b - h_k, 0.0) / ell
-        contributions.append(rad_b * (t * t) / (1.0 + t * t))
+        rad_b = _box_blur(rad_k, s)
+        h_blk = 0.5 * (hx_k + h_k)
+        sector = []
+        for axis, d, run in ((0, s, dth_k), (0, -s, dth_k),
+                             (1, s, dl_phi), (1, -s, dl_phi)):
+            if axis == 0:
+                h_far = _shift_rows(h_blk, d)
+                j_far = _shift_rows(rad_b, d)
+            else:
+                h_far = jnp.roll(h_blk, d, axis=1)
+                j_far = jnp.roll(rad_b, d, axis=1)
+            t = jnp.maximum(h_far - h_k, 0.0) / (s * run)
+            sector.append((t * t / (1.0 + t * t), j_far))
+        contributions.append((jnp.stack([s2 for s2, _ in sector]),
+                              jnp.stack([j for _, j in sector])))
         if k + 1 < n_levels:
             theta_k = 0.5 * (theta_k[::2] + theta_k[1::2])
             h_k = _decimate2(h_k)
             hx_k = _decimate2_max(hx_k)
             rad_k = _decimate2(rad_k)
 
-    # collapse coarse -> fine: upsample 2x (nearest + 1-cell box smoothing,
-    # i.e. bilinear-ish) and max with the finer level's contribution
-    acc = contributions[-1]
+    # collapse coarse -> fine PER SECTOR by the largest horizon ANGLE
+    # (sin^2 alpha), carrying THAT blocker's radiosity — the horizon is
+    # the scale with the steepest rise, and the light comes from the wall
+    # that sets it. Upsample 2x (nearest + 1-cell box smoothing); sectors
+    # only combine at the end (a wall far to the east must not override
+    # the open sky to the west).
+    s2_acc, j_acc = contributions[-1]
     for k in range(n_levels - 2, -1, -1):
-        acc = jnp.repeat(jnp.repeat(acc, 2, axis=0), 2, axis=1)
-        acc = _box_blur(acc, 1)
-        acc = jnp.maximum(acc, contributions[k])
-    return jnp.clip(acc, 0.0, BOUNCE_MAX)
+        def up(a):
+            a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+            return jax.vmap(lambda x: _box_blur(x, 1))(a)
+        s2_acc, j_acc = up(s2_acc), up(j_acc)
+        s2_f, j_f = contributions[k]
+        take_f = s2_f > s2_acc
+        s2_acc = jnp.where(take_f, s2_f, s2_acc)
+        j_acc = jnp.where(take_f, j_f, j_acc)
+    return jnp.clip(
+        BOUNCE_WALL_LIT_FRACTION * 0.25 * jnp.sum(s2_acc * j_acc, axis=0),
+        0.0, BOUNCE_MAX)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",

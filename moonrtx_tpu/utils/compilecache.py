@@ -1,0 +1,113 @@
+"""Persistent-compile-cache product flow (cold-start UX).
+
+The interactive program set is a handful of large fused programs; through
+a remote-compile service a cold build costs minutes (docs/PERF.md). Two
+mechanisms make first runs fast, both automatic (round-3 verdict item 3 —
+no manual tool invocation):
+
+1. The JAX persistent compilation cache is enabled inside the SAME
+   ``~/.cache/moonrtx_tpu`` flow the pyramid cache uses: any program ever
+   compiled on this machine is reused across processes.
+2. The package can ship precompiled-program seed archives
+   (``moonrtx_tpu/data/compiled/*.tar.xz`` — cache entries captured on
+   the target platform at the shipped working-set shapes, built by
+   ``tools/pack_compile_cache.py``). On first run the entries are
+   extracted into the cache directory, so even an empty cache directory
+   starts from deserialization instead of compilation — the same way a
+   GPU product ships fatbins instead of compiling PTX on first launch.
+
+Cache keys include the jax version, backend and program HLO, so a stale
+or foreign seed entry can never be USED wrongly — it is simply never hit
+(the only cost is disk). Seeding failures of any kind are non-fatal.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+_ENABLED = False
+
+
+def cache_dir() -> str:
+    # MOONRTX_JAXCACHE points ONLY the compile cache elsewhere (used by
+    # tools/pack_compile_cache.py to capture a clean program set while
+    # still hitting the big pyramid caches under MOONRTX_TPU_CACHE)
+    override = os.environ.get("MOONRTX_JAXCACHE")
+    if override:
+        return override
+    from moonrtx_tpu.data.pyramids import default_cache_dir
+
+    return os.path.join(default_cache_dir(), "jaxcache")
+
+
+def seed_dir() -> str:
+    import moonrtx_tpu
+
+    return os.path.join(os.path.dirname(moonrtx_tpu.__file__), "data",
+                        "compiled")
+
+
+def seed_from_package(dest: str) -> int:
+    """Extract packaged seed archives into the cache dir (idempotent:
+    entries already present are kept, not overwritten). Returns the
+    number of entries added."""
+    src = seed_dir()
+    if not os.path.isdir(src):
+        return 0
+    added = 0
+    for name in sorted(os.listdir(src)):
+        if not name.endswith(".tar.xz"):
+            continue
+        marker = os.path.join(dest, f".seeded_{name}")
+        if os.path.exists(marker):
+            continue  # this archive was already unpacked once
+        try:
+            with tarfile.open(os.path.join(src, name), "r:xz") as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    out = os.path.join(dest, os.path.basename(m.name))
+                    if os.path.exists(out):
+                        continue
+                    f = tf.extractfile(m)
+                    if f is None:
+                        continue
+                    tmp = out + ".tmp"
+                    with open(tmp, "wb") as o:
+                        o.write(f.read())
+                    os.replace(tmp, out)
+                    added += 1
+            with open(marker, "w", encoding="utf-8"):
+                pass
+        except Exception as e:  # seeding can only cost time, never break
+            print(f"Warning: compile-cache seed {name} failed: {e}")
+    if added:
+        print(f"  Seeded {added} precompiled program(s) into {dest}")
+    return added
+
+
+def enable(seed: bool = True) -> None:
+    """Point JAX's persistent compilation cache at the product cache dir
+    and unpack any packaged seeds. Idempotent; call before first compile
+    (import-time device touches are fine — the cache engages per
+    compilation, not per backend init)."""
+    global _ENABLED
+    if _ENABLED:
+        return
+    d = cache_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+    except Exception as e:
+        print(f"Warning: could not create compile cache dir {d}: {e}")
+        return
+    if seed:
+        seed_from_package(d)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _ENABLED = True
+    except Exception as e:
+        print(f"Warning: could not enable the persistent compile cache: {e}")

@@ -355,8 +355,12 @@ def test_bounce_lights_shadowed_crater_floor():
     in_shadow = smap_np[r0:r1] < 0.1
     assert in_shadow.sum() > 0
     bounce_shadowed = bmap_np[r0:r1][in_shadow]
-    # visible after tonemap: > ~5e-4 in irradiance-factor units
-    assert bounce_shadowed.max() > 5e-4
+    # visible after tonemap: ~2e-4 in irradiance-factor units is ~3
+    # display quanta from black through the gamma curve. (Threshold
+    # recalibrated in round 4: the sector model validated against Monte
+    # Carlo — docs/GI.md — gives ~2.5x smaller, truthful values than the
+    # isotropic model these tests were first written against.)
+    assert bounce_shadowed.max() > 2e-4
     # flat terrain well away from the crater: nothing
     assert bmap_np[nc // 2, w // 2] < 1e-6
     # energy sanity: bounce can never exceed the cap or the emitter albedo
@@ -412,7 +416,9 @@ def test_bounce_brightens_rendered_shadows_only():
     # nothing gets darker, something gets brighter, and the brightening is
     # confined to the moon disk
     assert d.min() > -1e-5
-    assert d[hit].max() > 1e-4
+    # threshold recalibrated to the round-4 MC-validated sector model
+    # (docs/GI.md): ~3e-5 linear is still >1 display quantum from black
+    assert d[hit].max() > 1.5e-5
     assert np.abs(d[~hit]).max() < 1e-6
 
 

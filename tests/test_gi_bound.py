@@ -1,0 +1,56 @@
+"""Indirect-light error bound pinned against Monte-Carlo ground truth
+(round-3 verdict item 4; tools/gi_ground_truth.py, docs/GI.md).
+
+The fast configuration re-measures the deterministic one-bounce field
+against a cosine-weighted 2-bounce path-traced reference on steep
+crafted-crater terrain (wall slopes ~25-30 deg — the regime the round-4
+fix targeted: the earlier isotropic-horizon model overestimated ~10x
+there). Bounds are the measured round-4 numbers with ~50% headroom."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "tools"))
+
+
+@pytest.fixture(scope="module")
+def gi():
+    from gi_ground_truth import run
+
+    return run(fast=True)
+
+
+def test_bounce_error_bound(gi):
+    o = gi["overall"]
+    # absolute error in bounce units (fraction added to n.l*lit)
+    assert o["bounce_abs_err"]["mean"] < 0.012, o["bounce_abs_err"]
+    assert o["bounce_abs_err"]["max"] < 0.06, o["bounce_abs_err"]
+    # the model-importance half (steepest cells): the isotropic model
+    # measured mean 0.163 here — the sector model must stay ~10x below
+    assert o["bounce_abs_err_model_top"]["mean"] < 0.025, \
+        o["bounce_abs_err_model_top"]
+    # uniform cells (the model cannot hide errors from these)
+    assert o["bounce_abs_err_uniform"]["mean"] < 0.002, \
+        o["bounce_abs_err_uniform"]
+
+
+def test_display_quanta_bound(gi):
+    o = gi["overall"]
+    assert o["display_quanta"]["mean"] < 1.6, o["display_quanta"]
+    # shadowed floors — the visually critical case (crater floor lit
+    # only by its walls): sub-quantum at p95
+    assert o["display_quanta_shadowed"]["p95"] < 1.0, \
+        o["display_quanta_shadowed"]
+
+
+def test_model_tracks_ground_truth(gi):
+    o = gi["overall"]
+    assert o["corr"] > 0.75, o["corr"]
+    # amplitude sanity: within ~3x of truth in the mean (the isotropic
+    # model sat at ~9x); one-sided overestimate is the known residual
+    assert o["model_mean"] < 3.0 * o["mc_mean"] + 0.01, \
+        (o["model_mean"], o["mc_mean"])
+    assert o["mc_mean"] > 0.003, "ground truth degenerate (no hits?)"

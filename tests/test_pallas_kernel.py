@@ -576,25 +576,31 @@ def test_scene_prefetch_timestep_bit_exact(monkeypatch):
     assert not s2._shadow_dirty
     np.testing.assert_array_equal(img_hit, img_ref)
 
-    # mis-speculation: prefetch one direction, step the other way ->
-    # dropped by update_view, merged step dispatches normally, output
-    # still matches a clean render of that datetime
+    # mis-speculation BACKWARD: prefetch forward, step back to t-1. The
+    # speculation is dropped on the datetime mismatch — and since round
+    # 4 the flip cache covers the backward step itself: the previous
+    # step's state restores with ZERO further dispatches
+    # (tests/test_flip_cache.py pins the cache in isolation).
     assert s2.prefetch_time(dt1 + timedelta(minutes=15))
     dt_back = dt1 - timedelta(minutes=15)
     s2.update_view(dt_back)
     assert s2._prefetch is None  # cleared on datetime mismatch
+    assert s2.last_flip_hit     # t-1 was resident
     img_miss = s2.render(1)
-    # 2 = the speculation's own dispatch + the merged-step fallback
-    assert calls["dispatch"] == 2
+    # 1 = the speculation's own dispatch; the flip restore costs none
+    assert calls["dispatch"] == 1
     assert img_miss.max() > 0
 
     # state-token mismatch: speculate, then change brightness before the
-    # step lands -> consume refuses, merged step runs with the new state
+    # step lands -> consume refuses (and the flip cache, which also holds
+    # this datetime, refuses on ITS token too), merged step runs with the
+    # new state
     assert s2.prefetch_time(dt_back + timedelta(minutes=15))
     s2.set_brightness(s2.brightness + 2)
     s2.update_view(dt_back + timedelta(minutes=15))
+    assert not s2.last_flip_hit  # stale flip entry dropped, not restored
     img2 = s2.render(1)
-    assert calls["dispatch"] == 4
+    assert calls["dispatch"] == 3
     assert img2.max() > 0
 
     # the speculation pins the exact objects whose id()s its validity

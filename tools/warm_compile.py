@@ -51,13 +51,12 @@ def main():
 
     import jax
 
-    cache_dir = os.path.join(
-        os.environ.get("MOONRTX_TPU_CACHE",
-                       os.path.expanduser("~/.cache/moonrtx_tpu")),
-        "jaxcache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from moonrtx_tpu.utils import compilecache
+
+    # seed=False: when capturing a seed archive (pack_compile_cache) the
+    # staging dir must contain exactly the freshly-compiled program set
+    compilecache.enable(seed=os.environ.get("MOONRTX_JAXCACHE") is None)
+    cache_dir = compilecache.cache_dir()
 
     def stage(label, fn):
         t0 = time.time()
@@ -99,6 +98,13 @@ def main():
                                     scene.out_height))
         scene.render(1)
     stage("pose change (re-extraction program)", pose)
+
+    # incremental refinement: the window's idle loop adds one sample at a
+    # time through render_accumulation_frame, which uses the SPLIT
+    # programs (extract_window_cache, build_shadow_state_from_maps,
+    # single-sample accumulate) rather than the fused burst
+    stage("incremental accumulation sample",
+          lambda: scene.render_accumulation_frame())
     print(f"done: program set compiled + persisted in {cache_dir} "
           f"({time.time()-t00:.0f}s total)", flush=True)
 
