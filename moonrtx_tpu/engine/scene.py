@@ -1729,15 +1729,44 @@ class MoonScene:
             self._hitbuf_src = self._hitbuf
         return self._hitbuf_host
 
+    # cursor pick window: transferred instead of the whole hit buffer
+    # (33 MB at 1080p — a multi-hundred-ms hitch per fresh frame through
+    # a slow link). 128px covers mouse motion between frames; re-centers
+    # when the cursor leaves the inner half.
+    PICK_WIN = 128
+
     def get_hit_at(self, x: int, y: int) -> tuple[float, float, float, float]:
         """Scene-frame hit position + distance at an image pixel (0 distance
         = miss) — the replacement for the reference's device hit-buffer
-        readback (renderer_navigation.py:189-192). Pure-host after the
-        once-per-frame hit_buffer_host transfer."""
-        buf = self.hit_buffer_host()
+        readback (renderer_navigation.py:189-192). Reads the full host
+        copy when one is already resident (tests, parity tools); mouse
+        picking on a fresh frame transfers only a PICK_WIN^2 window
+        around the cursor (~256 KB, re-used while the cursor stays near
+        its center) instead of the whole buffer."""
+        if self._hitbuf is None:
+            self.render_accumulation_frame()
         y = int(np.clip(y, 0, self.height - 1))
         x = int(np.clip(x, 0, self.width - 1))
-        v = buf[y, x]
+        if self._hitbuf_host is not None and \
+                self._hitbuf_src is self._hitbuf:
+            v = self._hitbuf_host[y, x]
+            return float(v[0]), float(v[1]), float(v[2]), float(v[3])
+        W = min(self.PICK_WIN, self.height, self.width)
+        win = getattr(self, "_pickwin", None)
+        if (win is not None and self._pickwin_src is self._hitbuf):
+            r0, c0 = self._pickwin_origin
+            ry, cx = y - r0, x - c0
+            q = W // 4
+            if q <= ry < W - q and q <= cx < W - q:
+                v = win[ry, cx]
+                return float(v[0]), float(v[1]), float(v[2]), float(v[3])
+        r0 = int(np.clip(y - W // 2, 0, self.height - W))
+        c0 = int(np.clip(x - W // 2, 0, self.width - W))
+        self._pickwin = np.asarray(jax.lax.dynamic_slice(
+            self._hitbuf, (r0, c0, 0), (W, W, 4)))
+        self._pickwin_origin = (r0, c0)
+        self._pickwin_src = self._hitbuf
+        v = self._pickwin[y - r0, x - c0]
         return float(v[0]), float(v[1]), float(v[2]), float(v[3])
 
     def elevation_host(self) -> np.ndarray:

@@ -286,3 +286,32 @@ def test_held_key_prefetch_armed_once_per_step(session, monkeypatch):
         minutes=session.time_step_minutes)
     session.frame(1)
     assert calls == [expected, expected2]
+
+
+def test_pick_window_matches_full_buffer(session):
+    """get_hit_at on a fresh frame transfers a small cursor window, not
+    the 33 MB hit buffer (round-3 weak item 5); values must match the
+    full host copy exactly, and nearby picks reuse the window."""
+    import numpy as np
+
+    s = session.scene
+    s.render(1)
+    # fresh frame: no full host copy resident
+    assert s._hitbuf_host is None or s._hitbuf_src is not s._hitbuf
+    v1 = s.get_hit_at(64, 64)
+    win1 = s._pickwin
+    assert win1 is not None
+    W = min(s.PICK_WIN, s.height, s.width)
+    assert win1.shape == (W, W, 4)
+    v2 = s.get_hit_at(66, 63)          # nearby: same window object
+    assert s._pickwin is win1
+    far_y = min(64 + W, s.height - 1)
+    s.get_hit_at(64, far_y)            # far: window re-centers
+    assert s._pickwin is not win1
+
+    buf = s.hit_buffer_host()
+    assert v1 == tuple(float(c) for c in buf[64, 64])
+    assert v2 == tuple(float(c) for c in buf[63, 66])
+    # with the full copy resident, picks read it directly
+    v3 = s.get_hit_at(10, 10)
+    assert v3 == tuple(float(c) for c in buf[10, 10])
