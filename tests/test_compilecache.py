@@ -1,0 +1,94 @@
+"""Persistent-compile-cache product flow (utils/compilecache): seed
+extraction semantics — idempotent, never-overwriting, failure-tolerant."""
+
+import os
+import tarfile
+
+import pytest
+
+from moonrtx_tpu.utils import compilecache
+
+
+@pytest.fixture
+def seeded_env(monkeypatch, tmp_path):
+    src = tmp_path / "seeds"
+    dest = tmp_path / "jaxcache"
+    src.mkdir()
+    dest.mkdir()
+    monkeypatch.setattr(compilecache, "seed_dir", lambda: str(src))
+    return src, dest
+
+
+def _make_archive(src, name, entries):
+    raw = src / "raw"
+    raw.mkdir(exist_ok=True)
+    with tarfile.open(src / name, "w:xz") as tf:
+        for fname, content in entries.items():
+            p = raw / fname
+            p.write_bytes(content)
+            tf.add(str(p), arcname=fname)
+
+
+def test_seed_extracts_and_is_idempotent(seeded_env):
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz",
+                  {"jit_a-123-cache": b"AAA", "jit_b-456-cache": b"BBB"})
+    added = compilecache.seed_from_package(str(dest))
+    assert added == 2
+    assert (dest / "jit_a-123-cache").read_bytes() == b"AAA"
+    # marker written: second call is a no-op even if entries were removed
+    (dest / "jit_a-123-cache").unlink()
+    assert compilecache.seed_from_package(str(dest)) == 0
+    assert not (dest / "jit_a-123-cache").exists()
+
+
+def test_seed_never_overwrites_existing_entries(seeded_env):
+    src, dest = seeded_env
+    (dest / "jit_a-123-cache").write_bytes(b"LOCAL")
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz",
+                  {"jit_a-123-cache": b"PACKAGED",
+                   "jit_c-789-cache": b"CCC"})
+    added = compilecache.seed_from_package(str(dest))
+    assert added == 1
+    # a locally-compiled entry wins over the shipped one
+    assert (dest / "jit_a-123-cache").read_bytes() == b"LOCAL"
+    assert (dest / "jit_c-789-cache").read_bytes() == b"CCC"
+
+
+def test_corrupt_archive_is_nonfatal(seeded_env, capsys):
+    src, dest = seeded_env
+    (src / "jaxcache_seed_tpu.tar.xz").write_bytes(b"not a tarball")
+    added = compilecache.seed_from_package(str(dest))
+    assert added == 0
+    assert "Warning" in capsys.readouterr().out
+    # and a good archive alongside still seeds
+    _make_archive(src, "jaxcache_seed_other.tar.xz",
+                  {"jit_d-1-cache": b"DDD"})
+    assert compilecache.seed_from_package(str(dest)) == 1
+
+
+def test_no_seed_dir_is_noop(monkeypatch, tmp_path):
+    monkeypatch.setattr(compilecache, "seed_dir",
+                        lambda: str(tmp_path / "absent"))
+    assert compilecache.seed_from_package(str(tmp_path)) == 0
+
+
+def test_jaxcache_env_override(monkeypatch, tmp_path):
+    monkeypatch.setenv("MOONRTX_JAXCACHE", str(tmp_path / "override"))
+    assert compilecache.cache_dir() == str(tmp_path / "override")
+    monkeypatch.delenv("MOONRTX_JAXCACHE")
+    assert compilecache.cache_dir().endswith(os.path.join("jaxcache"))
+
+
+def test_packaged_seed_archive_is_wellformed():
+    """The committed archive must be a readable tar.xz of cache entries."""
+    src = compilecache.seed_dir()
+    archives = [f for f in os.listdir(src)] if os.path.isdir(src) else []
+    archives = [f for f in archives if f.endswith(".tar.xz")]
+    assert archives, "no packaged seed archive committed"
+    for name in archives:
+        with tarfile.open(os.path.join(src, name), "r:xz") as tf:
+            names = tf.getnames()
+            assert names
+            assert all("/" not in n and n.endswith("-cache")
+                       for n in names), names[:3]
