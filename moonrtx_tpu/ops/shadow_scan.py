@@ -346,23 +346,6 @@ def _decimate2_max(x):
     return x.reshape(r // 2, 2, c // 2, 2).max(axis=(1, 3))
 
 
-def _box_dilate(x, s: int):
-    """(2s+1)-cell separable max (dilation); columns (phi) truly wrap via
-    roll, rows clamp at the band edges."""
-    out = x
-    for d in range(1, s + 1):
-        out = jnp.maximum(out, jnp.roll(x, d, axis=1))
-        out = jnp.maximum(out, jnp.roll(x, -d, axis=1))
-    res = out
-    for d in range(1, s + 1):
-        up = jnp.concatenate([out[d:], jnp.broadcast_to(
-            out[-1:], (d,) + out.shape[1:])], axis=0)
-        dn = jnp.concatenate([jnp.broadcast_to(
-            out[:1], (d,) + out.shape[1:]), out[:-d]], axis=0)
-        res = jnp.maximum(res, jnp.maximum(up, dn))
-    return res
-
-
 def _shift_rows(x, d: int):
     """x shifted so cell i sees x[i - d] (edge rows clamp)."""
     if d == 0:
