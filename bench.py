@@ -108,9 +108,9 @@ def main():
     def sync():
         # force completion with a 16-byte readback (axon block_until_ready
         # does not synchronize reliably through the tunnel). NOT
-        # scene.get_hit_at: that path host-caches the WHOLE hit buffer for
-        # mouse picking — a 33 MB transfer that only the tunnel makes slow
-        # and that real deployments overlap with display anyway.
+        # scene.get_hit_at: even with the round-4 cursor-window picking
+        # (~256 KB per re-center) a direct single-texel slice is the
+        # cheapest possible sync through the tunnel.
         v = jax.lax.dynamic_slice(
             scene._hitbuf, (scene.height // 2, scene.width // 2, 0),
             (1, 1, 4))
@@ -327,7 +327,9 @@ def main():
     dt_fast = (time.time() - t0) / (n * reps)
 
     import resource
-    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
+    maxrss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux but BYTES on macOS (CPU smoke runs)
+    rss_gb = maxrss / (1024**3 if sys.platform == "darwin" else 1024**2)
 
     rays = scene.width * scene.height
     baseline_ms = 1000.0 / 30.0

@@ -1757,7 +1757,17 @@ class MoonScene:
             r0, c0 = self._pickwin_origin
             ry, cx = y - r0, x - c0
             q = W // 4
-            if q <= ry < W - q and q <= cx < W - q:
+            # inner-half reuse; a margin that is flush against the image
+            # edge counts as satisfied (a window pinned at the border
+            # cannot re-center any further — without this, every pick in
+            # a 32 px edge band re-transferred the window per event)
+            row_ok = ((ry >= q or r0 == 0)
+                      and (ry < W - q or r0 == self.height - W)
+                      and 0 <= ry < W)
+            col_ok = ((cx >= q or c0 == 0)
+                      and (cx < W - q or c0 == self.width - W)
+                      and 0 <= cx < W)
+            if row_ok and col_ok:
                 v = win[ry, cx]
                 return float(v[0]), float(v[1]), float(v[2]), float(v[3])
         r0 = int(np.clip(y - W // 2, 0, self.height - W))

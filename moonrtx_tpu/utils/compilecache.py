@@ -24,7 +24,9 @@ or foreign seed entry can never be USED wrongly — it is simply never hit
 from __future__ import annotations
 
 import os
+import sys
 import tarfile
+from typing import Optional
 
 _ENABLED = False
 
@@ -81,25 +83,37 @@ def seed_from_package(dest: str) -> int:
             with open(marker, "w", encoding="utf-8"):
                 pass
         except Exception as e:  # seeding can only cost time, never break
-            print(f"Warning: compile-cache seed {name} failed: {e}")
+            print(f"Warning: compile-cache seed {name} failed: {e}",
+                  file=sys.stderr)
     if added:
-        print(f"  Seeded {added} precompiled program(s) into {dest}")
+        # stderr: bench.py's stdout contract is ONE JSON line, and the
+        # seeded case is exactly the cold first run it measures
+        print(f"  Seeded {added} precompiled program(s) into {dest}",
+              file=sys.stderr)
     return added
 
 
-def enable(seed: bool = True) -> None:
+def enable(seed: Optional[bool] = None) -> None:
     """Point JAX's persistent compilation cache at the product cache dir
     and unpack any packaged seeds. Idempotent; call before first compile
     (import-time device touches are fine — the cache engages per
-    compilation, not per backend init)."""
+    compilation, not per backend init).
+
+    seed=None (default) seeds unless MOONRTX_NO_SEED is set — the knob
+    tools/pack_compile_cache.py uses so a capture run's staging directory
+    holds exactly the freshly-compiled program set, never the committed
+    archive's historical entries."""
     global _ENABLED
     if _ENABLED:
         return
+    if seed is None:
+        seed = not os.environ.get("MOONRTX_NO_SEED")
     d = cache_dir()
     try:
         os.makedirs(d, exist_ok=True)
     except Exception as e:
-        print(f"Warning: could not create compile cache dir {d}: {e}")
+        print(f"Warning: could not create compile cache dir {d}: {e}",
+              file=sys.stderr)
         return
     if seed:
         seed_from_package(d)
@@ -110,4 +124,5 @@ def enable(seed: bool = True) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _ENABLED = True
     except Exception as e:
-        print(f"Warning: could not enable the persistent compile cache: {e}")
+        print(f"Warning: could not enable the persistent compile cache: {e}",
+              file=sys.stderr)

@@ -60,7 +60,7 @@ def test_corrupt_archive_is_nonfatal(seeded_env, capsys):
     (src / "jaxcache_seed_tpu.tar.xz").write_bytes(b"not a tarball")
     added = compilecache.seed_from_package(str(dest))
     assert added == 0
-    assert "Warning" in capsys.readouterr().out
+    assert "Warning" in capsys.readouterr().err
     # and a good archive alongside still seeds
     _make_archive(src, "jaxcache_seed_other.tar.xz",
                   {"jit_d-1-cache": b"DDD"})
@@ -92,3 +92,30 @@ def test_packaged_seed_archive_is_wellformed():
             assert names
             assert all("/" not in n and n.endswith("-cache")
                        for n in names), names[:3]
+
+
+def test_no_seed_env_suppresses_seeding(seeded_env, monkeypatch):
+    """MOONRTX_NO_SEED (set by tools/pack_compile_cache.py) must keep a
+    capture run's staging directory free of packaged entries."""
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_z-1-cache": b"Z"})
+    monkeypatch.setenv("MOONRTX_JAXCACHE", str(dest))
+    monkeypatch.setenv("MOONRTX_NO_SEED", "1")
+    monkeypatch.setattr(compilecache, "_ENABLED", False)
+    compilecache.enable()
+    assert not (dest / "jit_z-1-cache").exists()
+    monkeypatch.setattr(compilecache, "_ENABLED", False)
+    monkeypatch.delenv("MOONRTX_NO_SEED")
+    compilecache.enable()
+    assert (dest / "jit_z-1-cache").exists()
+
+
+def test_seed_messages_go_to_stderr(seeded_env, capsys):
+    """bench.py's stdout contract is one JSON line; seeding diagnostics
+    must print to stderr (round-4 review finding)."""
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_e-1-cache": b"E"})
+    compilecache.seed_from_package(str(dest))
+    captured = capsys.readouterr()
+    assert captured.out == ""
+    assert "Seeded 1" in captured.err

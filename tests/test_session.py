@@ -305,8 +305,9 @@ def test_pick_window_matches_full_buffer(session):
     assert win1.shape == (W, W, 4)
     v2 = s.get_hit_at(66, 63)          # nearby: same window object
     assert s._pickwin is win1
-    far_y = min(64 + W, s.height - 1)
-    s.get_hit_at(64, far_y)            # far: window re-centers
+    # far along x (the axis where the frame exceeds the window, so a
+    # re-center is actually possible): the window refetches
+    s.get_hit_at(s.width - 2, 64)
     assert s._pickwin is not win1
 
     buf = s.hit_buffer_host()
@@ -315,3 +316,17 @@ def test_pick_window_matches_full_buffer(session):
     # with the full copy resident, picks read it directly
     v3 = s.get_hit_at(10, 10)
     assert v3 == tuple(float(c) for c in buf[10, 10])
+
+
+def test_pick_window_edge_band_reuses(session):
+    """A window pinned at the image border satisfies its edge-side margin
+    implicitly: repeated picks along the border must NOT re-transfer the
+    window per event (round-4 review finding)."""
+    s = session.scene
+    s.render(1)
+    s.get_hit_at(5, 3)                 # top-left corner: window at (0, 0)
+    win = s._pickwin
+    assert s._pickwin_origin == (0, 0)
+    for x, y in ((1, 1), (0, 8), (12, 0), (20, 15)):
+        s.get_hit_at(x, y)
+        assert s._pickwin is win, (x, y)

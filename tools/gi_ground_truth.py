@@ -194,11 +194,11 @@ def _march(elev, p_start, dirs, t_max, n_steps, refine=5):
 
 def mc_indirect(elev, alb_lum, smap_np, basis, ncs, nf, nphi,
                 lats, lons, n_dirs, t_max, n_steps, rng,
-                e1_field=None, e1_grid=None):
+                e1_field=None):
     """Cosine-weighted hemisphere MC of the indirect term at surface
-    points, in bounce units (fraction added to n.l*lit). e1_field/e1_grid:
-    optional coarse first-bounce field (lat-lon grid) for the second
-    bounce."""
+    points, in bounce units (fraction added to n.l*lit). e1_field:
+    optional coarse first-bounce field on an equirect texel-center grid
+    (sampled with sample_bilinear) for the second bounce."""
     n_pts = len(lats)
     normals, p0 = surface_normal(elev, lats, lons)
     p_start = p0 + 2e-5 * normals
@@ -309,8 +309,10 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
 
     # ---- coarse first-bounce field for the second segment ---------------
     e1_grid_h = 45 if fast else 90
-    g_lat = np.linspace(89, -89, e1_grid_h)
-    g_lon = np.linspace(-179, 179, 2 * e1_grid_h)
+    # texel-center convention, matching sample_bilinear's mapping (the
+    # second-bounce lookup then has zero grid misregistration)
+    g_lat = 90.0 - (np.arange(e1_grid_h) + 0.5) / e1_grid_h * 180.0
+    g_lon = (np.arange(2 * e1_grid_h) + 0.5) / (2 * e1_grid_h) * 360.0 - 180.0
     gl, gn = np.meshgrid(g_lat, g_lon, indexing="ij")
     e1 = mc_indirect(elev, alb_lum, smap_np, basis, ncs, nf, nphi,
                      gl.ravel(), gn.ravel(), 24 if fast else 48,

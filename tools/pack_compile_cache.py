@@ -39,7 +39,10 @@ sys.path.insert(0, REPO)
 def main():
     t0 = time.time()
     staging = tempfile.mkdtemp(prefix="moonrtx_jaxcache_")
-    env = dict(os.environ, MOONRTX_JAXCACHE=staging)
+    # MOONRTX_NO_SEED: the capture must hold exactly the freshly-compiled
+    # set — seeding the committed archive into staging would make every
+    # recapture a strictly-growing union of historical entries
+    env = dict(os.environ, MOONRTX_JAXCACHE=staging, MOONRTX_NO_SEED="1")
 
     if "--skip-bench" not in sys.argv:
         print(f"capturing BENCH program set into {staging} ...", flush=True)

@@ -53,9 +53,10 @@ def main():
 
     from moonrtx_tpu.utils import compilecache
 
-    # seed=False: when capturing a seed archive (pack_compile_cache) the
-    # staging dir must contain exactly the freshly-compiled program set
-    compilecache.enable(seed=os.environ.get("MOONRTX_JAXCACHE") is None)
+    # MOONRTX_NO_SEED (set by pack_compile_cache) suppresses archive
+    # seeding so a capture run's staging dir holds exactly the
+    # freshly-compiled program set
+    compilecache.enable()
     cache_dir = compilecache.cache_dir()
 
     def stage(label, fn):
