@@ -49,9 +49,19 @@ def main():
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, check=True)
     if "--skip-default" not in sys.argv:
+        # the TRUE first-run defaults (no flags: 1920x1080, downscale 3,
+        # shadow accuracy 1) — programs are specialized to accuracy's
+        # scan resolution too, so warming at a non-default accuracy
+        # would miss the actual first launch
         print("capturing app-default program set ...", flush=True)
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "warm_compile.py")],
+            env=env, check=True)
+        # plus the default set at exact-shadow accuracy 10 (the X key /
+        # recommended setting): one more walk, scan variants only
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "warm_compile.py"),
+             "--shadow-accuracy", "10"],
             env=env, check=True)
 
     entries = sorted(f for f in os.listdir(staging)
