@@ -61,11 +61,21 @@ def seed_from_package(dest: str) -> int:
     for name in sorted(os.listdir(src)):
         if not name.endswith(".tar.xz"):
             continue
-        marker = os.path.join(dest, f".seeded_{name}")
-        if os.path.exists(marker):
-            continue  # this archive was already unpacked once
+        # marker keyed by the archive's content fingerprint, not just its
+        # name: an upgraded package replaces the archive under the same
+        # filename and must re-seed (a name-only marker would skip it
+        # forever)
+        path = os.path.join(src, name)
         try:
-            with tarfile.open(os.path.join(src, name), "r:xz") as tf:
+            st = os.stat(path)
+            tag = f"{st.st_size}_{int(st.st_mtime)}"
+        except OSError:
+            continue
+        marker = os.path.join(dest, f".seeded_{name}.{tag}")
+        if os.path.exists(marker):
+            continue  # this exact archive was already unpacked once
+        try:
+            with tarfile.open(path, "r:xz") as tf:
                 for m in tf.getmembers():
                     if not m.isfile():
                         continue

@@ -119,3 +119,22 @@ def test_seed_messages_go_to_stderr(seeded_env, capsys):
     captured = capsys.readouterr()
     assert captured.out == ""
     assert "Seeded 1" in captured.err
+
+
+def test_replaced_archive_reseeds(seeded_env):
+    """An upgraded package replaces the archive under the same filename;
+    the content-keyed marker must re-seed it (a name-only marker skipped
+    it forever — round-4 fix)."""
+    import os
+    import time
+
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_v1-1-cache": b"1"})
+    assert compilecache.seed_from_package(str(dest)) == 1
+    # replace the archive (new content, same name, bumped mtime)
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_v2-1-cache": b"2"})
+    os.utime(src / "jaxcache_seed_tpu.tar.xz",
+             (time.time() + 5, time.time() + 5))
+    assert compilecache.seed_from_package(str(dest)) == 1
+    assert (dest / "jit_v2-1-cache").exists()
+    assert (dest / "jit_v1-1-cache").exists()  # old entries untouched
