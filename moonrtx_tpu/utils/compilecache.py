@@ -61,19 +61,39 @@ def seed_from_package(dest: str) -> int:
     for name in sorted(os.listdir(src)):
         if not name.endswith(".tar.xz"):
             continue
-        # marker keyed by the archive's content fingerprint, not just its
+        # marker keyed by the archive's CONTENT fingerprint, not just its
         # name: an upgraded package replaces the archive under the same
-        # filename and must re-seed (a name-only marker would skip it
-        # forever)
+        # filename and must re-seed. Size+mtime is not enough (build
+        # tooling normalizes mtimes, e.g. SOURCE_DATE_EPOCH); hash the
+        # size + first/last 64 KiB instead — xz streams differing
+        # anywhere differ in those bytes with overwhelming probability.
         path = os.path.join(src, name)
         try:
-            st = os.stat(path)
-            tag = f"{st.st_size}_{int(st.st_mtime)}"
+            import hashlib
+
+            st_size = os.path.getsize(path)
+            h = hashlib.blake2b(digest_size=8)
+            h.update(str(st_size).encode())
+            with open(path, "rb") as f:
+                h.update(f.read(65536))
+                if st_size > 131072:
+                    f.seek(-65536, os.SEEK_END)
+                    h.update(f.read(65536))
+            tag = h.hexdigest()
         except OSError:
             continue
         marker = os.path.join(dest, f".seeded_{name}.{tag}")
         if os.path.exists(marker):
             continue  # this exact archive was already unpacked once
+        # prune markers of superseded versions of this archive (they
+        # would otherwise accumulate one per upgrade)
+        for old in os.listdir(dest):
+            if old.startswith(f".seeded_{name}") and old != \
+                    os.path.basename(marker):
+                try:
+                    os.remove(os.path.join(dest, old))
+                except OSError:
+                    pass
         try:
             with tarfile.open(path, "r:xz") as tf:
                 for m in tf.getmembers():
@@ -117,7 +137,10 @@ def enable(seed: Optional[bool] = None) -> None:
     if _ENABLED:
         return
     if seed is None:
-        seed = not os.environ.get("MOONRTX_NO_SEED")
+        # presence check, matching the repo's MOONRTX_NO_WARM_START
+        # convention (setting the var to ANY value, including "0",
+        # disables seeding)
+        seed = os.environ.get("MOONRTX_NO_SEED") is None
     d = cache_dir()
     try:
         os.makedirs(d, exist_ok=True)

@@ -96,18 +96,31 @@ def test_packaged_seed_archive_is_wellformed():
 
 def test_no_seed_env_suppresses_seeding(seeded_env, monkeypatch):
     """MOONRTX_NO_SEED (set by tools/pack_compile_cache.py) must keep a
-    capture run's staging directory free of packaged entries."""
+    capture run's staging directory free of packaged entries. Presence
+    check: ANY value (incl. "0") disables, matching the repo's
+    MOONRTX_NO_WARM_START convention."""
+    import jax
+
     src, dest = seeded_env
     _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_z-1-cache": b"Z"})
     monkeypatch.setenv("MOONRTX_JAXCACHE", str(dest))
-    monkeypatch.setenv("MOONRTX_NO_SEED", "1")
+    monkeypatch.setenv("MOONRTX_NO_SEED", "0")
     monkeypatch.setattr(compilecache, "_ENABLED", False)
-    compilecache.enable()
-    assert not (dest / "jit_z-1-cache").exists()
-    monkeypatch.setattr(compilecache, "_ENABLED", False)
-    monkeypatch.delenv("MOONRTX_NO_SEED")
-    compilecache.enable()
-    assert (dest / "jit_z-1-cache").exists()
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        compilecache.enable()
+        assert not (dest / "jit_z-1-cache").exists()
+        monkeypatch.setattr(compilecache, "_ENABLED", False)
+        monkeypatch.delenv("MOONRTX_NO_SEED")
+        compilecache.enable()
+        assert (dest / "jit_z-1-cache").exists()
+    finally:
+        # enable() mutates process-global jax config; the suite must not
+        # keep persisting compiles into a pruned pytest tmp dir
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
 
 
 def test_seed_messages_go_to_stderr(seeded_env, capsys):

@@ -125,8 +125,7 @@ def test_window_random_event_storm(monkeypatch, small_maps):
     cold.shadows_on = s.shadows_on
     cold.indirect_light = s.indirect_light
     cold.update_view(s.dt_local)
-    cold_sess = __import__(
-        "moonrtx_tpu.app.session", fromlist=["Session"]).Session(cold, [])
+    cold_sess = Session(cold, [])
     cold_sess.grid_visible = sess.grid_visible
     cold_sess._grid_graphs = sess._grid_graphs
     cold_sess.standard_labels_visible = sess.standard_labels_visible
@@ -135,7 +134,6 @@ def test_window_random_event_storm(monkeypatch, small_maps):
     cold_sess._spot_graph = sess._spot_graph
     cold_sess.pins_visible = sess.pins_visible
     cold_sess.pins = sess.pins
-    cold.update_view(s.dt_local)
     img_cold = cold_sess.frame(n_accum=1).copy()
     d = np.abs(img.astype(np.float32) - img_cold.astype(np.float32))
     assert d.max() <= 1.0, (d.max(), (d > 1).mean())

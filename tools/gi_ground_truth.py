@@ -260,7 +260,11 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
         n_pts, n_dirs, n_steps = 1400, 384, 170
     t_max = 0.35
 
-    elev, albedo = synthesize_moon(th, tw, seed=11, n_craters=n_craters)
+    # the seed varies EVERYTHING: base terrain, crafted craters, sample
+    # cells and MC rays — so held-out seeds validate the calibration on
+    # terrain it never saw (docs/GI.md held-out table)
+    elev, albedo = synthesize_moon(th, tw, seed=11 + seed,
+                                   n_craters=n_craters)
     rs = float(elev.max())
     elev, craters = add_craters((elev / rs).astype(np.float64), rng,
                                 n=20 if fast else 48)
@@ -393,10 +397,14 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
 
 if __name__ == "__main__":
     fast = "--fast" in sys.argv
-    out = run(fast=fast)
+    seed = 0
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    out = run(fast=fast, seed=seed)
     print(json.dumps(out, indent=1))
+    name = "gi_bound.json" if seed == 0 else f"gi_bound_seed{seed}.json"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                        "docs", "gi_bound.json")
+                        "docs", name)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print(f"# wrote {path}")
