@@ -19,6 +19,26 @@ no manual tool invocation):
 Cache keys include the jax version, backend and program HLO, so a stale
 or foreign seed entry can never be USED wrongly — it is simply never hit
 (the only cost is disk). Seeding failures of any kind are non-fatal.
+
+Archive lifecycle policy (round-5 verdict item 5):
+
+* **Exactly one live archive per backend tag** — the packer writes
+  ``jaxcache_seed_<backend>.tar.xz`` with ``os.replace`` (replace, never
+  accumulate), and its staging directory is always FRESH, so a recapture
+  prunes every entry whose compile-cache key drifted (toolchain upgrade,
+  program-set change): dead entries can never survive into a new archive.
+* **Retirement rule**: an archive is retired by the next
+  ``tools/pack_compile_cache.py`` run on the target platform — recapture
+  whenever the jax/XLA toolchain or the shipped program set changes
+  (observable as a first run that compiles instead of deserializing).
+  The superseded archive's unpacked cache-dir entries stop being hit
+  immediately (keys self-select) and are swept by ``prune_stale``.
+* **Repo-size note**: each recapture replaces the committed ~40 MB
+  binary but git history keeps the old blob; deployments that recapture
+  often should track the archive via git-lfs or attach it to release
+  artifacts instead of committing (advisor round-4 finding) — this
+  repository keeps exactly one live archive and recaptures only on
+  toolchain drift.
 """
 
 from __future__ import annotations
@@ -86,9 +106,11 @@ def seed_from_package(dest: str) -> int:
         if os.path.exists(marker):
             continue  # this exact archive was already unpacked once
         # prune markers of superseded versions of this archive (they
-        # would otherwise accumulate one per upgrade)
+        # would otherwise accumulate one per upgrade). Exact-prefix match
+        # with the trailing dot: an archive whose filename is a prefix of
+        # another's must not prune the other's markers (advisor finding)
         for old in os.listdir(dest):
-            if old.startswith(f".seeded_{name}") and old != \
+            if old.startswith(f".seeded_{name}.") and old != \
                     os.path.basename(marker):
                 try:
                     os.remove(os.path.join(dest, old))
@@ -105,7 +127,11 @@ def seed_from_package(dest: str) -> int:
                     f = tf.extractfile(m)
                     if f is None:
                         continue
-                    tmp = out + ".tmp"
+                    # per-process tmp name: two processes cold-starting
+                    # concurrently (app + bench) must not interleave
+                    # truncating writes to one tmp path and os.replace a
+                    # corrupt entry (advisor finding)
+                    tmp = f"{out}.{os.getpid()}.tmp"
                     with open(tmp, "wb") as o:
                         o.write(f.read())
                     os.replace(tmp, out)
@@ -121,6 +147,41 @@ def seed_from_package(dest: str) -> int:
         print(f"  Seeded {added} precompiled program(s) into {dest}",
               file=sys.stderr)
     return added
+
+
+def prune_stale(dest: str, days: float = 60.0) -> int:
+    """Sweep cache entries not touched in `days` (dead keys left behind
+    by toolchain drift — the round-4 finding that superseded entries
+    "just sit on disk"). JAX reads a cache entry on every hit, so any
+    entry a live program set uses stays fresh under relatime; only
+    entries whose keys nothing generates anymore age out. Markers
+    (dot-files) are kept — removing one would only cause a harmless
+    re-seed, but keeping them makes the sweep obviously side-effect-free.
+    Returns the number of entries removed; never raises."""
+    import time
+
+    cutoff = time.time() - days * 86400.0
+    removed = 0
+    try:
+        names = os.listdir(dest)
+    except OSError:
+        return 0
+    for name in names:
+        if name.startswith(".") or name.endswith(".tmp"):
+            continue
+        p = os.path.join(dest, name)
+        try:
+            st = os.stat(p)
+            if max(st.st_atime, st.st_mtime) < cutoff:
+                os.remove(p)
+                removed += 1
+        except OSError:
+            pass
+    if removed:
+        print(f"  Pruned {removed} stale compile-cache entr"
+              f"{'y' if removed == 1 else 'ies'} from {dest}",
+              file=sys.stderr)
+    return removed
 
 
 def enable(seed: Optional[bool] = None) -> None:
@@ -150,6 +211,7 @@ def enable(seed: Optional[bool] = None) -> None:
         return
     if seed:
         seed_from_package(d)
+        prune_stale(d)
     try:
         import jax
 

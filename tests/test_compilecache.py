@@ -134,6 +134,50 @@ def test_seed_messages_go_to_stderr(seeded_env, capsys):
     assert "Seeded 1" in captured.err
 
 
+def test_prune_stale_sweeps_only_old_entries(tmp_path):
+    """The lifecycle sweep removes entries untouched past the age cutoff
+    and keeps fresh entries, markers and in-flight tmp files."""
+    import time
+
+    d = tmp_path / "jaxcache"
+    d.mkdir()
+    old = time.time() - 90 * 86400
+    (d / "jit_dead-1-cache").write_bytes(b"X")
+    os.utime(d / "jit_dead-1-cache", (old, old))
+    (d / "jit_live-1-cache").write_bytes(b"Y")
+    (d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd").write_bytes(b"")
+    os.utime(d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd", (old, old))
+    (d / "jit_partial-1-cache.123.tmp").write_bytes(b"Z")
+    os.utime(d / "jit_partial-1-cache.123.tmp", (old, old))
+    removed = compilecache.prune_stale(str(d), days=60)
+    assert removed == 1
+    assert not (d / "jit_dead-1-cache").exists()
+    assert (d / "jit_live-1-cache").exists()
+    assert (d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd").exists()
+    assert (d / "jit_partial-1-cache.123.tmp").exists()
+    # missing dir: no-op, no raise
+    assert compilecache.prune_stale(str(tmp_path / "absent")) == 0
+
+
+def test_prefix_named_archive_keeps_sibling_markers(seeded_env):
+    """An archive whose filename is a prefix of another's must not prune
+    the other's markers when re-seeded (advisor round-4 finding: the
+    prune matched `.seeded_<name>` without the trailing dot)."""
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_p-1-cache": b"P"})
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz.old.tar.xz",
+                  {"jit_q-1-cache": b"Q"})
+    assert compilecache.seed_from_package(str(dest)) == 2
+    markers = [f for f in os.listdir(str(dest)) if f.startswith(".seeded_")]
+    assert len(markers) == 2, markers
+    # replace the SHORT-named archive: only ITS marker may be pruned
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz", {"jit_p-2-cache": b"P2"})
+    assert compilecache.seed_from_package(str(dest)) == 1
+    markers = [f for f in os.listdir(str(dest)) if f.startswith(".seeded_")]
+    assert len(markers) == 2, markers
+    assert any(".old.tar.xz." in m for m in markers), markers
+
+
 def test_replaced_archive_reseeds(seeded_env):
     """An upgraded package replaces the archive under the same filename;
     the content-keyed marker must re-seed it (a name-only marker skipped

@@ -41,7 +41,11 @@ def test_display_quanta_bound(gi):
     o = gi["overall"]
     assert o["display_quanta"]["mean"] < 1.6, o["display_quanta"]
     # shadowed floors — the visually critical case (crater floor lit
-    # only by its walls): sub-quantum at p95
+    # only by its walls). Sub-quantum at p95 AT THIS SAMPLING only: the
+    # committed full-config artifact (docs/gi_bound.json) measures p95
+    # ~4.7 for the same metric — the full config's denser cells reach
+    # deeper into the dark-floor gamma tail, where a fixed bounce error
+    # spans more display quanta. The product guarantee is GI.md's table.
     assert o["display_quanta_shadowed"]["p95"] < 1.0, \
         o["display_quanta_shadowed"]
 
