@@ -390,6 +390,8 @@ class Session:
             "parallactic": ("Parallactic: ON" if s.parallactic_mode
                             else "Parallactic: OFF"),
             "fps": self.stats.status_text(s.width * s.height),
+            "memory": status_mod.memory_warning_text(
+                getattr(s, "hbm_over_budget", None)),
         }
 
     def info_panel(self) -> list:

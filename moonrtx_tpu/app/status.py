@@ -68,6 +68,17 @@ def feature_text(feature: Optional[MoonFeature]) -> str:
     return f"{feature.name} ({feature.diameter_km:.1f} km)"
 
 
+def memory_warning_text(over_budget: Optional[dict]) -> str:
+    """Status-bar warning when even the fully-banded heightfield plan
+    exceeds the per-chip HBM budget (scene._plan_bands
+    hfshard_over_budget — round-5 verdict item 6): empty when fine."""
+    if not over_budget:
+        return ""
+    return ("HBM over budget: "
+            f"{over_budget['projected_bytes'] / 2**30:.1f}"
+            f"/{over_budget['budget_bytes'] / 2**30:.1f} GiB per chip")
+
+
 def measured_text(distance_km: Optional[float],
                   height_diff_m: Optional[float]) -> str:
     if distance_km is None:

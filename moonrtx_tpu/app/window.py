@@ -69,12 +69,16 @@ def run_window(config: RenderConfig) -> None:
     status = tk.Frame(root)
     status.pack(fill=tk.X, side=tk.BOTTOM)
     panel_keys = ["pins", "shadows", "brightness", "gamma", "feature",
-                  "coords", "measured", "time", "view", "parallactic", "fps"]
+                  "coords", "measured", "time", "view", "parallactic", "fps",
+                  "memory"]
     panel_vars = {}
     for key in panel_keys:
         var = tk.StringVar()
+        # the "memory" panel carries the HBM-over-budget warning (empty
+        # in normal operation) — red so it reads as a warning
         tk.Label(status, textvariable=var, relief=tk.SUNKEN, anchor="w",
-                 padx=4).pack(side=tk.LEFT, fill=tk.X, expand=(key == "feature"))
+                 padx=4, **({"fg": "#cc2222"} if key == "memory" else {})
+                 ).pack(side=tk.LEFT, fill=tk.X, expand=(key == "feature"))
         panel_vars[key] = var
     auto_advance_var = tk.BooleanVar(value=False)
     tk.Checkbutton(status, text="▶", variable=auto_advance_var).pack(

@@ -191,6 +191,9 @@ class MoonScene:
         self.mip_shapes = [(m.shape[0], m.shape[1] - PAD_COLS)
                            for m in ps.mips]
 
+        # set by _plan_bands when even the fully-banded placement exceeds
+        # the per-chip budget; surfaced in the status bar ("memory")
+        self.hbm_over_budget: Optional[dict] = None
         # Placement policy (mesh mode): levels too big for the per-chip
         # HBM budget are band-sharded across the mesh (parallel/hfshard.py)
         # instead of replicated — the non-destructive replacement for the
@@ -450,6 +453,22 @@ class MoonScene:
             if projected > budget:
                 log_event("hfshard_over_budget",
                           projected_bytes=projected, budget_bytes=budget)
+                # user-visible, not just log-mined: the status bar
+                # mirrors this (session.status_panels "memory" panel,
+                # observability parity with the reference's status
+                # surface renderer_status.py:235-246), and startup says
+                # it loudly once — rendering proceeds (the allocator may
+                # still cope), but OOMs here are now diagnosed, not
+                # mysterious
+                self.hbm_over_budget = {"projected_bytes": projected,
+                                        "budget_bytes": budget}
+                import sys
+                print("WARNING: even the fully-banded heightfield plan "
+                      f"needs {projected / 2**30:.2f} GiB/chip against a "
+                      f"{budget / 2**30:.2f} GiB HBM budget "
+                      f"({n_dev} devices). Expect allocator pressure; "
+                      "add devices, raise --hbm-budget-gb, or downscale.",
+                      file=sys.stderr)
         return band_mips, band_albs
 
     def _banded_mip(self, k: int):

@@ -165,6 +165,28 @@ class TestScenePolicy:
         assert np.array_equal(img_banded, img_rep) or (
             np.abs(img_banded.astype(int) - img_rep.astype(int)).max() <= 1)
 
+    def test_over_budget_is_surfaced_to_the_user(self, monkeypatch, capsys):
+        """When even the fully-banded plan exceeds the budget, the scene
+        records it, startup says it loudly, and the status bar's "memory"
+        panel carries the warning (round-5 verdict item 6). A comfortable
+        budget keeps all three silent."""
+        from moonrtx_tpu.app.session import Session
+
+        tiny = self._scene(monkeypatch, budget_gb=1e-6)
+        assert tiny.hbm_over_budget is not None
+        ob = tiny.hbm_over_budget
+        assert ob["projected_bytes"] > ob["budget_bytes"]
+        assert "WARNING" in capsys.readouterr().err
+        sess = Session(tiny, [])
+        txt = sess.status_panels()["memory"]
+        assert "HBM over budget" in txt
+        # the actual numbers are in the text (projected/budget GiB)
+        assert f"{ob['projected_bytes'] / 2**30:.1f}" in txt
+
+        big = self._scene(monkeypatch, budget_gb=1024.0)
+        assert big.hbm_over_budget is None
+        assert Session(big, []).status_panels()["memory"] == ""
+
     def test_policy_stays_replicated_single_device(self, monkeypatch):
         monkeypatch.setattr(
             "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)

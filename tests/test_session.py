@@ -200,7 +200,8 @@ def test_status_panels_complete(session):
     panels = session.status_panels()
     assert set(panels) == {"pins", "shadows", "brightness", "gamma", "feature",
                            "coords", "measured", "time", "view", "parallactic",
-                           "fps"}
+                           "fps", "memory"}
+    assert panels["memory"] == ""  # warning panel: empty when within budget
     rows = session.info_panel()
     assert len(rows) == 14
     names = [r[0] for r in rows]

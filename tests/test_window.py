@@ -273,3 +273,20 @@ def test_grid_toggle_composites_overlay(shell):
     img = np.asarray(shell.canvas._items[items[0]]["kw"]["image"])
     _key(shell, "g")
     assert not s.grid_visible
+
+
+def test_memory_warning_panel_in_status_bar(shell):
+    """The HBM-over-budget warning reaches the user: the red "memory"
+    status panel mirrors scene.hbm_over_budget after the next status
+    refresh (round-5 verdict item 6 — hfshard_over_budget was log-only)."""
+    mem_labels = [w for w in fake_tk.find_by_class(shell.root, fake_tk.Label)
+                  if w.kw.get("fg") == "#cc2222"]
+    assert len(mem_labels) == 1
+    var = mem_labels[0].kw["textvariable"]
+    assert var.get() == ""                       # silent within budget
+    shell.scene.hbm_over_budget = {
+        "projected_bytes": int(3.4 * 2**30),
+        "budget_bytes": int(2.0 * 2**30)}
+    _key(shell, "p")                             # any key refreshes status
+    assert "HBM over budget" in var.get()
+    assert "3.4/2.0 GiB" in var.get()
