@@ -68,6 +68,7 @@ def main():
     from moonrtx_tpu.engine.scene import MoonScene
     from moonrtx_tpu.types import Observer
 
+    t_cold_start = time.time()  # everything a cold user waits through
     t_setup = time.time()
     # Default working set: the real LOLA LDEM grid at --downscale 2
     # (23040x46080 = 1.06 Gtexels; reference main.py:25-29 ships
@@ -150,7 +151,13 @@ def main():
     # nothing bench-only
     scene.render_accumulation_burst(1)
     sync()
-    print(f"# cold frame (pose + scan programs) {time.time()-t0:.0f}s",
+    # the number a user actually experiences cold, end-to-end: data
+    # setup + compile-cache seeding + pyramid upload + the first frame's
+    # programs (round-5 verdict item 9). Includes this environment's
+    # tunnel-bandwidth upload (pyramid_upload_s, reported apart).
+    time_to_first_frame_s = time.time() - t_cold_start
+    print(f"# cold frame (pose + scan programs) {time.time()-t0:.0f}s; "
+          f"time to first frame {time_to_first_frame_s:.0f}s end-to-end",
           file=sys.stderr)
     scene.reset_accumulation()
     scene.render_accumulation_burst(n)
@@ -291,7 +298,10 @@ def main():
         scene.render_accumulation_burst(1)
         sync()
         (hit_times if hit else miss_times).append(time.time() - t0)
-        if prev_sgn == sgn:  # the session's adaptive speculation gate
+        # the session's speculation gate (app/session.py change_time):
+        # same-direction run, OR a flip hit just left the device idle
+        # with the new direction's next target known (round-5 item 3)
+        if prev_sgn == sgn or scene.last_flip_hit:
             scene.prefetch_time(scene.dt_local + sgn * step15)
         prev_sgn = sgn
         scene.display()
@@ -299,6 +309,32 @@ def main():
     mixed_hit_rate = mixed_hits / len(pattern)
     time_step_mixed_mean_ms = (sum(hit_times) + sum(miss_times)) \
         / len(pattern) * 1000.0
+
+    # backward scrub (round-5 item 3): Q Q W Q Q — a direction flip into
+    # a backward RUN. The flip cache covers step 1 (t-1 resident), and
+    # the flip hit arms speculation for step 2 (t-2) immediately, so the
+    # whole scrub runs at hit cost: ephemeris + consume + sync, like the
+    # forward held-key pipeline. Misses here would mean the flip-aware
+    # gate regressed.
+    scene.prefetch_time(scene.dt_local + step15)  # moving forward...
+    scene.display()
+    back_hits, back_times = 0, []
+    prev_sgn = +1
+    for sgn in [-1, -1, +1, -1, -1]:
+        dt_next = scene.dt_local + sgn * step15
+        t0 = time.time()
+        scene.update_view(dt_next)
+        hit = scene._prefetch is not None or scene.last_flip_hit
+        back_hits += hit
+        scene.render_accumulation_burst(1)
+        sync()
+        back_times.append(time.time() - t0)
+        if prev_sgn == sgn or scene.last_flip_hit:
+            scene.prefetch_time(scene.dt_local + sgn * step15)
+        prev_sgn = sgn
+        scene.display()
+    time_step_backward_mean_ms = sum(back_times) / len(back_times) * 1000.0
+    backward_hit_rate = back_hits / 5.0
 
     # display path: tonemap + uint8 frame readback to the host. Reported
     # separately from the headline (which is per accumulation sample on
@@ -357,12 +393,15 @@ def main():
         "time_step_mixed_mean_ms": round(time_step_mixed_mean_ms, 1),
         "time_step_miss_ms": (None if time_step_miss_ms is None
                               else round(time_step_miss_ms, 1)),
+        "time_step_backward_mean_ms": round(time_step_backward_mean_ms, 1),
+        "backward_hit_rate": round(backward_hit_rate, 2),
         "mrays_per_s": round(rays / dt_shadows / 1e6, 1),
         "display_readback_ms_tunnel": round(display_ms_tunnel, 1),
         "display_bytes": display_bytes,
         "host_rss_gb": round(rss_gb, 2),
         "pyramid_upload_s": round(upload_s, 1),
         "first_burst_s": round(first_burst_s, 1),
+        "time_to_first_frame_s": round(time_to_first_frame_s, 1),
         "backend": scene.backend,
         "device": str(jax.devices()[0]),
         "map_shape": list(scene.mip_shapes[0]),

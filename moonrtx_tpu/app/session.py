@@ -106,10 +106,22 @@ class Session:
         # on (hit rate unchanged), while direction-flappy scrubbing
         # degrades to plain merged steps instead of paying miss + stale
         # device work on every flip.
+        #
+        # FLIP-AWARE exception (round-5 verdict item 3): when the step
+        # just landed as a flip-cache hit, the device did ZERO work this
+        # step — it is idle, and the natural next target (one more step
+        # in the NEW direction, t-2 of a backward scrub) is known. So a
+        # flip hit arms speculation immediately instead of waiting for a
+        # second same-direction step: a backward run after a direction
+        # flip (Q Q Q...) is covered from its second step, and W<->Q
+        # toggling stays safe — the toggle's own next target is the step
+        # just snapshotted, so it hits the flip cache regardless of the
+        # (then-discarded) speculation.
         self.time_epoch += 1
         prev = self._last_step_minutes
         self._last_step_minutes = delta_minutes
-        if prev is None or (prev > 0) == (delta_minutes > 0):
+        if (prev is None or (prev > 0) == (delta_minutes > 0)
+                or self.scene.last_flip_hit):
             self._prefetch_step_minutes = delta_minutes
         else:
             self._prefetch_step_minutes = None

@@ -231,3 +231,54 @@ def test_session_mixed_pattern_hits(maps):
         hits += s.last_flip_hit or s._prefetch is not None
         sess.frame()
     assert hits >= 6, (hits, len(pattern))
+
+
+def test_session_backward_scrub_covered(maps):
+    """Flip-aware speculation (round-5 verdict item 3): a direction flip
+    lands as a flip-cache hit (device idle), which arms speculation in
+    the NEW direction immediately — so a backward run (Q Q ...) after
+    forward stepping is covered from its FIRST backward step (flip hit)
+    and its second onward (prefetch hits), not from the third as under
+    the two-same-direction gate alone. QQWQQ must be fully covered."""
+    import jax
+
+    from moonrtx_tpu.app.session import Session
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    s = _scene(maps, devices=8)
+    sess = Session(s, [])
+    sess.frame()
+    for key in "WWW":                     # warm forward; arms speculation
+        sess.handle_key(key.lower())
+        sess.frame()
+    hits = []
+    for key in "QQWQQ":
+        sess.handle_key(key.lower())
+        hits.append(bool(s.last_flip_hit or s._prefetch is not None))
+        sess.frame()
+    assert all(hits), hits
+
+
+def test_session_mixed_pattern_full_coverage(maps):
+    """With the flip cache AND flip-aware speculation, the bench's dense
+    W W W Q W Q Q W scrub has no uncovered steps at all."""
+    import jax
+
+    from moonrtx_tpu.app.session import Session
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    s = _scene(maps, devices=8)
+    sess = Session(s, [])
+    sess.frame()
+    for key in "WW":                # warm-up: arms + dispatches speculation
+        sess.handle_key(key.lower())
+        sess.frame()
+    hits = 0
+    pattern = "WWWQWQQW"
+    for key in pattern:
+        sess.handle_key(key.lower())
+        hits += s.last_flip_hit or s._prefetch is not None
+        sess.frame()
+    assert hits == len(pattern), (hits, len(pattern))
