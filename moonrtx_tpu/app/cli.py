@@ -131,6 +131,12 @@ def parse_args(argv=None):
                         help="Disable one-bounce terrain interreflection "
                              "(the analog of the reference's path-traced "
                              "indirect segments)")
+    parser.add_argument("--indirect-bounces", type=int, default=1,
+                        choices=(1, 2),
+                        help="Deterministic terrain bounces (2 = the "
+                             "reference's full two-segment depth; the "
+                             "second bounce is ~5%% of the indirect term "
+                             "— docs/GI.md)")
     parser.add_argument("--devices", type=int, default=1,
                         help="Device-mesh width for multi-chip rendering: "
                              "1 = single device, 0 = all local devices, "
@@ -311,6 +317,7 @@ def config_from_args(args) -> RenderConfig:
         backend=args.backend,
         accumulation_frames=args.accumulation_frames,
         indirect_light=not args.no_indirect_light,
+        indirect_bounces=args.indirect_bounces,
         devices=args.devices,
         hbm_budget_gb=args.hbm_budget_gb,
         photometric=args.photometric,

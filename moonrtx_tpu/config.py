@@ -52,6 +52,12 @@ class RenderConfig:
     # one-bounce terrain interreflection (the stand-in for the reference's
     # path-traced indirect segments, moon_renderer.py:441-445)
     indirect_light: bool = True
+    # deterministic terrain bounces: 1 (default) or 2. The reference's
+    # path_seg_range admits up to two; ground truth measures the second
+    # bounce at ~5% of the indirect term (docs/GI.md), so 1 is the
+    # default and 2 is exact-parity mode (one extra radiosity pyramid in
+    # the bounce program).
+    indirect_bounces: int = 1
     # device-mesh width for multi-chip rendering: 1 = single device,
     # 0 = auto (all local devices), N = exactly N (image rows + shadow-scan
     # phi wedges shard over the mesh; ICI gathers the frame)
@@ -128,4 +134,6 @@ class RenderConfig:
         if self.hbm_budget_gb < 0:
             raise ConfigError("Invalid HBM budget. Must be 0 (auto) or a "
                               "positive number of GiB.")
+        if self.indirect_bounces not in (1, 2):
+            raise ConfigError("Invalid indirect bounces. Must be 1 or 2.")
         return self

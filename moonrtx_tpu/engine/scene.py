@@ -269,6 +269,11 @@ class MoonScene:
         self._bounce_key = None      # (level, accuracy) of the cached bounce
         self._shadow_dirty = True
         self.indirect_light = bool(getattr(config, "indirect_light", True))
+        # 1 (default) or 2 deterministic terrain bounces (reference
+        # path_seg_range admits up to two, moon_renderer.py:445; the
+        # second-order term measures ~5% of the indirect signal —
+        # docs/GI.md second-bounce row)
+        self.indirect_bounces = int(getattr(config, "indirect_bounces", 1))
         self._alb_lum = {}           # level -> albedo-luminance map (cached)
         # blocked-backend caches
         self._origins = None         # WindowOrigins (per pose+level+rotation)
@@ -882,7 +887,8 @@ class MoonScene:
             jnp.float32(ang), h, w, ncs, nf, nph,
             alb_lum=(self.alb_lum(slevel)
                      if self.indirect_light and not reuse else None),
-            h_scale=self.h_scale, h_offset=self.h_offset)
+            h_scale=self.h_scale, h_offset=self.h_offset,
+            n_bounces=self.indirect_bounces)
         params = shadow_scan.ShadowMapParams(
             axis_x=jnp.asarray(basis_np[0], jnp.float32),
             axis_y=jnp.asarray(basis_np[1], jnp.float32),
@@ -1054,7 +1060,7 @@ class MoonScene:
             # install so the next merged step consumes it directly
             bounce = shadow_scan.bounce_refresh(
                 smap, hs, self.alb_lum(slevel), sun_basis,
-                sh_, sw_, ncs, nf, nph)
+                sh_, sw_, ncs, nf, nph, n_bounces=self.indirect_bounces)
             bounce_basis = basis_np
         return dict(kind="timestep", accum=accum, hitbuf=hitbuf,
                     swin=swin_p, scal=scal,
@@ -1113,7 +1119,8 @@ class MoonScene:
                 smap, params, bmap = shadow_scan.build_shadow_and_bounce(
                     stex, self.alb_lum(slevel), sh_, sw_, sun, ang,
                     accuracy=acc,
-                    h_scale=self.h_scale, h_offset=self.h_offset)
+                    h_scale=self.h_scale, h_offset=self.h_offset,
+                    n_bounces=self.indirect_bounces)
                 shadow = (smap, params)
                 bounce_render = bounce = bmap
                 bounce_basis = basis_np

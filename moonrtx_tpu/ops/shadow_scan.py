@@ -357,9 +357,90 @@ def _shift_rows(x, d: int):
         [x[-d:], jnp.broadcast_to(x[-1:], (-d,) + x.shape[1:])], axis=0)
 
 
+def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
+    """Directional-sector horizon machinery shared by every bounce pass.
+
+    For each of EIGHT azimuthal sectors (+-theta, +-phi and the four
+    diagonals — 45 deg each), estimate the horizon angle on a dyadic
+    pyramid (run doubles per level) and carry the radiosity of the
+    blocker that sets it; collapse coarse -> fine per sector by the
+    largest horizon angle (sin^2 alpha). `rads` is a tuple of emitter
+    radiosity fields sharing the same blocker geometry (the multi-bounce
+    passes reuse one geometry collapse); returns (s2_acc (8, nt, np),
+    j_accs tuple of (8, nt, np)) — the per-sector irradiance estimate is
+    sum_d s2_d * J_d / n_sectors.
+
+    Eight sectors (round-5 verdict item 2; was four at round 4): the
+    90-deg sectors were one of the two named residual-error sources —
+    a wall occupying half of a quadrant was either counted as the whole
+    quadrant or missed by it. 45-deg sectors halve that discretization;
+    measured corr vs Monte Carlo (docs/GI.md)."""
+    s = BOUNCE_BLUR
+    theta_k, h_k, hx_k = theta0, hs, hs
+    rad_ks = tuple(rads)
+    contributions = []  # per level: (s2 (8,nt,np), [J (8,nt,np) per field])
+    for k in range(n_levels):
+        dth_k = jnp.asarray(np.maximum(np.gradient(theta_k), 1e-6)
+                            .astype(np.float32))[:, None]
+        st_k = jnp.asarray(np.sin(theta_k).astype(np.float32))[:, None]
+        # blocker run per axis (radians of arc ~ length/R); phi extent
+        # clamped near the subsolar pole where cells are pencil-thin
+        dl_phi = jnp.clip(dphi * (2 ** k) * st_k, dth_k * 0.25, dth_k * 4.0)
+        rad_bs = [_box_blur(r, s) for r in rad_ks]
+        h_blk = 0.5 * (hx_k + h_k)
+        # Per-level, per-sector estimates. Blocker height = the mean of
+        # the max-decimated and mean-decimated pyramids: the block max
+        # alone up-biases the rise (a sub-cell peak anywhere in the 2^k
+        # block reads as a wall at the tap distance — ground truth
+        # measured ~+40% from it), the mean alone dilutes crater rims to
+        # nothing (measured ~10x under); the blend tracked Monte Carlo
+        # best (docs/GI.md).
+        run_diag = jnp.sqrt(dth_k * dth_k + dl_phi * dl_phi)
+        sector_s2, sector_js = [], [[] for _ in rad_ks]
+        for dth, dph, run in ((s, 0, dth_k), (-s, 0, dth_k),
+                              (0, s, dl_phi), (0, -s, dl_phi),
+                              (s, s, run_diag), (s, -s, run_diag),
+                              (-s, s, run_diag), (-s, -s, run_diag)):
+            def shift(x, _dt=dth, _dp=dph):
+                if _dp:
+                    x = jnp.roll(x, _dp, axis=1)
+                return _shift_rows(x, _dt) if _dt else x
+            t = jnp.maximum(shift(h_blk) - h_k, 0.0) / (s * run)
+            sector_s2.append(t * t / (1.0 + t * t))
+            for i, rb in enumerate(rad_bs):
+                sector_js[i].append(shift(rb))
+        contributions.append((jnp.stack(sector_s2),
+                              [jnp.stack(js) for js in sector_js]))
+        if k + 1 < n_levels:
+            theta_k = 0.5 * (theta_k[::2] + theta_k[1::2])
+            h_k = _decimate2(h_k)
+            hx_k = _decimate2_max(hx_k)
+            rad_ks = tuple(_decimate2(r) for r in rad_ks)
+
+    # collapse coarse -> fine PER SECTOR by the largest horizon ANGLE
+    # (sin^2 alpha), carrying THAT blocker's radiosity — the horizon is
+    # the scale with the steepest rise, and the light comes from the wall
+    # that sets it. Upsample 2x (nearest + 1-cell box smoothing); sectors
+    # only combine at the end (a wall far to the east must not override
+    # the open sky to the west).
+    s2_acc, j_accs = contributions[-1]
+    for k in range(n_levels - 2, -1, -1):
+        def up(a):
+            a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+            return jax.vmap(lambda x: _box_blur(x, 1))(a)
+        s2_acc = up(s2_acc)
+        j_accs = [up(j) for j in j_accs]
+        s2_f, j_fs = contributions[k]
+        take_f = s2_f > s2_acc
+        s2_acc = jnp.where(take_f, s2_f, s2_acc)
+        j_accs = [jnp.where(take_f, j_f, j_a)
+                  for j_f, j_a in zip(j_fs, j_accs)]
+    return s2_acc, j_accs
+
+
 def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
-                      n_phi: int):
-    """One-bounce terrain interreflection map on the scan grid.
+                      n_phi: int, n_bounces: int = 1):
+    """Terrain interreflection map on the scan grid (1 or 2 bounces).
 
     The TPU-native stand-in for the reference's 2-4-segment path tracing
     (moon_renderer.py:441-445): instead of stochastic bounce rays per pixel,
@@ -370,22 +451,28 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
     Physics: E = (1/2pi) * integral_phi J(phi) sin^2(alpha(phi)) dphi —
     a Lambertian emitter band below elevation angle alpha(phi) delivers
     J sin^2(alpha) per azimuth (integrate L*cos over the sub-alpha band).
-    The azimuth integral is split into FOUR directional sectors (+-theta,
-    +-phi on the scan grid), each with its own horizon estimate and
-    emitter radiosity: E = (1/4) sum_d J_d sin^2(alpha_d). An isotropic
-    (full-azimuth) horizon was the round-4 ground-truth finding: it
-    treats a one-sided crater wall as an enclosing ring and overestimated
-    steep-terrain bounce ~10x vs converged Monte Carlo path tracing
+    The azimuth integral is split into EIGHT directional 45-deg sectors,
+    each with its own horizon estimate and emitter radiosity:
+    E = (1/8) sum_d J_d sin^2(alpha_d). An isotropic (full-azimuth)
+    horizon was the round-4 ground-truth finding: it treats a one-sided
+    crater wall as an enclosing ring and overestimated steep-terrain
+    bounce ~10x vs converged Monte Carlo path tracing
     (tools/gi_ground_truth.py, docs/GI.md); the sector split measures the
     wall only in the sector it occupies. Per cell: J = albedo * n.l *
     lit, with n.l from scan-grid height slopes — sun-facing crater walls
-    near the terminator are the dominant emitters. Per sector,
-    sin^2(alpha) = t^2/(1+t^2) with t = rise/run toward the blocker,
-    evaluated on a dyadic pyramid (run doubles per level: occlusion
-    scales from ~2 cells to ~2^K * 2 cells); levels collapse coarse-to-
-    fine with a per-sector max over the horizon angle, carrying that
-    blocker's radiosity. Units match the shading path: the renderer
-    computes irradiance*(n.l*shadow + bounce).
+    near the terminator are the dominant emitters. Units match the
+    shading path: the renderer computes irradiance*(n.l*shadow + bounce).
+
+    n_bounces=2 (reference parity: path_seg_range up to two terrain
+    bounces, moon_renderer.py:445) adds the second-order term through a
+    second sector/horizon collapse whose emitters re-radiate the first
+    bounce they receive, J2 = albedo * E1. The horizon-geometry half
+    (the sin^2 alpha pyramids) is a pure function of the heights, so the
+    two passes' geometry subexpressions are structurally identical and
+    XLA CSE shares them; the genuinely new work is the J2 radiosity
+    pyramid + its collapse. Ground truth measures the term at ~5% of the
+    indirect signal (docs/GI.md second-bounce row), which is why 1 is
+    the default.
     """
     theta0 = np.deg2rad(_theta_grid(n_coarse, n_fine)).astype(np.float32)
     dphi = 2.0 * np.pi / n_phi
@@ -416,62 +503,21 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
            and min(n_theta, n_phi) // (2 ** n_levels) >= BOUNCE_MIN_SIZE):
         n_levels += 1
 
-    # Per-level, per-sector estimates. Blocker height = the mean of the
-    # max-decimated and mean-decimated pyramids: the block max alone
-    # up-biases the rise (a sub-cell peak anywhere in the 2^k block reads
-    # as a wall at the tap distance — ground truth measured ~+40% from
-    # it), the mean alone dilutes crater rims to nothing (measured ~10x
-    # under); the blend tracked Monte Carlo best (docs/GI.md).
-    s = BOUNCE_BLUR
-    theta_k, h_k, hx_k, rad_k = theta0, hs, hs, rad
-    contributions = []  # per level: ((4, nt, np) sin^2 alpha, (4,) J)
-    for k in range(n_levels):
-        dth_k = jnp.asarray(np.maximum(np.gradient(theta_k), 1e-6)
-                            .astype(np.float32))[:, None]
-        st_k = jnp.asarray(np.sin(theta_k).astype(np.float32))[:, None]
-        # blocker run per axis (radians of arc ~ length/R); phi extent
-        # clamped near the subsolar pole where cells are pencil-thin
-        dl_phi = jnp.clip(dphi * (2 ** k) * st_k, dth_k * 0.25, dth_k * 4.0)
-        rad_b = _box_blur(rad_k, s)
-        h_blk = 0.5 * (hx_k + h_k)
-        sector = []
-        for axis, d, run in ((0, s, dth_k), (0, -s, dth_k),
-                             (1, s, dl_phi), (1, -s, dl_phi)):
-            if axis == 0:
-                h_far = _shift_rows(h_blk, d)
-                j_far = _shift_rows(rad_b, d)
-            else:
-                h_far = jnp.roll(h_blk, d, axis=1)
-                j_far = jnp.roll(rad_b, d, axis=1)
-            t = jnp.maximum(h_far - h_k, 0.0) / (s * run)
-            sector.append((t * t / (1.0 + t * t), j_far))
-        contributions.append((jnp.stack([s2 for s2, _ in sector]),
-                              jnp.stack([j for _, j in sector])))
-        if k + 1 < n_levels:
-            theta_k = 0.5 * (theta_k[::2] + theta_k[1::2])
-            h_k = _decimate2(h_k)
-            hx_k = _decimate2_max(hx_k)
-            rad_k = _decimate2(rad_k)
-
-    # collapse coarse -> fine PER SECTOR by the largest horizon ANGLE
-    # (sin^2 alpha), carrying THAT blocker's radiosity — the horizon is
-    # the scale with the steepest rise, and the light comes from the wall
-    # that sets it. Upsample 2x (nearest + 1-cell box smoothing); sectors
-    # only combine at the end (a wall far to the east must not override
-    # the open sky to the west).
-    s2_acc, j_acc = contributions[-1]
-    for k in range(n_levels - 2, -1, -1):
-        def up(a):
-            a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
-            return jax.vmap(lambda x: _box_blur(x, 1))(a)
-        s2_acc, j_acc = up(s2_acc), up(j_acc)
-        s2_f, j_f = contributions[k]
-        take_f = s2_f > s2_acc
-        s2_acc = jnp.where(take_f, s2_f, s2_acc)
-        j_acc = jnp.where(take_f, j_f, j_acc)
-    return jnp.clip(
-        BOUNCE_WALL_LIT_FRACTION * 0.25 * jnp.sum(s2_acc * j_acc, axis=0),
-        0.0, BOUNCE_MAX)
+    scale = BOUNCE_WALL_LIT_FRACTION / 8.0
+    if n_bounces < 2:
+        s2_acc, (j_acc,) = _sector_collapse(hs, (rad,), theta0, dphi,
+                                            n_levels)
+        e1 = scale * jnp.sum(s2_acc * j_acc, axis=0)
+        return jnp.clip(e1, 0.0, BOUNCE_MAX)
+    # two passes sharing the geometry: pass 1 gives E1 everywhere; the
+    # second pass's emitters are J2 = albedo * E1 (a wall re-radiating
+    # the indirect light it receives) through the SAME sector collapse.
+    s2_acc, (j_acc,) = _sector_collapse(hs, (rad,), theta0, dphi, n_levels)
+    e1 = scale * jnp.sum(s2_acc * j_acc, axis=0)
+    s2_acc2, (j2_acc,) = _sector_collapse(hs, (alb_s * e1,), theta0, dphi,
+                                          n_levels)
+    e2 = scale * jnp.sum(s2_acc2 * j2_acc, axis=0)
+    return jnp.clip(e1 + e2, 0.0, BOUNCE_MAX)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
@@ -511,17 +557,21 @@ def _build_aux(tex, alb_lum, sun_basis, sun_ang_radius,
             hs, alb_s)
 
 
-@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "n_phi"))
-def _bounce_jit(smap, hs, alb_s, n_coarse: int, n_fine: int, n_phi: int):
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "n_phi",
+                                             "n_bounces"))
+def _bounce_jit(smap, hs, alb_s, n_coarse: int, n_fine: int, n_phi: int,
+                n_bounces: int = 1):
     factor = smap[:, :n_phi]
-    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
+    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi,
+                               n_bounces=n_bounces)
     return jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "n_coarse", "n_fine",
-                                             "n_phi"))
+                                             "n_phi", "n_bounces"))
 def bounce_refresh(smap, hs, alb_lum, sun_basis, h: int, w: int,
-                   n_coarse: int, n_fine: int, n_phi: int):
+                   n_coarse: int, n_fine: int, n_phi: int,
+                   n_bounces: int = 1):
     """Rebuild the one-bounce irradiance map from an already-scanned
     (smap, hs) pair: half-res albedo resample + the bounce pyramid in ONE
     program. Dispatched asynchronously BEHIND a rendered frame (the
@@ -533,7 +583,8 @@ def bounce_refresh(smap, hs, alb_lum, sun_basis, h: int, w: int,
     alb_s = resample_alb_half(alb_lum, sun_basis, h, w, n_coarse, n_fine,
                               n_phi, 0, n_phi)
     factor = smap[:, :n_phi]
-    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi)
+    bounce = bounce_from_parts(hs, factor, alb_s, n_coarse, n_fine, n_phi,
+                               n_bounces=n_bounces)
     return jnp.concatenate([bounce, bounce[:, :PHI_PAD]], axis=1)
 
 
@@ -573,10 +624,11 @@ def build_shadow_map(tex, h: int, w: int, sun_dir_body, sun_ang_radius: float,
 
 def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
                             sun_ang_radius: float, accuracy: int = 10,
-                            h_scale: float = 1.0, h_offset: float = 0.0):
-    """build_shadow_map plus the one-bounce irradiance map on the same grid:
-    returns (shadow_map, ShadowMapParams, bounce_map). Two device programs
-    (scan+aux, then the bounce pyramid) — see _build_aux."""
+                            h_scale: float = 1.0, h_offset: float = 0.0,
+                            n_bounces: int = 1):
+    """build_shadow_map plus the indirect-light irradiance map on the same
+    grid: returns (shadow_map, ShadowMapParams, bounce_map). Two device
+    programs (scan+aux, then the bounce pyramid) — see _build_aux."""
     n_coarse, n_fine, n_phi = _resolution(accuracy)
     x, y, z = sun_frame_basis(sun_dir_body)
     basis = jnp.stack([x, y, z])
@@ -584,7 +636,8 @@ def build_shadow_and_bounce(tex, alb_lum, h: int, w: int, sun_dir_body,
                                  jnp.float32(sun_ang_radius), h, w,
                                  n_coarse, n_fine, n_phi,
                                  h_scale=h_scale, h_offset=h_offset)
-    bmap = _bounce_jit(smap, hs, alb_s, n_coarse, n_fine, n_phi)
+    bmap = _bounce_jit(smap, hs, alb_s, n_coarse, n_fine, n_phi,
+                       n_bounces=n_bounces)
     params = ShadowMapParams(
         axis_x=x, axis_y=y, axis_z=z,
         n_coarse=jnp.float32(n_coarse), n_fine=jnp.float32(n_fine),

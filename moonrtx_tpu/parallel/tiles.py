@@ -213,12 +213,13 @@ def render_burst_pallas_sharded(mesh: Mesh, mip, mip_next, albedo_mip,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "h", "w", "n_coarse_rows", "n_fine", "n_phi",
-                     "h_scale", "h_offset"),
+                     "h_scale", "h_offset", "n_bounces"),
 )
 def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
                              h: int, w: int, n_coarse_rows: int,
                              n_fine: int, n_phi: int, alb_lum=None,
-                             h_scale: float = 1.0, h_offset: float = 0.0):
+                             h_scale: float = 1.0, h_offset: float = 0.0,
+                             n_bounces: int = 1):
     """Sun-frame shadow scan with the phi axis sharded over the mesh.
 
     Each device scans its azimuth wedge (the running max along theta is
@@ -276,7 +277,8 @@ def build_shadow_map_sharded(mesh: Mesh, tex, sun_basis, sun_ang_radius,
         check_vma=False,
     )(tex, sun_basis, sun_ang_radius, alb_lum)
     bounce = shadow_scan.bounce_from_parts(hs, factor, alb_s,
-                                           n_coarse_rows, n_fine, n_phi)
+                                           n_coarse_rows, n_fine, n_phi,
+                                           n_bounces=n_bounces)
     return _wrap(factor), _wrap(bounce)
 
 

@@ -93,6 +93,8 @@ def test_no_bounce_shadow_windows_are_half_width(scenes):
     (half the memory, one bilinear instead of two — ADVICE r1); the pallas
     pack restores the uniform 2*SWIN_W layout."""
     s = scenes["blocked"]
+    if s._cache_level is None:   # test isolation: the module-shared
+        s.render(1)              # scene may not have rendered yet
     smap, sparams = s.shadow_args()
     geom = blocked.block_rays(s.basis(), s._fp.rotation,
                               jnp.zeros(2, jnp.float32),

@@ -280,6 +280,12 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
         jnp.asarray(SUN), 0.00465, accuracy=accuracy)
     smap_np = np.asarray(smap)[:, :nphi].astype(np.float64)
     bmap_np = np.asarray(bmap)[:, :nphi].astype(np.float64)
+    # the 2-bounce model (--indirect-bounces 2): same scan, second
+    # radiosity pass through the same sector collapse
+    _, _, bmap2 = shadow_scan.build_shadow_and_bounce(
+        tex, jnp.asarray(alb_lum.astype(np.float32)), th, tw,
+        jnp.asarray(SUN), 0.00465, accuracy=accuracy, n_bounces=2)
+    bmap2_np = np.asarray(bmap2)[:, :nphi].astype(np.float64)
     print(f"# model maps built ({time.time()-t0:.0f}s) "
           f"grid {smap_np.shape}", flush=True)
 
@@ -337,6 +343,8 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
 
     model = bmap_np[ri, ci]
     delta = model - mc2
+    model2 = bmap2_np[ri, ci]
+    delta2 = model2 - mc2
 
     # direct term + display-quanta conversion at the sample points
     normals, _ = surface_normal(elev, lats, lons)
@@ -350,6 +358,11 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
                                0.0, 1.0) ** (1.0 / gamma)
 
     dq = np.abs(disp(ndl * lit + model) - disp(ndl * lit + mc2))
+    dq2 = np.abs(disp(ndl * lit + model2) - disp(ndl * lit + mc2))
+    # display effect of the second deterministic bounce itself (the
+    # round-5 "kill it with numbers" measurement: how much the picture
+    # changes when --indirect-bounces 2 is enabled)
+    dq_12 = np.abs(disp(ndl * lit + model2) - disp(ndl * lit + model))
     shadowed = ndl * lit < 0.01
 
     def stats(mask, arr):
@@ -389,7 +402,23 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
             model_mean=float(model.mean()), mc_mean=float(mc2.mean()),
             mc_mean_significant=(float(mc2[significant].mean())
                                  if significant.any() else None),
-            corr=float(np.corrcoef(model, mc2)[0, 1])),
+            corr=float(np.corrcoef(model, mc2)[0, 1]),
+            # least-squares amplitude fit of the model against truth:
+            # the model is linear in BOUNCE_WALL_LIT_FRACTION, so the
+            # optimal constant = current * amplitude_fit (the tuning
+            # procedure used on seed 0; held-out seeds only REPORT it)
+            amplitude_fit=float(np.sum(mc2 * model)
+                                / max(np.sum(model * model), 1e-12))),
+        second_bounce=dict(
+            model2_mean=float(model2.mean()),
+            bounce_abs_err=stats(everything, delta2),
+            display_quanta=stats(everything, dq2),
+            display_quanta_shadowed=stats(shadowed, dq2),
+            corr=float(np.corrcoef(model2, mc2)[0, 1]),
+            # the visible effect of enabling the second bounce, binned
+            # like the headline (worst bin decides the default)
+            effect_display_quanta=stats(everything, dq_12),
+            effect_display_quanta_shadowed=stats(shadowed, dq_12)),
         by_sun_elevation=by_elev,
         runtime_s=round(time.time() - t0, 1))
     return out
