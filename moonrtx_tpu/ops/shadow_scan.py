@@ -98,7 +98,8 @@ def _decimate_tex(m):
 
 
 def _resample_heights_blocked(tex, h: int, w: int, row, col,
-                              scale: float = 1.0, offset: float = 0.0):
+                              scale: float = 1.0, offset: float = 0.0,
+                              group: int = 8):
     """Resample heights at the scan-grid positions through per-block
     windows (one-hot MXU sampling) instead of an XLA gather: ~10x faster
     on TPU for the multi-megatexel fine band. tex may be quantized
@@ -155,7 +156,7 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
                    cq + (w / q)[:, None], cq)
 
     from moonrtx_tpu.ops import extract as extract_ops
-    if (extract_ops._fast_ok() and nb % 8 == 0
+    if (extract_ops._fast_ok() and nb % group == 0
             and tex.dtype in extract_ops._FAST_DTYPES):
         # fused extraction + bilinear in ONE kernel: aligned superwindow
         # DMA (grouped, overlapped) + in-VMEM bf16 one-hot MXU sampling,
@@ -166,7 +167,7 @@ def _resample_heights_blocked(tex, h: int, w: int, row, col,
             levels, qexp, r0, c0,
             rq - r0[:, None].astype(rq.dtype),
             cq - c0[:, None].astype(cq.dtype),
-            WH_, WW_, scale=scale, offset=offset, group=8)
+            WH_, WW_, scale=scale, offset=offset, group=group)
     else:
         # per-level XLA extraction blended by level index (CPU path)
         per = [extract_ops.extract_windows(
@@ -220,7 +221,7 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
                n_coarse: int, n_fine: int, n_phi_total: int,
                phi0, n_phi: int, blocked_resample: bool = False,
                alb_lum=None, h_scale: float = 1.0, h_offset: float = 0.0,
-               return_heights: bool = False):
+               return_heights: bool = False, resample_group: int = 8):
     """Scan an azimuth wedge [phi0, phi0 + n_phi) of the sun-frame grid.
 
     The running max along theta is local to each meridian, so wedges are
@@ -245,7 +246,8 @@ def scan_wedge(tex, sun_basis, sun_ang_radius, h: int, w: int,
     row, col = sampler.latlon_to_rowcol(lat, lon, h, w)
     if blocked_resample:
         hs = _resample_heights_blocked(tex, h, w, row, col,
-                                       scale=h_scale, offset=h_offset)
+                                       scale=h_scale, offset=h_offset,
+                                       group=resample_group)
     else:
         from moonrtx_tpu.ops import extract as extract_ops
         # gather promotes raw int values per-fetch; decode commutes with
@@ -401,14 +403,25 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
                               (0, s, dl_phi), (0, -s, dl_phi),
                               (s, s, run_diag), (s, -s, run_diag),
                               (-s, s, run_diag), (-s, -s, run_diag)):
-            def shift(x, _dt=dth, _dp=dph):
+            def shift(x, mul, _dt=dth, _dp=dph):
                 if _dp:
-                    x = jnp.roll(x, _dp, axis=1)
-                return _shift_rows(x, _dt) if _dt else x
-            t = jnp.maximum(shift(h_blk) - h_k, 0.0) / (s * run)
-            sector_s2.append(t * t / (1.0 + t * t))
+                    x = jnp.roll(x, mul * _dp, axis=1)
+                return _shift_rows(x, mul * _dt) if _dt else x
+            # two taps per level (s and 2s cells): the 2s tap sees the
+            # mid-octave blocker distance at THIS level's resolution —
+            # level k+1 covers the same distance but through another 2x
+            # decimation blur. Per (level, sector), keep the tap with the
+            # steeper horizon (the single-tap-per-level gap was the other
+            # named residual-error source in docs/GI.md round 4).
+            t1 = jnp.maximum(shift(h_blk, 1) - h_k, 0.0) / (s * run)
+            t2 = jnp.maximum(shift(h_blk, 2) - h_k, 0.0) / (2 * s * run)
+            s2_1 = t1 * t1 / (1.0 + t1 * t1)
+            s2_2 = t2 * t2 / (1.0 + t2 * t2)
+            far = s2_2 > s2_1
+            sector_s2.append(jnp.where(far, s2_2, s2_1))
             for i, rb in enumerate(rad_bs):
-                sector_js[i].append(shift(rb))
+                sector_js[i].append(jnp.where(far, shift(rb, 2),
+                                              shift(rb, 1)))
         contributions.append((jnp.stack(sector_s2),
                               [jnp.stack(js) for js in sector_js]))
         if k + 1 < n_levels:

@@ -5,7 +5,8 @@ The fast configuration re-measures the deterministic one-bounce field
 against a cosine-weighted 2-bounce path-traced reference on steep
 crafted-crater terrain (wall slopes ~25-30 deg — the regime the round-4
 fix targeted: the earlier isotropic-horizon model overestimated ~10x
-there). Bounds are the measured round-4 numbers with ~50% headroom."""
+there; round 5 moved to 8 sectors + two horizon taps per level).
+Bounds are the measured round-5 numbers with ~50% headroom."""
 
 import os
 import sys
@@ -26,20 +27,20 @@ def gi():
 def test_bounce_error_bound(gi):
     o = gi["overall"]
     # absolute error in bounce units (fraction added to n.l*lit)
-    assert o["bounce_abs_err"]["mean"] < 0.012, o["bounce_abs_err"]
-    assert o["bounce_abs_err"]["max"] < 0.06, o["bounce_abs_err"]
+    assert o["bounce_abs_err"]["mean"] < 0.005, o["bounce_abs_err"]
+    assert o["bounce_abs_err"]["max"] < 0.03, o["bounce_abs_err"]
     # the model-importance half (steepest cells): the isotropic model
     # measured mean 0.163 here — the sector model must stay ~10x below
-    assert o["bounce_abs_err_model_top"]["mean"] < 0.025, \
+    assert o["bounce_abs_err_model_top"]["mean"] < 0.01, \
         o["bounce_abs_err_model_top"]
     # uniform cells (the model cannot hide errors from these)
-    assert o["bounce_abs_err_uniform"]["mean"] < 0.002, \
+    assert o["bounce_abs_err_uniform"]["mean"] < 0.0005, \
         o["bounce_abs_err_uniform"]
 
 
 def test_display_quanta_bound(gi):
     o = gi["overall"]
-    assert o["display_quanta"]["mean"] < 1.6, o["display_quanta"]
+    assert o["display_quanta"]["mean"] < 0.6, o["display_quanta"]
     # shadowed floors — the visually critical case (crater floor lit
     # only by its walls). Sub-quantum at p95 AT THIS SAMPLING only: the
     # committed full-config artifact (docs/gi_bound.json) measures p95
@@ -52,9 +53,9 @@ def test_display_quanta_bound(gi):
 
 def test_model_tracks_ground_truth(gi):
     o = gi["overall"]
-    assert o["corr"] > 0.75, o["corr"]
-    # amplitude sanity: within ~3x of truth in the mean (the isotropic
-    # model sat at ~9x); one-sided overestimate is the known residual
-    assert o["model_mean"] < 3.0 * o["mc_mean"] + 0.01, \
-        (o["model_mean"], o["mc_mean"])
+    # round-5 8-sector + two-tap model measures 0.911 at this config
+    assert o["corr"] > 0.85, o["corr"]
+    # amplitude sanity: the least-squares fit stays within the held-out
+    # wander band (docs/GI.md: +-~25% across seeds; isotropic sat at ~9x)
+    assert 0.6 < o["amplitude_fit"] < 1.6, o["amplitude_fit"]
     assert o["mc_mean"] > 0.003, "ground truth degenerate (no hits?)"
