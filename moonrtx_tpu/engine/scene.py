@@ -63,6 +63,54 @@ BOUNCE_REUSE_DEG = 0.5
 BOUNCE_ASYNC_MAX_DEG = 4 * BOUNCE_REUSE_DEG
 
 
+def _drop_mmap_pages(m) -> None:
+    """Release an mmap-backed level's resident pages after upload (the
+    pyramid cache is mmap'd; reading a level for the device transfer
+    faults the whole file into RSS, and the pages are dead weight once
+    the device copy exists — they refault from disk if measurement
+    touches the level again)."""
+    mm = getattr(m, "_mmap", None)
+    if mm is not None:
+        try:
+            import mmap as _mmap
+
+            mm.madvise(_mmap.MADV_DONTNEED)
+        except (AttributeError, ValueError, OSError):
+            pass
+
+
+# Host->device transfers stage in row bands of this many bytes: a whole-
+# level jnp.asarray stages a full-size host copy, which at the bench
+# working set peaked host RSS at ~8 GB (2.9 GiB pyramids staged beside
+# their mmap'd sources — round-5 verdict item 7) and would double at the
+# full 46080x92160 LDEM.
+UPLOAD_BAND_BYTES = 256 << 20
+
+
+def _upload_rows_banded(m, band_bytes: int = UPLOAD_BAND_BYTES):
+    """Upload a host array in row bands, capping host staging at one
+    band. The device array is assembled with donated dynamic updates
+    (in-place on TPU), so device transient stays out + one band; the
+    mmap-backed source drops its resident pages afterwards."""
+    rows = int(m.shape[0])
+    row_bytes = max(m.nbytes // max(rows, 1), 1)
+    rb = max(int(band_bytes // row_bytes), 1)
+    if rows <= rb:
+        out = jnp.asarray(m)
+        _drop_mmap_pages(m)
+        return out
+    upd = jax.jit(
+        lambda o, b, r: jax.lax.dynamic_update_slice(
+            o, b, (r,) + (0,) * (m.ndim - 1)),
+        donate_argnums=0)
+    out = jnp.zeros(m.shape, dtype=m.dtype)
+    for r0 in range(0, rows, rb):
+        band = jnp.asarray(np.ascontiguousarray(m[r0:r0 + rb]))
+        out = upd(out, band, jnp.int32(r0))
+    _drop_mmap_pages(m)
+    return out
+
+
 def _earth_params(e, eclipse: bool, earthshine: bool) -> np.ndarray:
     """(6,) Earth-light params for FrameParams.earth: Earth direction in
     the body frame (= the sub-Earth point, i.e. geocentric libration),
@@ -208,7 +256,8 @@ class MoonScene:
             self._band_alb_levels.update(range(self.alb_min_level))
         self._banded_mips = {}
         self._banded_albedo = {}
-        self.mips = [None if k in self._band_levels else jnp.asarray(m)
+        self.mips = [None if k in self._band_levels
+                     else _upload_rows_banded(m)
                      for k, m in enumerate(ps.mips)]
         uploaded = {}
         self.albedo_mips = []
@@ -218,7 +267,7 @@ class MoonScene:
             elif id(a) in uploaded:  # aliased head slots upload once
                 self.albedo_mips.append(uploaded[id(a)])
             else:
-                uploaded[id(a)] = jnp.asarray(a)
+                uploaded[id(a)] = _upload_rows_banded(a)
                 self.albedo_mips.append(uploaded[id(a)])
         self.maxmap = jnp.asarray(ps.maxmap)
         self.slope_maps = jnp.asarray(ps.slope_maps)

@@ -86,3 +86,29 @@ def test_mmap_synth_elevation_cache(tmp_path, monkeypatch):
     assert rs1 == rs2
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     assert isinstance(e2, np.memmap)  # second load is memory-mapped
+
+
+def test_banded_upload_round_trips_and_drops_pages(tmp_path):
+    """_upload_rows_banded (round-5 verdict item 7: host RSS cap) must
+    be bit-exact vs a whole-array transfer for every dtype/rank it
+    uploads, and must madvise mmap-backed sources after upload."""
+    import numpy as np
+
+    from moonrtx_tpu.engine.scene import _upload_rows_banded
+
+    rng = np.random.default_rng(0)
+    for arr in (rng.integers(-500, 500, (37, 50)).astype(np.int16),
+                rng.random((23, 40)).astype(np.float32),
+                (rng.random((16, 12, 3)) * 255).astype(np.uint8)):
+        out = _upload_rows_banded(arr, band_bytes=arr.nbytes // 5)
+        np.testing.assert_array_equal(np.asarray(out), arr)
+
+    # mmap-backed source: content survives; madvise ran (pages refault
+    # transparently, so correctness is the observable)
+    p = tmp_path / "lvl.npy"
+    big = rng.random((64, 128)).astype(np.float32)
+    np.save(p, big)
+    m = np.load(p, mmap_mode="r")
+    out = _upload_rows_banded(m, band_bytes=big.nbytes // 7)
+    np.testing.assert_array_equal(np.asarray(out), big)
+    np.testing.assert_array_equal(np.asarray(m), big)  # refaults fine
