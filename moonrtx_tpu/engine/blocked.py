@@ -560,14 +560,22 @@ def shade_blocks(cache: WindowCache, org: WindowOrigins,
 
 # ---- shadow windows ---------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("out_dtype", "group"))
 def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
-                         bounce_map=None) -> ShadowWindows:
+                         bounce_map=None,
+                         out_dtype=jnp.bfloat16,
+                         group: int = GROUP) -> ShadowWindows:
     """Per-block windows into the sun-frame shadow map (rebuilt on time or
     camera change). Footprints from the chord endpoints + midpoint; blocks spanning
     more than a window sample a 2x-decimated copy of the map (the penumbra
     is smooth, so decimation is benign). bounce_map (same grid) shares the
-    origins/stride; its windows sit in columns [SWIN_W, 2*SWIN_W)."""
+    origins/stride; its windows sit in columns [SWIN_W, 2*SWIN_W).
+
+    out_dtype (fast path only): the packed window dtype. bf16 is the
+    shipped choice — the kernel samples swin as bf16 regardless, and the
+    amortized A/B (tools/ab_amortized.py, docs/PERF.md round-5) measures
+    the f32 variant's extra HBM traffic; the knob exists so that A/B
+    stays runnable."""
     from moonrtx_tpu.ops import shadow_scan
 
     n_phi = shadow_map.shape[1] - shadow_scan.PHI_PAD
@@ -621,7 +629,7 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
         # before the first wait, both maps sharing origins — replaces two
         # per-block extraction passes plus a concat plus the pack-time
         # bf16 cast (the kernel samples swin as bf16 regardless)
-        smap16 = shadow_map.astype(jnp.bfloat16)
+        smap16 = shadow_map.astype(out_dtype)
         shalf = _decimate(smap16)
         slv = (smap16, shalf, _decimate(shalf))
         qi = jnp.clip(sqexp, 0, 2)
@@ -632,13 +640,13 @@ def build_shadow_windows(shadow_map, smap_params, geom: RayGeom,
         if bounce_map is None:
             maps = (slv,)
         else:
-            bmap16 = bounce_map.astype(jnp.bfloat16)
+            bmap16 = bounce_map.astype(out_dtype)
             bhalf = _decimate(bmap16)
             maps = (slv, (bmap16, bhalf, _decimate(bhalf)))
         packed = extract_ops.extract_group_windows_tpu(
-            maps, qi, rk, ck, SWIN_H, SWIN_W, group=GROUP,
-            out_dtype=jnp.bfloat16)
-        swin = packed.reshape(-1, GROUP, SWIN_H,
+            maps, qi, rk, ck, SWIN_H, SWIN_W, group=group,
+            out_dtype=out_dtype)
+        swin = packed.reshape(-1, group, SWIN_H,
                               len(maps) * SWIN_W).reshape(
             -1, SWIN_H, len(maps) * SWIN_W)
         return ShadowWindows(swin=swin, sr0=sr0, sc0=sc0, sq=sq)

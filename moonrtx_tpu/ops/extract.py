@@ -66,6 +66,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_level(lvl, sh: int, sw: int, row_tile: int):
+    """Pad a pyramid level so any aligned superwindow is in range (dense
+    copy at HBM bandwidth; keeps callers free of padding contracts).
+
+    Pre-tiling CANNOT elide this copy as-is: origin clamps downstream
+    use the level's (padded) shape, so the margin requirement chases any
+    pre-pad — eliding it would need the LOGICAL shape threaded through
+    every origin clamp. The round-5 amortized A/B therefore measured the
+    pad's raw cost instead (tools/ab_amortized.py "pad copy"): it is
+    bandwidth-bound and negligible at shadow-path shapes; see PERF.md
+    for the pose-path extrapolation and verdict."""
+    h, w = lvl.shape
+    hp = _round_up(max(h, sh), row_tile) + row_tile
+    wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
+    return jnp.pad(lvl, ((0, hp - h), (0, wp - w)))
+
+
 def _mix_mode(dtype) -> str:
     """MXU strategy for EXACT one-hot recompaction of this data dtype.
 
@@ -171,12 +188,7 @@ def _extract_impl(levels, lvl_idx, r0, c0, wh: int, ww: int,
     sw = _round_up(ww + COL_TILE - 1, COL_TILE)
     # pad every level so any aligned superwindow is in range (dense copy
     # at HBM bandwidth; keeps callers free of padding contracts)
-    padded = []
-    for lvl in levels:
-        h, w = lvl.shape
-        hp = _round_up(max(h, sh), row_tile) + row_tile
-        wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
-        padded.append(jnp.pad(lvl, ((0, hp - h), (0, wp - w))))
+    padded = [_pad_level(lvl, sh, sw, row_tile) for lvl in levels]
 
     r0 = r0.astype(jnp.int32)
     c0 = c0.astype(jnp.int32)
@@ -325,13 +337,8 @@ def _extract_group_impl(map_levels, lvl_idx, r0, c0, wh: int, ww: int,
     row_tile = _row_tile(dtype)
     sh = _round_up(wh + row_tile - 1, row_tile)
     sw = _round_up(ww + COL_TILE - 1, COL_TILE)
-    padded = []
-    for levels in map_levels:
-        for lvl in levels:
-            h, w = lvl.shape
-            hp = _round_up(max(h, sh), row_tile) + row_tile
-            wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
-            padded.append(jnp.pad(lvl, ((0, hp - h), (0, wp - w))))
+    padded = [_pad_level(lvl, sh, sw, row_tile)
+              for levels in map_levels for lvl in levels]
 
     r0 = r0.astype(jnp.int32)
     c0 = c0.astype(jnp.int32)
@@ -528,12 +535,7 @@ def resample_group_windows_tpu(levels, lvl_idx, r0, c0, wy, wx,
     row_tile = _row_tile(dtype)
     sh = _round_up(wh + row_tile - 1, row_tile)
     sw = _round_up(ww + COL_TILE - 1, COL_TILE)
-    padded = []
-    for lvl in levels:
-        h, w = lvl.shape
-        hp = _round_up(max(h, sh), row_tile) + row_tile
-        wp = _round_up(max(w, sw), COL_TILE) + COL_TILE
-        padded.append(jnp.pad(lvl, ((0, hp - h), (0, wp - w))))
+    padded = [_pad_level(lvl, sh, sw, row_tile) for lvl in levels]
 
     r0 = r0.astype(jnp.int32)
     c0 = c0.astype(jnp.int32)
