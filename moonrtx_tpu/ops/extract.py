@@ -333,6 +333,10 @@ def _extract_group_impl(map_levels, lvl_idx, r0, c0, wh: int, ww: int,
     n_maps = len(map_levels)
     n_levels = len(map_levels[0])
     nblk = r0.shape[0]
+    if nblk % group:
+        # the grid would silently truncate the block list (round-5
+        # harness finding: 1080p's 16200 blocks are not divisible by 32)
+        raise ValueError(f"nblk {nblk} not divisible by group {group}")
     dtype = map_levels[0][0].dtype
     row_tile = _row_tile(dtype)
     sh = _round_up(wh + row_tile - 1, row_tile)
@@ -531,6 +535,8 @@ def resample_group_windows_tpu(levels, lvl_idx, r0, c0, wy, wx,
     """
     n_levels = len(levels)
     nblk, b = wy.shape
+    if nblk % group:
+        raise ValueError(f"nblk {nblk} not divisible by group {group}")
     dtype = levels[0].dtype
     row_tile = _row_tile(dtype)
     sh = _round_up(wh + row_tile - 1, row_tile)

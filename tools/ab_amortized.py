@@ -177,9 +177,14 @@ def main():
                      lambda: make_swin_body(jnp.float32, 8),
                      ops_swin, results)
 
-    # ---- (b) swin extraction group 8 vs 32 -----------------------------
-    b_32 = _measure("swin body bf16 group=32",
-                    lambda: make_swin_body(jnp.bfloat16, 32),
+    # ---- (b) swin extraction group 8 vs 24 -----------------------------
+    # 32 cannot serve this path at all: the 1080p block grid is
+    # (1080/8)*(1920/16) = 16200 blocks, not divisible by 32 (the
+    # grouped kernel now rejects that loudly) — 24 is the largest
+    # practical divisor in the same direction
+    swin_hi_group = 24 if not smoke else 16
+    b_32 = _measure(f"swin body bf16 group={swin_hi_group}",
+                    lambda: make_swin_body(jnp.bfloat16, swin_hi_group),
                     ops_swin, results)
 
     # ---- (b') scan height-resample group 8 vs 32 -----------------------
@@ -238,12 +243,16 @@ def main():
                      if a_f32 - a_bf16 > 0.5 else
                      "KEPT bf16 (difference below resolution; bf16 also "
                      "halves HBM residency)")),
-        "extract_group_32": dict(
+        "extract_group_up": dict(
             shipped="group=8",
+            note="group=32 cannot serve the swin path at 1080p at all "
+                 "(16200 blocks % 32 != 0; kernel now rejects loudly); "
+                 f"swin tested at {swin_hi_group}, scan at 32",
             swin_delta_ms=round(a_bf16 - b_32, 2),
             scan_delta_ms=round(s_8 - s_32, 2),
-            verdict=("ADOPT 32" if (a_bf16 - b_32) + (s_8 - s_32) > 1.0
-                     else "REJECT (no reliable win at 32)")),
+            verdict=("ADOPT larger group"
+                     if (a_bf16 - b_32) + (s_8 - s_32) > 1.0
+                     else "REJECT (no reliable win above group=8)")),
         "pretiled_levels": dict(
             shipped="in-program pad",
             pad_cost_ms=round(c_pad - c_pre, 2),
