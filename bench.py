@@ -298,13 +298,19 @@ def main():
         scene.render_accumulation_burst(1)
         sync()
         (hit_times if hit else miss_times).append(time.time() - t0)
-        # the session's speculation gate (app/session.py change_time):
-        # same-direction run, OR a flip hit just left the device idle
-        # with the new direction's next target known (round-5 item 3)
-        if prev_sgn == sgn or scene.last_flip_hit:
+        # the session's speculation gate (app/session.py change_time +
+        # frame): same-direction run, OR a flip hit just left the device
+        # idle with the new direction's next target known (round-5 item
+        # 3). On a flip hit the session dispatches the speculation AFTER
+        # the display transfer (the readback must not queue behind a
+        # possibly-doomed program); mirror that order here.
+        flip = scene.last_flip_hit
+        if prev_sgn == sgn and not flip:
             scene.prefetch_time(scene.dt_local + sgn * step15)
         prev_sgn = sgn
         scene.display()
+        if flip:
+            scene.prefetch_time(scene.dt_local + sgn * step15)
     time_step_miss_ms = (max(miss_times) * 1000.0 if miss_times else None)
     mixed_hit_rate = mixed_hits / len(pattern)
     time_step_mixed_mean_ms = (sum(hit_times) + sum(miss_times)) \
@@ -329,10 +335,13 @@ def main():
         scene.render_accumulation_burst(1)
         sync()
         back_times.append(time.time() - t0)
-        if prev_sgn == sgn or scene.last_flip_hit:
+        flip = scene.last_flip_hit
+        if prev_sgn == sgn and not flip:
             scene.prefetch_time(scene.dt_local + sgn * step15)
         prev_sgn = sgn
         scene.display()
+        if flip:
+            scene.prefetch_time(scene.dt_local + sgn * step15)
     time_step_backward_mean_ms = sum(back_times) / len(back_times) * 1000.0
     backward_hit_rate = back_hits / 5.0
 

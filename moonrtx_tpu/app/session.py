@@ -345,14 +345,28 @@ class Session:
         # copy: device arrays come back read-only and cv2 draws in place
         self.scene.ensure_accumulated(n_accum if n_accum is not None else 1)
         step = getattr(self, "_prefetch_step_minutes", None)
+        prefetch_after = None
         if step is not None and self.scene._accum_n >= 1:
             # one speculation per time step, dispatched BEFORE the display
             # transfer below: the device renders step t+1 while this frame
             # streams to the host and Tk presents it
             self._prefetch_step_minutes = None
-            self.scene.prefetch_time(
-                self.scene.dt_local + timedelta(minutes=step))
+            target = self.scene.dt_local + timedelta(minutes=step)
+            if self.scene.last_flip_hit:
+                # flip-hit frames are already resident — their only device
+                # work is the readback. A W<->Q toggle's flip-armed
+                # speculation is always doomed (the toggle's next target
+                # is the just-snapshotted step, served by the flip cache),
+                # so dispatching it FIRST would queue the readback behind
+                # a wasted program; dispatch it after the transfer instead
+                # (it still overlaps the Tk present + user think time, so
+                # backward runs keep their from-step-two coverage).
+                prefetch_after = target
+            else:
+                self.scene.prefetch_time(target)
         img = self.scene.display().copy()
+        if prefetch_after is not None:
+            self.scene.prefetch_time(prefetch_after)
         self.stats.tick()
         graphs = self.active_overlays()
         if graphs:

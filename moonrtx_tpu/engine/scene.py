@@ -10,6 +10,7 @@ no mutable engine underneath: every frame is a pure function of state.
 
 from __future__ import annotations
 
+import functools
 import math
 from datetime import datetime
 from typing import Optional
@@ -87,11 +88,25 @@ def _drop_mmap_pages(m) -> None:
 UPLOAD_BAND_BYTES = 256 << 20
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _band_update(o, b, r):
+    # module-level (not a per-call closure): repeated band shapes across
+    # levels hit the jit cache instead of re-tracing per upload call
+    return jax.lax.dynamic_update_slice(o, b, (r,) + (0,) * (o.ndim - 1))
+
+
 def _upload_rows_banded(m, band_bytes: int = UPLOAD_BAND_BYTES):
     """Upload a host array in row bands, capping host staging at one
     band. The device array is assembled with donated dynamic updates
-    (in-place on TPU), so device transient stays out + one band; the
-    mmap-backed source drops its resident pages afterwards."""
+    (in-place on TPU), so device transient stays out + one band.
+
+    Every 4th band SYNCS (a 4-byte readback) and the mmap-backed source
+    drops its resident pages: fully-async dispatch keeps EVERY band's
+    host copy pinned in flight (measured — the async version peaked
+    within ~0.7 GB of the unbanded upload), while a sync on every band
+    serializes the tunnel's transfer pipelining. The 4-band window caps
+    in-flight staging at ~1 GB and costs a handful of round trips per
+    gigabyte."""
     rows = int(m.shape[0])
     row_bytes = max(m.nbytes // max(rows, 1), 1)
     rb = max(int(band_bytes // row_bytes), 1)
@@ -99,15 +114,15 @@ def _upload_rows_banded(m, band_bytes: int = UPLOAD_BAND_BYTES):
         out = jnp.asarray(m)
         _drop_mmap_pages(m)
         return out
-    upd = jax.jit(
-        lambda o, b, r: jax.lax.dynamic_update_slice(
-            o, b, (r,) + (0,) * (m.ndim - 1)),
-        donate_argnums=0)
     out = jnp.zeros(m.shape, dtype=m.dtype)
-    for r0 in range(0, rows, rb):
+    probe = (0,) * m.ndim
+    starts = list(range(0, rows, rb))
+    for i, r0 in enumerate(starts):
         band = jnp.asarray(np.ascontiguousarray(m[r0:r0 + rb]))
-        out = upd(out, band, jnp.int32(r0))
-    _drop_mmap_pages(m)
+        out = _band_update(out, band, jnp.int32(r0))
+        if i % 4 == 3 or i == len(starts) - 1:
+            np.asarray(jax.lax.dynamic_slice(out, probe, (1,) * m.ndim))
+            _drop_mmap_pages(m)
     return out
 
 
@@ -504,25 +519,31 @@ class MoonScene:
                       projected_bytes=projected,
                       banded_mip_levels=sorted(band_mips),
                       banded_albedo_levels=sorted(band_albs))
-            if projected > budget:
-                log_event("hfshard_over_budget",
-                          projected_bytes=projected, budget_bytes=budget)
-                # user-visible, not just log-mined: the status bar
-                # mirrors this (session.status_panels "memory" panel,
-                # observability parity with the reference's status
-                # surface renderer_status.py:235-246), and startup says
-                # it loudly once — rendering proceeds (the allocator may
-                # still cope), but OOMs here are now diagnosed, not
-                # mysterious
-                self.hbm_over_budget = {"projected_bytes": projected,
-                                        "budget_bytes": budget}
-                import sys
-                print("WARNING: even the fully-banded heightfield plan "
-                      f"needs {projected / 2**30:.2f} GiB/chip against a "
-                      f"{budget / 2**30:.2f} GiB HBM budget "
-                      f"({n_dev} devices). Expect allocator pressure; "
-                      "add devices, raise --hbm-budget-gb, or downscale.",
-                      file=sys.stderr)
+        if projected > budget:
+            # NOT nested under the bands-chosen branch: a scene where no
+            # level is bandable at all (replicated-only levels already
+            # exceed the budget, or nothing divides the mesh) is over
+            # budget with EMPTY band sets and must warn the same way
+            # (round-5 review finding). User-visible, not just
+            # log-mined: the status bar mirrors this
+            # (session.status_panels "memory" panel, observability
+            # parity with the reference's status surface
+            # renderer_status.py:235-246), and startup says it loudly
+            # once — rendering proceeds (the allocator may still cope),
+            # but OOMs here are now diagnosed, not mysterious
+            log_event("hfshard_over_budget",
+                      projected_bytes=projected, budget_bytes=budget)
+            self.hbm_over_budget = {"projected_bytes": projected,
+                                    "budget_bytes": budget}
+            import sys
+            banded = "fully-banded" if (band_mips or band_albs) \
+                else "(unbandable) replicated"
+            print(f"WARNING: even the {banded} heightfield plan "
+                  f"needs {projected / 2**30:.2f} GiB/chip against a "
+                  f"{budget / 2**30:.2f} GiB HBM budget "
+                  f"({n_dev} devices). Expect allocator pressure; "
+                  "add devices, raise --hbm-budget-gb, or downscale.",
+                  file=sys.stderr)
         return band_mips, band_albs
 
     def _banded_mip(self, k: int):

@@ -359,18 +359,16 @@ def _shift_rows(x, d: int):
         [x[-d:], jnp.broadcast_to(x[-1:], (-d,) + x.shape[1:])], axis=0)
 
 
-def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
+def _sector_collapse(hs, rad, theta0, dphi, n_levels: int):
     """Directional-sector horizon machinery shared by every bounce pass.
 
     For each of EIGHT azimuthal sectors (+-theta, +-phi and the four
     diagonals — 45 deg each), estimate the horizon angle on a dyadic
     pyramid (run doubles per level) and carry the radiosity of the
     blocker that sets it; collapse coarse -> fine per sector by the
-    largest horizon angle (sin^2 alpha). `rads` is a tuple of emitter
-    radiosity fields sharing the same blocker geometry (the multi-bounce
-    passes reuse one geometry collapse); returns (s2_acc (8, nt, np),
-    j_accs tuple of (8, nt, np)) — the per-sector irradiance estimate is
-    sum_d s2_d * J_d / n_sectors.
+    largest horizon angle (sin^2 alpha). `rad` is the emitter radiosity
+    field; returns (s2_acc (8, nt, np), j_acc (8, nt, np)) — the
+    per-sector irradiance estimate is sum_d s2_d * J_d / n_sectors.
 
     Eight sectors (round-5 verdict item 2; was four at round 4): the
     90-deg sectors were one of the two named residual-error sources —
@@ -378,9 +376,8 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
     quadrant or missed by it. 45-deg sectors halve that discretization;
     measured corr vs Monte Carlo (docs/GI.md)."""
     s = BOUNCE_BLUR
-    theta_k, h_k, hx_k = theta0, hs, hs
-    rad_ks = tuple(rads)
-    contributions = []  # per level: (s2 (8,nt,np), [J (8,nt,np) per field])
+    theta_k, h_k, hx_k, rad_k = theta0, hs, hs, rad
+    contributions = []  # per level: (s2 (8,nt,np), J (8,nt,np))
     for k in range(n_levels):
         dth_k = jnp.asarray(np.maximum(np.gradient(theta_k), 1e-6)
                             .astype(np.float32))[:, None]
@@ -388,7 +385,7 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
         # blocker run per axis (radians of arc ~ length/R); phi extent
         # clamped near the subsolar pole where cells are pencil-thin
         dl_phi = jnp.clip(dphi * (2 ** k) * st_k, dth_k * 0.25, dth_k * 4.0)
-        rad_bs = [_box_blur(r, s) for r in rad_ks]
+        rad_b = _box_blur(rad_k, s)
         h_blk = 0.5 * (hx_k + h_k)
         # Per-level, per-sector estimates. Blocker height = the mean of
         # the max-decimated and mean-decimated pyramids: the block max
@@ -398,7 +395,7 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
         # nothing (measured ~10x under); the blend tracked Monte Carlo
         # best (docs/GI.md).
         run_diag = jnp.sqrt(dth_k * dth_k + dl_phi * dl_phi)
-        sector_s2, sector_js = [], [[] for _ in rad_ks]
+        sector_s2, sector_j = [], []
         for dth, dph, run in ((s, 0, dth_k), (-s, 0, dth_k),
                               (0, s, dl_phi), (0, -s, dl_phi),
                               (s, s, run_diag), (s, -s, run_diag),
@@ -419,16 +416,14 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
             s2_2 = t2 * t2 / (1.0 + t2 * t2)
             far = s2_2 > s2_1
             sector_s2.append(jnp.where(far, s2_2, s2_1))
-            for i, rb in enumerate(rad_bs):
-                sector_js[i].append(jnp.where(far, shift(rb, 2),
-                                              shift(rb, 1)))
-        contributions.append((jnp.stack(sector_s2),
-                              [jnp.stack(js) for js in sector_js]))
+            sector_j.append(jnp.where(far, shift(rad_b, 2),
+                                      shift(rad_b, 1)))
+        contributions.append((jnp.stack(sector_s2), jnp.stack(sector_j)))
         if k + 1 < n_levels:
             theta_k = 0.5 * (theta_k[::2] + theta_k[1::2])
             h_k = _decimate2(h_k)
             hx_k = _decimate2_max(hx_k)
-            rad_ks = tuple(_decimate2(r) for r in rad_ks)
+            rad_k = _decimate2(rad_k)
 
     # collapse coarse -> fine PER SECTOR by the largest horizon ANGLE
     # (sin^2 alpha), carrying THAT blocker's radiosity — the horizon is
@@ -436,19 +431,17 @@ def _sector_collapse(hs, rads, theta0, dphi, n_levels: int):
     # that sets it. Upsample 2x (nearest + 1-cell box smoothing); sectors
     # only combine at the end (a wall far to the east must not override
     # the open sky to the west).
-    s2_acc, j_accs = contributions[-1]
+    s2_acc, j_acc = contributions[-1]
     for k in range(n_levels - 2, -1, -1):
         def up(a):
             a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
             return jax.vmap(lambda x: _box_blur(x, 1))(a)
-        s2_acc = up(s2_acc)
-        j_accs = [up(j) for j in j_accs]
-        s2_f, j_fs = contributions[k]
+        s2_acc, j_acc = up(s2_acc), up(j_acc)
+        s2_f, j_f = contributions[k]
         take_f = s2_f > s2_acc
         s2_acc = jnp.where(take_f, s2_f, s2_acc)
-        j_accs = [jnp.where(take_f, j_f, j_a)
-                  for j_f, j_a in zip(j_fs, j_accs)]
-    return s2_acc, j_accs
+        j_acc = jnp.where(take_f, j_f, j_acc)
+    return s2_acc, j_acc
 
 
 def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
@@ -517,18 +510,15 @@ def bounce_from_parts(hs, factor, alb_s, n_coarse: int, n_fine: int,
         n_levels += 1
 
     scale = BOUNCE_WALL_LIT_FRACTION / 8.0
-    if n_bounces < 2:
-        s2_acc, (j_acc,) = _sector_collapse(hs, (rad,), theta0, dphi,
-                                            n_levels)
-        e1 = scale * jnp.sum(s2_acc * j_acc, axis=0)
-        return jnp.clip(e1, 0.0, BOUNCE_MAX)
-    # two passes sharing the geometry: pass 1 gives E1 everywhere; the
-    # second pass's emitters are J2 = albedo * E1 (a wall re-radiating
-    # the indirect light it receives) through the SAME sector collapse.
-    s2_acc, (j_acc,) = _sector_collapse(hs, (rad,), theta0, dphi, n_levels)
+    s2_acc, j_acc = _sector_collapse(hs, rad, theta0, dphi, n_levels)
     e1 = scale * jnp.sum(s2_acc * j_acc, axis=0)
-    s2_acc2, (j2_acc,) = _sector_collapse(hs, (alb_s * e1,), theta0, dphi,
-                                          n_levels)
+    if n_bounces < 2:
+        return jnp.clip(e1, 0.0, BOUNCE_MAX)
+    # second pass: emitters re-radiate the first bounce they receive
+    # (J2 = albedo * E1); the horizon-geometry subexpressions are
+    # identical to pass 1's and shared by XLA CSE.
+    s2_acc2, j2_acc = _sector_collapse(hs, alb_s * e1, theta0, dphi,
+                                       n_levels)
     e2 = scale * jnp.sum(s2_acc2 * j2_acc, axis=0)
     return jnp.clip(e1 + e2, 0.0, BOUNCE_MAX)
 

@@ -117,11 +117,13 @@ def seed_from_package(dest: str) -> int:
                 except OSError:
                     pass
         try:
+            manifest = []
             with tarfile.open(path, "r:xz") as tf:
                 for m in tf.getmembers():
                     if not m.isfile():
                         continue
                     out = os.path.join(dest, os.path.basename(m.name))
+                    manifest.append(os.path.basename(m.name))
                     if os.path.exists(out):
                         continue
                     f = tf.extractfile(m)
@@ -136,8 +138,12 @@ def seed_from_package(dest: str) -> int:
                         o.write(f.read())
                     os.replace(tmp, out)
                     added += 1
-            with open(marker, "w", encoding="utf-8"):
-                pass
+            # the marker doubles as the archive's MANIFEST: prune_stale
+            # must never age out a seeded entry (the marker would block
+            # re-seeding forever — a permanent cold-start regression on
+            # machines idle past the prune window)
+            with open(marker, "w", encoding="utf-8") as mf:
+                mf.write("\n".join(manifest))
         except Exception as e:  # seeding can only cost time, never break
             print(f"Warning: compile-cache seed {name} failed: {e}",
                   file=sys.stderr)
@@ -154,22 +160,43 @@ def prune_stale(dest: str, days: float = 60.0) -> int:
     by toolchain drift — the round-4 finding that superseded entries
     "just sit on disk"). JAX reads a cache entry on every hit, so any
     entry a live program set uses stays fresh under relatime; only
-    entries whose keys nothing generates anymore age out. Markers
-    (dot-files) are kept — removing one would only cause a harmless
-    re-seed, but keeping them makes the sweep obviously side-effect-free.
-    Returns the number of entries removed; never raises."""
+    entries whose keys nothing generates anymore age out.
+
+    Entries named in a seed marker's MANIFEST are never pruned: a
+    pruned seeded entry could not be re-extracted (its marker blocks
+    re-seeding), turning an idle machine into a permanent cold-start
+    (round-5 review finding). Markers themselves are kept; orphaned
+    ``*.tmp`` partials from interrupted seedings ARE swept after a day
+    (their per-pid names mean nothing ever overwrites them). Returns
+    the number of entries removed; never raises."""
     import time
 
-    cutoff = time.time() - days * 86400.0
+    now = time.time()
+    cutoff = now - days * 86400.0
     removed = 0
     try:
         names = os.listdir(dest)
     except OSError:
         return 0
+    seeded = set()
     for name in names:
-        if name.startswith(".") or name.endswith(".tmp"):
-            continue
+        if name.startswith(".seeded_"):
+            try:
+                with open(os.path.join(dest, name), encoding="utf-8") as f:
+                    seeded.update(ln.strip() for ln in f if ln.strip())
+            except OSError:
+                pass
+    for name in names:
         p = os.path.join(dest, name)
+        if name.endswith(".tmp"):
+            try:  # interrupted-seeding orphan: sweep after a day
+                if os.stat(p).st_mtime < now - 86400.0:
+                    os.remove(p)
+            except OSError:
+                pass
+            continue
+        if name.startswith(".") or name in seeded:
+            continue
         try:
             st = os.stat(p)
             if max(st.st_atime, st.st_mtime) < cutoff:

@@ -134,9 +134,12 @@ def test_seed_messages_go_to_stderr(seeded_env, capsys):
     assert "Seeded 1" in captured.err
 
 
-def test_prune_stale_sweeps_only_old_entries(tmp_path):
-    """The lifecycle sweep removes entries untouched past the age cutoff
-    and keeps fresh entries, markers and in-flight tmp files."""
+def test_prune_stale_sweeps_only_old_unseeded_entries(tmp_path):
+    """The lifecycle sweep removes entries untouched past the age cutoff;
+    keeps fresh entries, markers, and — critically — SEEDED entries of
+    any age (their marker blocks re-extraction, so pruning them would be
+    a permanent cold-start regression on idle machines — round-5 review
+    finding). Orphaned per-pid .tmp partials are swept after a day."""
     import time
 
     d = tmp_path / "jaxcache"
@@ -145,18 +148,40 @@ def test_prune_stale_sweeps_only_old_entries(tmp_path):
     (d / "jit_dead-1-cache").write_bytes(b"X")
     os.utime(d / "jit_dead-1-cache", (old, old))
     (d / "jit_live-1-cache").write_bytes(b"Y")
-    (d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd").write_bytes(b"")
+    # seeded entry, equally old — protected by the marker manifest
+    (d / "jit_seeded-1-cache").write_bytes(b"S")
+    os.utime(d / "jit_seeded-1-cache", (old, old))
+    (d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd").write_text(
+        "jit_seeded-1-cache\n")
     os.utime(d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd", (old, old))
+    # orphaned partial from an interrupted seeding: swept (>1 day old)
     (d / "jit_partial-1-cache.123.tmp").write_bytes(b"Z")
     os.utime(d / "jit_partial-1-cache.123.tmp", (old, old))
+    # in-flight partial (fresh): kept
+    (d / "jit_inflight-1-cache.456.tmp").write_bytes(b"W")
     removed = compilecache.prune_stale(str(d), days=60)
     assert removed == 1
     assert not (d / "jit_dead-1-cache").exists()
     assert (d / "jit_live-1-cache").exists()
+    assert (d / "jit_seeded-1-cache").exists()
     assert (d / ".seeded_jaxcache_seed_tpu.tar.xz.abcd").exists()
-    assert (d / "jit_partial-1-cache.123.tmp").exists()
+    assert not (d / "jit_partial-1-cache.123.tmp").exists()
+    assert (d / "jit_inflight-1-cache.456.tmp").exists()
     # missing dir: no-op, no raise
     assert compilecache.prune_stale(str(tmp_path / "absent")) == 0
+
+
+def test_seed_marker_is_a_manifest(seeded_env):
+    """Seeding writes the archive's entry names into its marker so
+    prune_stale can protect them."""
+    src, dest = seeded_env
+    _make_archive(src, "jaxcache_seed_tpu.tar.xz",
+                  {"jit_m1-cache": b"1", "jit_m2-cache": b"2"})
+    compilecache.seed_from_package(str(dest))
+    markers = [f for f in os.listdir(str(dest)) if f.startswith(".seeded_")]
+    assert len(markers) == 1
+    body = (dest / markers[0]).read_text()
+    assert set(body.split()) == {"jit_m1-cache", "jit_m2-cache"}
 
 
 def test_prefix_named_archive_keeps_sibling_markers(seeded_env):

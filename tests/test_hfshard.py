@@ -187,6 +187,19 @@ class TestScenePolicy:
         assert big.hbm_over_budget is None
         assert Session(big, []).status_panels()["memory"] == ""
 
+    def test_over_budget_warns_even_when_nothing_is_bandable(self, capsys):
+        """A scene over budget where NO level passes the banding filters
+        (here: none exceeds the scan working-set cap, so there are zero
+        candidates) must still record + warn — the nested form silently
+        proceeded (round-5 review finding)."""
+        elev, albedo = synthesize_moon(512, 1024, seed=7, n_craters=40)
+        rs = float(elev.max())
+        s = MoonScene(self._cfg(1e-6), (elev / rs).astype(np.float32),
+                      rs, albedo, None)
+        assert not s._band_levels and not s._band_alb_levels
+        assert s.hbm_over_budget is not None
+        assert "unbandable" in capsys.readouterr().err
+
     def test_policy_stays_replicated_single_device(self, monkeypatch):
         monkeypatch.setattr(
             "moonrtx_tpu.engine.scene.SHADOW_MAX_TEXELS", 65536)

@@ -275,16 +275,18 @@ def run(fast: bool = False, accuracy: int = 4, seed: int = 0):
     basis = np.stack([np.array([0.0, -1.0, 0.0]),
                       np.array([1.0, 0.0, 0.0]), SUN]).astype(np.float64)
     tex = jnp.asarray(pad_lon_wrap(elev.astype(np.float32), 8))
-    smap, params, bmap = shadow_scan.build_shadow_and_bounce(
-        tex, jnp.asarray(alb_lum.astype(np.float32)), th, tw,
-        jnp.asarray(SUN), 0.00465, accuracy=accuracy)
+    # one scan feeds BOTH bounce depths (the scan is the expensive half;
+    # build_shadow_and_bounce is the same _build_aux + _bounce_jit pair)
+    bx, by, bz = shadow_scan.sun_frame_basis(jnp.asarray(SUN, jnp.float32))
+    basis_j = jnp.stack([bx, by, bz])
+    smap, hs_j, alb_s_j = shadow_scan._build_aux(
+        tex, jnp.asarray(alb_lum.astype(np.float32)), basis_j,
+        jnp.float32(0.00465), th, tw, ncs, nf, nphi)
+    bmap = shadow_scan._bounce_jit(smap, hs_j, alb_s_j, ncs, nf, nphi)
+    bmap2 = shadow_scan._bounce_jit(smap, hs_j, alb_s_j, ncs, nf, nphi,
+                                    n_bounces=2)
     smap_np = np.asarray(smap)[:, :nphi].astype(np.float64)
     bmap_np = np.asarray(bmap)[:, :nphi].astype(np.float64)
-    # the 2-bounce model (--indirect-bounces 2): same scan, second
-    # radiosity pass through the same sector collapse
-    _, _, bmap2 = shadow_scan.build_shadow_and_bounce(
-        tex, jnp.asarray(alb_lum.astype(np.float32)), th, tw,
-        jnp.asarray(SUN), 0.00465, accuracy=accuracy, n_bounces=2)
     bmap2_np = np.asarray(bmap2)[:, :nphi].astype(np.float64)
     print(f"# model maps built ({time.time()-t0:.0f}s) "
           f"grid {smap_np.shape}", flush=True)
