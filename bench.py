@@ -126,11 +126,15 @@ def main():
     # on-GPU buffer and never reads frames back per sample).
     n = 32
     # Pyramid upload, measured apart: host->device transfers ride this
-    # environment's ~8 MB/s tunnel (2.9 GiB = ~6 min), which would
-    # otherwise be booked against the first program execution that waits
-    # on them. A local host moves the same bytes over PCIe in <1 s, so
-    # the split keeps first_burst_s a statement about PROGRAMS (compiles
-    # or their packaged-seed loads), not about tunnel bandwidth.
+    # environment's tunnel (2.9 GiB = minutes), which would otherwise be
+    # booked against the first program execution that waits on them. A
+    # local host moves the same bytes over PCIe in <1 s, so the split
+    # keeps first_burst_s a statement about PROGRAMS (compiles or their
+    # packaged-seed loads), not about tunnel bandwidth. Since the
+    # round-5 banded upload, most of the transfer is synced INSIDE scene
+    # construction (scene.upload_wall_s); the phase below only settles
+    # the small async remainders (maxmap, slope maps), so the reported
+    # figure is construction upload + this residual.
     t_up = time.time()
     for m in (scene.mips + scene.albedo_mips
               + [scene.maxmap, scene.slope_maps]):
@@ -138,7 +142,8 @@ def main():
             continue
         idx = (0,) * m.ndim
         np.asarray(jax.lax.dynamic_slice(m, idx, (1,) * m.ndim))
-    upload_s = time.time() - t_up
+    upload_s = (time.time() - t_up
+                + float(getattr(scene, "upload_wall_s", 0.0)))
     print(f"# pyramid upload {upload_s:.0f}s "
           f"({map_bytes / 2**20 / max(upload_s, 1e-9):.1f} MB/s tunnel)",
           file=sys.stderr)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time as _time
 from datetime import datetime
 from typing import Optional
 
@@ -271,6 +272,13 @@ class MoonScene:
             self._band_alb_levels.update(range(self.alb_min_level))
         self._banded_mips = {}
         self._banded_albedo = {}
+        # Wall time spent moving the pyramids host->device. The banded
+        # upload syncs in-flight bands as it goes, so the transfer cost
+        # lands HERE (construction), not on the first program that reads
+        # the arrays — consumers reporting an upload split (bench.py's
+        # pyramid_upload_s) must add this to whatever residual sync they
+        # measure after construction.
+        t_upload = _time.time()
         self.mips = [None if k in self._band_levels
                      else _upload_rows_banded(m)
                      for k, m in enumerate(ps.mips)]
@@ -286,6 +294,7 @@ class MoonScene:
                 self.albedo_mips.append(uploaded[id(a)])
         self.maxmap = jnp.asarray(ps.maxmap)
         self.slope_maps = jnp.asarray(ps.slope_maps)
+        self.upload_wall_s = _time.time() - t_upload
         if self.mesh is None:
             self._host_mips = [ps.mips[0]] + [None] * (len(ps.mips) - 1)
             self._host_albedo = None
