@@ -59,6 +59,35 @@ def _synth_cache(name: str, maker, *shape_args) -> np.ndarray:
     return arr
 
 
+def _synth_cache_streamed(name: str, shape, writer) -> np.ndarray:
+    """_synth_cache for outputs too big to materialize: `writer(out)`
+    fills a w+ open_memmap in row bands (flushing pages behind itself),
+    so the host peak stays O(band).  Falls back silently to a later
+    in-memory maker only by raising — callers pair it with a maker
+    branch when the streamed preconditions do not hold."""
+    os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
+    path = os.path.join(SYNTH_CACHE_DIR, name + ".npy")
+    try:
+        return np.load(path, mmap_mode="r")
+    except Exception:
+        pass
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.float32,
+                                        shape=tuple(shape))
+        writer(out)
+        synth.flush_drop_pages(out)
+        del out
+        os.replace(tmp, path)
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return np.load(path, mmap_mode="r")
+
+
 def _synth_moon_cached(h: int, w: int, want: str) -> np.ndarray:
     """Fetch the synthesized elevation or albedo, generating BOTH in one
     pass (synthesize_moon produces the pair; caching them together halves
@@ -81,11 +110,54 @@ def _synth_moon_cached(h: int, w: int, want: str) -> np.ndarray:
     return elev if want == "elev" else albedo
 
 
-def _synth_norm_cached(name: str, maker) -> tuple[np.ndarray, float]:
+def _synth_norm_streamed(base: str, writer, shape) -> tuple[np.ndarray, float]:
+    """Write the raw synth elevation straight into the cache file via an
+    open_memmap, then normalize it in place in row bands — no full-map
+    host copy ever exists (the in-memory path peaked ~8.5 GB at the bench
+    working set on the upsample + divide + save alone; the cold-synthesis
+    host-RSS cap)."""
+    import json
+
+    tmp = f"{base}.{os.getpid()}.tmp.npy"
+    try:
+        out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.float32,
+                                        shape=tuple(shape))
+        writer(out)
+        band = max((64 << 20) // (out.shape[1] * 4), 1)
+        radius_scale = -np.inf
+        for i, r in enumerate(range(0, out.shape[0], band)):
+            radius_scale = max(radius_scale, float(np.max(out[r:r + band])))
+            if i % 16 == 15:
+                synth.flush_drop_pages(out)  # clean refaults, keep RSS flat
+        for i, r in enumerate(range(0, out.shape[0], band)):
+            # same expression as the in-memory path (f32 array / python
+            # float), so the two paths produce identical bytes
+            out[r:r + band] /= radius_scale
+            if i % 4 == 3:
+                synth.flush_drop_pages(out)
+        synth.flush_drop_pages(out)
+        del out
+        os.replace(tmp, base + ".npy")
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    with open(base + ".json", "w", encoding="utf-8") as f:
+        json.dump({"radius_scale": radius_scale}, f)
+    return np.load(base + ".npy", mmap_mode="r"), radius_scale
+
+
+def _synth_norm_cached(name: str, maker, banded_writer=None,
+                       shape=None) -> tuple[np.ndarray, float]:
     """Normalized (max == 1.0) synth elevation + radius_scale, cached.
 
     The array loads memory-mapped: consumers that hit the downstream
-    pyramid cache (data.pyramids) never read most of it."""
+    pyramid cache (data.pyramids) never read most of it.  When
+    banded_writer + shape are given (multi-gigatexel upsample targets),
+    generation streams through _synth_norm_streamed instead of
+    materializing maker()'s full array."""
     import json
 
     os.makedirs(SYNTH_CACHE_DIR, exist_ok=True)
@@ -97,6 +169,12 @@ def _synth_norm_cached(name: str, maker) -> tuple[np.ndarray, float]:
                 float(meta["radius_scale"]))
     except Exception:
         pass
+    if banded_writer is not None and shape is not None:
+        try:
+            return _synth_norm_streamed(base, banded_writer, shape)
+        except Exception as e:
+            print(f"Warning: streamed synthesis failed ({e}); "
+                  "falling back to the in-memory path")
     elevation = maker()
     radius_scale = float(elevation.max())
     elevation = (elevation / radius_scale).astype(np.float32)
@@ -135,7 +213,14 @@ def load_elevation_data(filepath: Optional[str], downscale: int,
         def _make():
             return synth.upsample_elevation(
                 _synth_moon_cached(h, w, "elev"), th // h)
+
+        def _write(out):
+            synth.upsample_elevation(
+                _synth_moon_cached(h, w, "elev"), th // h, out=out)
         name = f"synth_elev_{th}x{tw}_up_s7v2"
+        if downscale == 1:
+            return _synth_norm_cached(name + "_norm", _make,
+                                      banded_writer=_write, shape=(th, tw))
     else:
         def _make():
             return _synth_moon_cached(h, w, "elev")
@@ -224,12 +309,26 @@ def load_color_data(filepath: Optional[str], downscale: int = 1,
         if th <= h:
             albedo = block_mean(albedo, h // th)
         else:
-            import cv2
-            albedo = _synth_cache(
-                f"synth_color_{th}x{tw}_up_s7v2",
-                lambda: np.clip(cv2.resize(
-                    albedo, (tw, th), interpolation=cv2.INTER_CUBIC),
-                    0.05, 0.95).astype(np.float32))
+            src = albedo
+            name = f"synth_color_{th}x{tw}_up_s7v2"
+
+            def _mk():
+                import cv2
+                return np.clip(cv2.resize(
+                    src, (tw, th), interpolation=cv2.INTER_CUBIC),
+                    0.05, 0.95).astype(np.float32)
+            albedo = None
+            if th % h == 0 and tw % w == 0 and th // h == tw // w:
+                try:
+                    albedo = _synth_cache_streamed(
+                        name, (th, tw, 3),
+                        lambda out: synth.upsample_color(src, th // h,
+                                                         out=out))
+                except Exception as e:
+                    print(f"Warning: streamed color upsample failed "
+                          f"({e}); using the in-memory path")
+            if albedo is None:
+                albedo = _synth_cache(name, _mk)
     if downscale > 1:
         albedo = block_mean(albedo, downscale)
     return albedo

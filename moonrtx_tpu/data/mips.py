@@ -13,21 +13,70 @@ from __future__ import annotations
 import numpy as np
 
 
+# Row-band size for the streamed host passes below. Each output row
+# depends only on its own factor/fh-row input group, so banding on group
+# boundaries is bit-identical to the whole-array computation while the
+# transient host allocation stays O(band) — multi-gigatexel cold starts
+# (the 46080x92160 LOLA LDEM, reference main.py:25-29) never materialize
+# a full-map temporary.  1024 rows keeps a band of the full-width LDEM
+# grid (92160 cols f32) at ~360 MB, so even np.gradient's ~3x working
+# set stays ~1 GB.
+BAND_ROWS = 1024
+
+
+def drop_row_range(a: np.ndarray, row0: int, row1: int) -> None:
+    """Release the resident pages backing rows [row0, row1) of a
+    memory-mapped array (no-op otherwise).  The streamed passes call this
+    behind themselves so one pass over a multi-GB source file keeps
+    O(band) resident instead of faulting the whole file into RSS (clean
+    pages refault transparently if re-read).  Page-aligned inward, so a
+    halo row shared with the next band at worst refaults."""
+    mm = getattr(a, "_mmap", None)
+    off = getattr(a, "offset", None)
+    if mm is None or off is None or a.ndim < 2 or row1 <= row0:
+        return
+    try:
+        import mmap as _mmap
+
+        # numpy maps the file from the allocation-granularity floor of
+        # `offset`; the data therefore starts at offset % granularity
+        # within the mmap object
+        data0 = int(off) % _mmap.ALLOCATIONGRANULARITY
+        ps = _mmap.PAGESIZE
+        start = ((data0 + row0 * a.strides[0]) + ps - 1) // ps * ps
+        end = (data0 + row1 * a.strides[0]) // ps * ps
+        if end > start:
+            mm.madvise(_mmap.MADV_DONTNEED, start, end - start)
+    except (AttributeError, ValueError, OSError, OverflowError):
+        pass
+
+
 def block_mean(a: np.ndarray, factor: int) -> np.ndarray:
     """Block-mean downscale by an integer factor (trailing remainder cropped).
 
     Same operation as the reference's downscale (data_loader.py:169-175).
-    Works on (H, W) or (H, W, C).
+    Works on (H, W) or (H, W, C); runs in row bands (bit-identical — each
+    output row reduces over only its own `factor` input rows) so
+    memory-mapped sources stream instead of materializing.
     """
     if factor == 1:
         return a
     h = a.shape[0] // factor
     w = a.shape[1] // factor
-    a = a[: h * factor, : w * factor]
-    if a.ndim == 2:
-        return a.reshape(h, factor, w, factor).mean(axis=(1, 3), dtype=np.float32)
-    c = a.shape[2]
-    return a.reshape(h, factor, w, factor, c).mean(axis=(1, 3), dtype=np.float32)
+    out = np.empty((h, w) + a.shape[2:], np.float32)
+    step = max(BAND_ROWS // factor, 1)
+    for r0 in range(0, h, step):
+        r1 = min(r0 + step, h)
+        sl = np.asarray(a[r0 * factor: r1 * factor, : w * factor])
+        if sl.ndim == 2:
+            out[r0:r1] = sl.reshape(r1 - r0, factor, w, factor).mean(
+                axis=(1, 3), dtype=np.float32)
+        else:
+            c = sl.shape[2]
+            out[r0:r1] = sl.reshape(r1 - r0, factor, w, factor, c).mean(
+                axis=(1, 3), dtype=np.float32)
+        drop_row_range(a, r0 * factor, r1 * factor)
+    return out
 
 
 def build_mips(base: np.ndarray, min_size: int = 64) -> list[np.ndarray]:
@@ -51,7 +100,15 @@ def coarse_max_map(base: np.ndarray, cells_h: int = 46,
     fw = max(w // cells_w, 1)
     ch = h // fh
     cw = w // fw
-    m = base[: ch * fh, : cw * fw].reshape(ch, fh, cw, fw).max(axis=(1, 3))
+    # block max in row bands (bit-identical; a reshape of a memory-mapped
+    # slice would materialize the whole map as one host copy)
+    m = np.empty((ch, cw), np.float32)
+    step = max(BAND_ROWS // fh, 1)
+    for c0 in range(0, ch, step):
+        c1 = min(c0 + step, ch)
+        sl = np.asarray(base[c0 * fh: c1 * fh, : cw * fw])
+        m[c0:c1] = sl.reshape(c1 - c0, fh, cw, fw).max(axis=(1, 3))
+        drop_row_range(base, c0 * fh, c1 * fh)
     # 3x3 max dilation with longitude wrap, latitude clamp
     mp = np.concatenate([m[:, -1:], m, m[:, :1]], axis=1)
     mp = np.concatenate([mp[:1], mp, mp[-1:]], axis=0)
@@ -74,22 +131,48 @@ def slope_sq_maps(mips: list[np.ndarray], cells_h: int = 46,
     shading, which removes the brightness seam at per-block mip-stride
     (LOD) transitions near the limb.
     """
-    out = []
-    for m in mips:
-        hk, wk = m.shape
-        dth = np.pi / hk
-        s_lat = np.gradient(m, dth, axis=0)
-        lat = np.cos(np.linspace(np.pi / 2, -np.pi / 2, hk,
-                                 endpoint=False) - np.pi / (2 * hk))
-        coslat = np.maximum(np.abs(lat), 0.2)[:, None]
-        s_lon = np.gradient(m, 2 * np.pi / wk, axis=1) / coslat
+    return np.stack([slope_sq_level(m, cells_h, cells_w)
+                     for m in mips]).astype(np.float32)
+
+
+def slope_sq_level(m: np.ndarray, cells_h: int = 46,
+                   cells_w: int = 92) -> np.ndarray:
+    """One level's (cells_h, cells_w) mean-squared-slope cell map.
+
+    Row-banded with a one-row halo so the central/one-sided difference at
+    every row matches np.gradient on the whole array exactly, and the
+    transient stays O(band) — the streamed pyramid build calls this on
+    memory-mapped multi-gigatexel level 0, where three full-size gradient
+    temporaries (~13 GB at the LOLA LDEM grid) used to dominate the
+    cold-start host peak."""
+    hk, wk = m.shape
+    dth = np.pi / hk
+    dph = 2.0 * np.pi / wk
+    lat = np.cos(np.linspace(np.pi / 2, -np.pi / 2, hk,
+                             endpoint=False) - np.pi / (2 * hk))
+    coslat = np.maximum(np.abs(lat), 0.2)
+    fh = max(hk // cells_h, 1)
+    fw = max(wk // cells_w, 1)
+    cell = np.empty((cells_h, cells_w), np.float32)
+    step = max(BAND_ROWS // fh, 1)
+    for c0 in range(0, cells_h, step):
+        c1 = min(c0 + step, cells_h)
+        r0, r1 = c0 * fh, c1 * fh
+        lo = max(r0 - 1, 0)
+        hi = min(r1 + 1, hk)
+        sl = np.asarray(m[lo:hi])
+        # rows r0:r1 are interior rows of the haloed slice except at the
+        # global edges, where np.gradient's one-sided difference is the
+        # wanted answer anyway — so the band rows match the whole-array
+        # gradient bit for bit
+        s_lat = np.gradient(sl, dth, axis=0)[r0 - lo: r1 - lo]
+        s_lon = np.gradient(sl[r0 - lo: r1 - lo], dph,
+                            axis=1) / coslat[r0:r1, None]
         s2 = 0.5 * (s_lat ** 2 + s_lon ** 2)
-        fh = max(hk // cells_h, 1)
-        fw = max(wk // cells_w, 1)
-        cell = s2[: cells_h * fh, : cells_w * fw].reshape(
-            cells_h, fh, cells_w, fw).mean(axis=(1, 3))
-        out.append(cell)
-    return np.stack(out).astype(np.float32)
+        cell[c0:c1] = s2[:, : cells_w * fw].reshape(
+            c1 - c0, fh, cells_w, fw).mean(axis=(1, 3))
+        drop_row_range(m, lo, r1)
+    return cell
 
 
 def pad_lon_wrap(a: np.ndarray, pad: int) -> np.ndarray:

@@ -26,13 +26,34 @@ from dataclasses import dataclass
 import numpy as np
 
 from moonrtx_tpu.data.mips import (
+    block_mean,
     build_mips,
     coarse_max_map,
+    drop_row_range,
     pad_lon_wrap,
-    slope_sq_maps,
+    slope_sq_level,
 )
 
 CACHE_VERSION = 1
+
+# Height mip chain stops when the next level's min dimension would fall
+# below this (must match mips.build_mips's min_size default — the
+# streamed build reproduces its chain level-at-a-time).
+MIP_MIN_SIZE = 64
+
+
+def _drop_mmap_pages(m) -> None:
+    """Release a memory-mapped source's resident pages after the last
+    streamed pass over it (clean file-backed pages, but they count
+    against the cold-start peak and refault transparently if touched)."""
+    mm = getattr(m, "_mmap", None)
+    if mm is not None:
+        try:
+            import mmap as _mmap
+
+            mm.madvise(_mmap.MADV_DONTNEED)
+        except (AttributeError, ValueError, OSError):
+            pass
 
 # Wrapped longitude columns appended to every mip: must cover the widest
 # sampling window of the blocked backend plus slack.
@@ -87,44 +108,89 @@ def array_fingerprint(a: np.ndarray) -> str:
     return h.hexdigest()
 
 
-def _encode_i16(m: np.ndarray, h_scale: float, h_offset: float,
-                chunk: int = 2048) -> np.ndarray:
-    """int16 heights: value = raw * h_scale + h_offset, exact affine shared
-    by every level (block means stay inside [min, max]).  f64 in row
-    chunks: an f32 subtraction (m - offset) near 1.0 would itself cost
-    ~1 quantization step."""
-    out = np.empty(m.shape, np.int16)
-    for r in range(0, m.shape[0], chunk):
-        sl = m[r:r + chunk].astype(np.float64)
-        out[r:r + chunk] = np.clip(
+def _encode_i16_padded(m: np.ndarray, h_scale: float, h_offset: float,
+                       pad: int, chunk: int = 512) -> np.ndarray:
+    """int16 heights with `pad` wrapped longitude columns appended: value =
+    raw * h_scale + h_offset, exact affine shared by every level (block
+    means stay inside [min, max]).  f64 in row chunks: an f32 subtraction
+    (m - offset) near 1.0 would itself cost ~1 quantization step.  Encoding
+    straight into the padded buffer (instead of pad_lon_wrap on a finished
+    int16 array) avoids a second full-level copy on the cold path."""
+    h, w = m.shape
+    pad = min(pad, w)  # pad_lon_wrap semantics: one wrapped copy at most
+    out = np.empty((h, w + pad), np.int16)
+    for r in range(0, h, chunk):
+        sl = np.asarray(m[r:r + chunk]).astype(np.float64)
+        out[r:r + chunk, :w] = np.clip(
             np.rint((sl - h_offset) / h_scale), -32767, 32767
         ).astype(np.int16)
+        drop_row_range(m, r, min(r + chunk, h))
+    out[:, w:] = out[:, :pad]
     return out
+
+
+def _minmax_banded(a: np.ndarray) -> tuple[float, float]:
+    """(min, max) in one row-banded pass, releasing mmap pages behind it
+    (a whole-array np.min faults the entire file into RSS first thing)."""
+    from moonrtx_tpu.data.mips import BAND_ROWS
+
+    lo, hi = np.inf, -np.inf
+    for r in range(0, a.shape[0], BAND_ROWS):
+        sl = np.asarray(a[r:r + BAND_ROWS])
+        lo = min(lo, float(sl.min()))
+        hi = max(hi, float(sl.max()))
+        drop_row_range(a, r, min(r + BAND_ROWS, a.shape[0]))
+    return lo, hi
 
 
 def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
                    quantized: bool) -> PyramidSet:
-    """The full host-side scene preprocessing (pure; numpy in/out)."""
-    h_min = float(elevation.min())
-    mips_np = build_mips(elevation)
+    """The full host-side scene preprocessing (pure; numpy in/out).
 
+    The height chain runs level-at-a-time in row bands (mips.BAND_ROWS):
+    each iteration computes the level's slope statistics, encodes the
+    device-ready (padded, quantized) level, then block-means the next
+    level and DROPS the f32 parent — so the cold-start transient is one
+    encoded level + one child instead of the whole f32 chain plus three
+    full-size gradient temporaries (~18 GB at the 46080x92160 LOLA LDEM,
+    reference main.py:25-29; the round-5 cold-synthesis host-RSS fix).
+    Memory-mapped sources stream band by band and their resident pages
+    are released after the last pass."""
+    h_min, h_hi = _minmax_banded(elevation)
     if quantized:
-        h_lo = h_min
-        h_hi = float(elevation.max())
-        h_scale = max((h_hi - h_lo) / 65000.0, 1e-12)
-        h_offset = 0.5 * (h_lo + h_hi)
+        h_scale = max((h_hi - h_min) / 65000.0, 1e-12)
+        h_offset = 0.5 * (h_min + h_hi)
         # Resolution (max-min)/65000 ~ 0.08 m for real lunar relief —
         # finer than the source LDEM's 0.5 m quantization.
-        mips = [pad_lon_wrap(_encode_i16(m, h_scale, h_offset), PAD_COLS)
-                for m in mips_np]
     else:
         h_scale, h_offset = 1.0, 0.0
-        mips = [pad_lon_wrap(m, PAD_COLS) for m in mips_np]
+
+    base = elevation if elevation.dtype == np.float32 \
+        else np.ascontiguousarray(elevation, dtype=np.float32)
+    mips = []
+    level_shapes = []
+    slope_cells = []  # mean squared slope per level (coarse cells) for
+    # LOD roughness compensation at per-block mip-stride seams
+    cur = base
+    while True:
+        level_shapes.append(cur.shape)
+        slope_cells.append(slope_sq_level(cur))
+        if quantized:
+            mips.append(_encode_i16_padded(cur, h_scale, h_offset,
+                                           PAD_COLS))
+        else:
+            mips.append(pad_lon_wrap(
+                np.ascontiguousarray(cur, dtype=np.float32), PAD_COLS))
+        if min(cur.shape[0], cur.shape[1]) // 2 < MIP_MIN_SIZE:
+            break
+        nxt = block_mean(cur, 2)
+        if cur is not base:
+            del cur
+        cur = nxt
 
     maxmap = coarse_max_map(elevation)
-    # mean squared slope per level (coarse cells) for LOD roughness
-    # compensation at per-block mip-stride seams
-    slope = slope_sq_maps(mips_np)
+    slope = np.stack(slope_cells).astype(np.float32)
+    _drop_mmap_pages(elevation)
 
     # The albedo (color) source may be coarser than the heightfield by a
     # power of two (the real LROC color map is ~4x coarser than the LDEM,
@@ -132,10 +198,10 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
     # height level L's dimensions, with entries finer than the albedo base
     # aliasing it (same device buffer — zero extra HBM).
     base_lvl = 0
-    while (base_lvl + 1 < len(mips_np)
-           and albedo.shape[:2] != mips_np[base_lvl].shape):
+    while (base_lvl + 1 < len(level_shapes)
+           and albedo.shape[:2] != level_shapes[base_lvl]):
         base_lvl += 1
-    if albedo.shape[:2] != mips_np[base_lvl].shape:
+    if albedo.shape[:2] != level_shapes[base_lvl]:
         raise ValueError(
             f"albedo shape {albedo.shape[:2]} must equal the elevation "
             f"shape divided by a power of two (elevation {elevation.shape})")
@@ -248,4 +314,15 @@ def load_or_build(elevation: np.ndarray, albedo: np.ndarray,
         print(f"  Cached device-ready pyramids to {path}")
     except Exception as e:
         print(f"Warning: could not write pyramid cache {path}: {e}")
+        return ps
+    try:
+        # serve the freshly built set memory-mapped from the cache just
+        # written: the in-RAM level arrays (~2.9 GB at the bench working
+        # set) are freed, and the first run's residency profile matches
+        # every later run's
+        mapped = _load_cached(path)
+        if mapped is not None:
+            return mapped
+    except Exception:
+        pass
     return ps

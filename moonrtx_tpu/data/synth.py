@@ -144,7 +144,8 @@ def synthesize_moon(height: int = 2880, width: int = 5760, seed: int = 7,
 
 def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
                        detail_m: float = 60.0,
-                       chunk_rows: int = 2048) -> np.ndarray:
+                       chunk_rows: int = 2048,
+                       out: np.ndarray | None = None) -> np.ndarray:
     """Upsample a synthetic elevation-factor map to real-LDEM working-set
     sizes (the LOLA grid is 46080x92160, reference main.py:25-29), adding
     periodic sub-texel relief so the fine levels carry real detail.
@@ -153,6 +154,11 @@ def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
     stays ~O(output) even for multi-gigatexel outputs — this environment
     has one CPU core, so direct synthesis at full size is impractical
     while an upsample streams at memory bandwidth.
+
+    out: optional preallocated (H, W) float32 destination. Pass a
+    memory-mapped array to stream the result to disk: dirty pages are
+    flushed and released every couple of chunks, so the host peak stays
+    O(chunk) instead of O(output) — the cold-synthesis RSS cap.
     """
     import cv2
 
@@ -169,9 +175,12 @@ def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
                        interpolation=cv2.INTER_CUBIC)[:tile, :tile]
     patch *= np.float32(detail_m * RELIEF_SCALE / 1000.0)
 
-    out = np.empty((H, W), np.float32)
+    if out is None:
+        out = np.empty((H, W), np.float32)
+    elif out.shape != (H, W):
+        raise ValueError(f"out shape {out.shape} != target {(H, W)}")
     pad = 2  # cubic support rows on each side of a chunk
-    for r in range(0, H, chunk_rows):
+    for i, r in enumerate(range(0, H, chunk_rows)):
         rows = min(chunk_rows, H - r)
         b0 = max(r // factor - pad, 0)
         b1 = min((r + rows - 1) // factor + 1 + pad, h)
@@ -184,6 +193,61 @@ def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
         reps = -(-W // tile)
         det = np.tile(patch[ty], (1, reps))[:, :W]
         out[r:r + rows] = chunk + det
+        if i % 2 == 1:
+            flush_drop_pages(out)
+    flush_drop_pages(out)
+    return out
+
+
+def flush_drop_pages(arr) -> None:
+    """If arr is memory-mapped: write dirty pages back and release the
+    resident ones (they refault from the file transparently). No-op for
+    in-RAM arrays — callers stream large outputs through this to keep
+    the cold-start host peak at O(band)."""
+    mm = getattr(arr, "_mmap", None)
+    if mm is None:
+        return
+    try:
+        arr.flush()
+    except (AttributeError, ValueError, OSError):
+        return
+    try:
+        import mmap as _mmap
+
+        mm.madvise(_mmap.MADV_DONTNEED)
+    except (AttributeError, ValueError, OSError):
+        pass
+
+
+def upsample_color(base: np.ndarray, factor: int,
+                   chunk_rows: int = 2048,
+                   out: np.ndarray | None = None) -> np.ndarray:
+    """Cubic-upsample an (H, W, 3) albedo map by an integer factor in row
+    chunks (same streaming pattern as upsample_elevation: 2 support rows
+    of halo cover INTER_CUBIC's 4-tap vertical filter, so chunking is
+    exact), clipped to the synth albedo range [0.05, 0.95].  Pass a
+    memory-mapped `out` to keep the cold-start host peak at O(chunk) —
+    the full-LDEM color target is (11520, 23040, 3) f32 = 3.2 GB."""
+    import cv2
+
+    h, w = base.shape[:2]
+    H, W = h * factor, w * factor
+    if out is None:
+        out = np.empty((H, W, 3), np.float32)
+    elif out.shape != (H, W, 3):
+        raise ValueError(f"out shape {out.shape} != target {(H, W, 3)}")
+    pad = 2
+    for i, r in enumerate(range(0, H, chunk_rows)):
+        rows = min(chunk_rows, H - r)
+        b0 = max(r // factor - pad, 0)
+        b1 = min((r + rows - 1) // factor + 1 + pad, h)
+        sl = cv2.resize(base[b0:b1], (W, (b1 - b0) * factor),
+                        interpolation=cv2.INTER_CUBIC)
+        off = r - b0 * factor
+        out[r:r + rows] = np.clip(sl[off:off + rows], 0.05, 0.95)
+        if i % 2 == 1:
+            flush_drop_pages(out)
+    flush_drop_pages(out)
     return out
 
 

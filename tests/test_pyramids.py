@@ -112,3 +112,117 @@ def test_banded_upload_round_trips_and_drops_pages(tmp_path):
     out = _upload_rows_banded(m, band_bytes=big.nbytes // 7)
     np.testing.assert_array_equal(np.asarray(out), big)
     np.testing.assert_array_equal(np.asarray(m), big)  # refaults fine
+
+# ---- round-5: streamed cold path (host-RSS cap) ----
+
+def test_streamed_build_matches_in_memory_on_mmap_source(maps, tmp_path):
+    """build_pyramids streams memory-mapped sources in row bands; the
+    output must be bit-identical to building from the same data in RAM
+    (cold starts hand it the mmap'd synth cache)."""
+    elev, albedo = maps
+    p = tmp_path / "elev.npy"
+    np.save(p, elev)
+    m = np.load(p, mmap_mode="r")
+    for quantized in (False, True):
+        _assert_equal(pyramids.build_pyramids(elev, albedo, quantized),
+                      pyramids.build_pyramids(m, albedo, quantized))
+
+
+def test_encode_i16_padded_matches_pad_of_encode(maps):
+    """Fused encode+pad (streamed path) == pad_lon_wrap of the plain
+    encode, including levels narrower than the pad."""
+    from moonrtx_tpu.data.mips import pad_lon_wrap
+
+    elev, _ = maps
+    h_scale, h_offset = 2.4e-7, 1.0
+
+    def plain(m):
+        return np.clip(np.rint((m.astype(np.float64) - h_offset) / h_scale),
+                       -32767, 32767).astype(np.int16)
+
+    for m in (elev, elev[:64, :128]):  # 256-wide and narrower-than-pad
+        np.testing.assert_array_equal(
+            pyramids._encode_i16_padded(m, h_scale, h_offset,
+                                        pyramids.PAD_COLS),
+            pad_lon_wrap(plain(m), pyramids.PAD_COLS))
+
+
+def test_streamed_synth_norm_matches_in_memory(tmp_path, monkeypatch):
+    """The streamed synth-normalize cache (open_memmap + banded in-place
+    divide) must produce the same bytes and radius_scale as maker() +
+    divide, and still publish max == 1.0 through a memory-mapped load."""
+    from moonrtx_tpu.data import loader, synth
+
+    monkeypatch.setattr(loader, "SYNTH_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(loader, "SYNTH_ELEVATION_SHAPE", (90, 180))
+    e, rs = loader.load_elevation_data(None, downscale=1,
+                                       synth_shape=(180, 360))
+    assert isinstance(e, np.memmap)
+    assert float(np.max(e)) == 1.0
+    base = loader._synth_moon_cached(90, 180, "elev")
+    up = synth.upsample_elevation(base, 2)
+    expect_rs = float(up.max())
+    np.testing.assert_array_equal(
+        np.asarray(e), (up / expect_rs).astype(np.float32))
+    assert rs == expect_rs
+    # second load is a pure cache hit with identical values
+    e2, rs2 = loader.load_elevation_data(None, downscale=1,
+                                         synth_shape=(180, 360))
+    assert rs2 == rs
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(e))
+
+
+def test_upsample_elevation_out_param(tmp_path):
+    """upsample_elevation(out=memmap) streams the same bytes as the
+    allocate-and-return path."""
+    from moonrtx_tpu.data import synth
+
+    rng = np.random.default_rng(3)
+    base = (1.0 + 1e-3 * rng.standard_normal((64, 128))).astype(np.float32)
+    ref = synth.upsample_elevation(base, 4, chunk_rows=32)
+    out = np.lib.format.open_memmap(tmp_path / "up.npy", mode="w+",
+                                    dtype=np.float32, shape=(256, 512))
+    got = synth.upsample_elevation(base, 4, chunk_rows=32, out=out)
+    assert got is out
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_drop_row_range_preserves_mmap_content(tmp_path):
+    """Releasing resident pages must never change what a reader sees —
+    clean pages refault from the file (the streamed passes drop source
+    rows behind themselves to cap cold-start RSS)."""
+    from moonrtx_tpu.data.mips import drop_row_range
+
+    rng = np.random.default_rng(9)
+    a = rng.random((512, 256)).astype(np.float32)
+    p = tmp_path / "a.npy"
+    np.save(p, a)
+    m = np.load(p, mmap_mode="r")
+    np.testing.assert_array_equal(np.asarray(m[100:300]), a[100:300])
+    drop_row_range(m, 0, 512)
+    np.testing.assert_array_equal(np.asarray(m), a)  # refaults intact
+    drop_row_range(m, 100, 100)   # empty range: no-op
+    drop_row_range(a, 0, 512)     # plain ndarray: no-op
+    np.testing.assert_array_equal(np.asarray(m), a)
+
+
+def test_streamed_color_upsample_matches_whole_resize(tmp_path, monkeypatch):
+    """The banded color upsample (open_memmap stream) must match the old
+    whole-image cv2 resize + clip, and load memory-mapped."""
+    import cv2
+
+    from moonrtx_tpu.data import loader, synth
+
+    monkeypatch.setattr(loader, "SYNTH_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(loader, "SYNTH_ELEVATION_SHAPE", (90, 180))
+    got = loader.load_color_data(None, 1, synth_shape=(360, 720))
+    assert isinstance(got, np.memmap)
+    base = loader._synth_moon_cached(90, 180, "color")
+    ref = np.clip(cv2.resize(np.asarray(base), (720, 360),
+                             interpolation=cv2.INTER_CUBIC),
+                  0.05, 0.95).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-6)
+    # banded == whole for the direct function too, at a chunk size that
+    # forces several bands
+    up = synth.upsample_color(np.asarray(base), 4, chunk_rows=64)
+    np.testing.assert_allclose(up, ref, atol=2e-6)
