@@ -27,7 +27,6 @@ import numpy as np
 
 from moonrtx_tpu.data.mips import (
     block_mean,
-    build_mips,
     coarse_max_map,
     drop_row_range,
     pad_lon_wrap,
@@ -129,6 +128,21 @@ def _encode_i16_padded(m: np.ndarray, h_scale: float, h_offset: float,
     return out
 
 
+def _encode_u8_padded(m: np.ndarray, pad: int, chunk: int = 512) -> np.ndarray:
+    """uint8 albedo with `pad` wrapped longitude columns, row-chunked
+    (value = raw / 255; same rint/clip as the unstreamed conversion)."""
+    h, w = m.shape[:2]
+    pad = min(pad, w)
+    out = np.empty((h, w + pad) + m.shape[2:], np.uint8)
+    for r in range(0, h, chunk):
+        sl = np.asarray(m[r:r + chunk])
+        out[r:r + chunk, :w] = np.clip(np.rint(sl * 255.0), 0, 255
+                                       ).astype(np.uint8)
+        drop_row_range(m, r, min(r + chunk, h))
+    out[:, w:] = out[:, :pad]
+    return out
+
+
 def _minmax_banded(a: np.ndarray) -> tuple[float, float]:
     """(min, max) in one row-banded pass, releasing mmap pages behind it
     (a whole-array np.min faults the entire file into RSS first thing)."""
@@ -143,8 +157,18 @@ def _minmax_banded(a: np.ndarray) -> tuple[float, float]:
     return lo, hi
 
 
+def _spill(spill_dir: str, name: str, arr: np.ndarray) -> np.ndarray:
+    """Write a finished level to `spill_dir` and serve it back
+    memory-mapped, freeing the in-RAM copy — with a spill dir the build
+    never holds more than ~one level in RAM."""
+    fp = os.path.join(spill_dir, name)
+    np.save(fp, arr)
+    return np.load(fp, mmap_mode="r")
+
+
 def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
-                   quantized: bool) -> PyramidSet:
+                   quantized: bool,
+                   spill_dir: str | None = None) -> PyramidSet:
     """The full host-side scene preprocessing (pure; numpy in/out).
 
     The height chain runs level-at-a-time in row bands (mips.BAND_ROWS):
@@ -155,7 +179,12 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
     full-size gradient temporaries (~18 GB at the 46080x92160 LOLA LDEM,
     reference main.py:25-29; the round-5 cold-synthesis host-RSS fix).
     Memory-mapped sources stream band by band and their resident pages
-    are released after the last pass."""
+    are released after the last pass.
+
+    spill_dir: when given (load_or_build passes its cache tmp dir),
+    every finished level is written there immediately and served back
+    memory-mapped, so not even the finished set is RAM-resident — the
+    cache save then only adds the small arrays and metadata."""
     h_min, h_hi = _minmax_banded(elevation)
     if quantized:
         h_scale = max((h_hi - h_min) / 65000.0, 1e-12)
@@ -176,11 +205,14 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
         level_shapes.append(cur.shape)
         slope_cells.append(slope_sq_level(cur))
         if quantized:
-            mips.append(_encode_i16_padded(cur, h_scale, h_offset,
-                                           PAD_COLS))
+            enc = _encode_i16_padded(cur, h_scale, h_offset, PAD_COLS)
         else:
-            mips.append(pad_lon_wrap(
-                np.ascontiguousarray(cur, dtype=np.float32), PAD_COLS))
+            enc = pad_lon_wrap(
+                np.ascontiguousarray(cur, dtype=np.float32), PAD_COLS)
+        if spill_dir is not None:
+            enc = _spill(spill_dir, f"mip{len(mips):02d}.npy", enc)
+        mips.append(enc)
+        del enc
         if min(cur.shape[0], cur.shape[1]) // 2 < MIP_MIN_SIZE:
             break
         nxt = block_mean(cur, 2)
@@ -205,26 +237,55 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
         raise ValueError(
             f"albedo shape {albedo.shape[:2]} must equal the elevation "
             f"shape divided by a power of two (elevation {elevation.shape})")
-    albedo_mips = build_mips(albedo)
-    albedo_mips = [albedo_mips[0]] * base_lvl + albedo_mips
-    while len(albedo_mips) < len(mips):
-        albedo_mips.append(albedo_mips[-1])
-    albedo_mips = albedo_mips[: len(mips)]
+    # chain shapes first (cheap), to resolve the kept range before any
+    # full-size albedo array is materialized
+    a_shapes = [tuple(albedo.shape[:2])]
+    while min(a_shapes[-1]) // 2 >= MIP_MIN_SIZE:
+        a_shapes.append((a_shapes[-1][0] // 2, a_shapes[-1][1] // 2))
+    # aligned list: entry L has height level L's dimensions; entries
+    # finer than the albedo base alias chain entry 0, entries coarser
+    # than the chain's tail alias its last entry
+    def _chain_idx(level: int) -> int:
+        return min(max(level - base_lvl, 0), len(a_shapes) - 1)
+
     alb_min_level = base_lvl
     if quantized:
         # uint8 albedo; additionally cap the widest stored level (finer
         # gains nothing at display sampling rates, ALB_MAX_W)
         a_scale = 1.0 / 255.0
-        while (alb_min_level + 1 < len(albedo_mips)
-               and albedo_mips[alb_min_level].shape[1] > ALB_MAX_W):
+        while (alb_min_level + 1 < len(mips)
+               and a_shapes[_chain_idx(alb_min_level)][1] > ALB_MAX_W):
             alb_min_level += 1
-        kept = [pad_lon_wrap(np.clip(np.rint(m * 255.0), 0, 255
-                                     ).astype(np.uint8), PAD_COLS)
-                for m in albedo_mips[alb_min_level:]]
     else:
         a_scale = 1.0
-        kept = [pad_lon_wrap(m, PAD_COLS)
-                for m in albedo_mips[alb_min_level:]]
+
+    # walk the chain level-at-a-time (same streaming pattern as the
+    # height chain): convert a level the moment the kept range needs it,
+    # drop the f32 parent as soon as its child exists
+    need = [_chain_idx(L) for L in range(alb_min_level, len(mips))]
+    kept: list = [None] * len(need)
+    cur_a = albedo if albedo.dtype == np.float32 \
+        else np.ascontiguousarray(albedo, dtype=np.float32)
+    for idx in range(max(need) + 1):
+        if idx in need:
+            if quantized:
+                arr = _encode_u8_padded(cur_a, PAD_COLS)
+            else:
+                arr = pad_lon_wrap(
+                    np.ascontiguousarray(cur_a, dtype=np.float32),
+                    PAD_COLS)
+            for j, i in enumerate(need):
+                if i == idx:
+                    kept[j] = (arr if spill_dir is None
+                               else _spill(spill_dir, f"alb{j:02d}.npy",
+                                           arr))
+            del arr
+        if idx < max(need):
+            nxt_a = block_mean(cur_a, 2)
+            if cur_a is not albedo:
+                del cur_a
+            cur_a = nxt_a
+    _drop_mmap_pages(albedo)
 
     return PyramidSet(mips=mips, maxmap=maxmap.astype(np.float32),
                       slope_maps=slope, albedo_kept=kept,
@@ -268,13 +329,20 @@ def _load_cached(path: str):
         a_scale=float(meta["a_scale"]))
 
 
-def _save_cached(path: str, ps: PyramidSet) -> None:
-    tmp = path + ".tmp"
+def _save_cached(path: str, ps: PyramidSet, tmp: str | None = None,
+                 spilled: bool = False) -> None:
+    """Publish a PyramidSet atomically (tmp dir + rename).  With
+    spilled=True the level files were already written into `tmp` by
+    build_pyramids' spill_dir — only the small arrays and metadata are
+    added here.  The tmp dir is pid-unique so two concurrent cold starts
+    cannot interleave truncating writes to the same files."""
+    tmp = tmp or f"{path}.{os.getpid()}.tmp"
     os.makedirs(tmp, exist_ok=True)
-    for i, m in enumerate(ps.mips):
-        np.save(os.path.join(tmp, f"mip{i:02d}.npy"), m)
-    for i, a in enumerate(ps.albedo_kept):
-        np.save(os.path.join(tmp, f"alb{i:02d}.npy"), a)
+    if not spilled:
+        for i, m in enumerate(ps.mips):
+            np.save(os.path.join(tmp, f"mip{i:02d}.npy"), m)
+        for i, a in enumerate(ps.albedo_kept):
+            np.save(os.path.join(tmp, f"alb{i:02d}.npy"), a)
     np.save(os.path.join(tmp, "maxmap.npy"), ps.maxmap)
     np.save(os.path.join(tmp, "slope.npy"), ps.slope_maps)
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
@@ -308,9 +376,30 @@ def load_or_build(elevation: np.ndarray, albedo: np.ndarray,
                 return ps
     except Exception as e:
         print(f"Warning: pyramid cache read failed ({e}); rebuilding")
-    ps = build_pyramids(elevation, albedo, quantized)
+    # build with the cache tmp dir as the spill target: finished levels
+    # go straight to disk and come back memory-mapped, so a cold build's
+    # peak is ~one level of transients, not the whole device-ready set
+    tmp = f"{path}.{os.getpid()}.tmp"
+    ps = None
+    spilled = False
     try:
-        _save_cached(path, ps)
+        os.makedirs(tmp, exist_ok=True)
+        ps = build_pyramids(elevation, albedo, quantized, spill_dir=tmp)
+        spilled = True
+    except OSError as e:
+        print(f"Warning: pyramid spill to {tmp} failed ({e}); "
+              "building in RAM")
+        try:
+            import shutil
+
+            shutil.rmtree(tmp)
+        except OSError:
+            pass
+    if ps is None:
+        ps = build_pyramids(elevation, albedo, quantized)
+    try:
+        _save_cached(path, ps, tmp=tmp if spilled else None,
+                     spilled=spilled)
         print(f"  Cached device-ready pyramids to {path}")
     except Exception as e:
         print(f"Warning: could not write pyramid cache {path}: {e}")

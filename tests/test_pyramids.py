@@ -226,3 +226,15 @@ def test_streamed_color_upsample_matches_whole_resize(tmp_path, monkeypatch):
     # forces several bands
     up = synth.upsample_color(np.asarray(base), 4, chunk_rows=64)
     np.testing.assert_allclose(up, ref, atol=2e-6)
+
+
+def test_cold_build_spills_levels_to_cache_dir(maps, tmp_path, monkeypatch):
+    """A cold load_or_build must spill finished levels into the cache tmp
+    dir and serve them memory-mapped (the whole device-ready set is never
+    RAM-resident), while matching the in-RAM build bit for bit."""
+    monkeypatch.setenv("MOONRTX_TPU_CACHE", str(tmp_path))
+    elev, albedo = maps
+    ps = pyramids.load_or_build(elev, albedo, True, use_cache=True)
+    assert all(isinstance(m, np.memmap) for m in ps.mips)
+    assert all(isinstance(a, np.memmap) for a in ps.albedo_kept)
+    _assert_equal(pyramids.build_pyramids(elev, albedo, True), ps)
