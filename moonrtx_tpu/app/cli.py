@@ -77,6 +77,14 @@ def parse_args(argv=None):
     parser.add_argument("--downscale", type=int, default=3,
                         help="Elevation downscale factor; 1 keeps full "
                              "resolution (served through mip levels)")
+    parser.add_argument("--synth-shape", type=str, default=None,
+                        metavar="HxW",
+                        help="Target grid for the procedural elevation "
+                             "fallback when no real data files exist, "
+                             "e.g. 23040x46080 (the LOLA LDEM working "
+                             "set at --downscale 2). Streamed and "
+                             "disk-cached; default keeps the base "
+                             "synthesis grid")
     parser.add_argument("--brightness", type=int, default=80, help="Brightness")
     parser.add_argument("--gamma", type=float, default=2.2,
                         help="Gamma correction value (0.5 - 5.0)")
@@ -288,6 +296,16 @@ def config_from_args(args) -> RenderConfig:
             print("Error: --lon parameter is mandatory.")
             sys.exit(1)
 
+    def _parse_synth_shape(s):
+        if not s:
+            return None
+        try:
+            h, w = (int(v) for v in s.lower().split("x"))
+            return (h, w)
+        except ValueError:
+            print("Error: --synth-shape must be HxW, e.g. 23040x46080.")
+            sys.exit(1)
+
     allow_dl = not args.no_download
     elevation_file = _check_file(args.elevation_file, ELEVATION_FILE_LOCAL,
                                  ELEVATION_FILE_URL, ELEVATION_FILE_SIZE_BYTES,
@@ -305,6 +323,7 @@ def config_from_args(args) -> RenderConfig:
         starmap_file=starmap_file,
         features_file=args.features_file,
         downscale=args.downscale,
+        synth_shape=_parse_synth_shape(args.synth_shape),
         brightness=args.brightness,
         gamma=args.gamma,
         time_step_minutes=args.time_step_minutes,

@@ -21,9 +21,19 @@ from moonrtx_tpu.engine.scene import MoonScene
 
 def build_scene(config: RenderConfig, with_starmap: bool = True) -> MoonScene:
     """Load data (real files or procedural fallback) and build the scene."""
+    from moonrtx_tpu.data import loader as _loader
+
+    ss = config.synth_shape
     elevation, radius_scale = load_elevation_data(
-        config.elevation_file, config.downscale)
-    albedo = load_color_data(config.color_file, config.downscale)
+        config.elevation_file, config.downscale,
+        synth_shape=tuple(ss) if ss else None)
+    # the procedural color map rides 4x coarser than the heightfield,
+    # like the real LROC mosaic vs the LDEM (reference main.py:33-38),
+    # but never coarser than its own base synthesis grid
+    bh, bw = _loader.SYNTH_ELEVATION_SHAPE
+    alb_ss = (max(ss[0] // 4, bh), max(ss[1] // 4, bw)) if ss else None
+    albedo = load_color_data(config.color_file, config.downscale,
+                             synth_shape=alb_ss)
     starmap = (load_starmap(config.starmap_file, config.width * 2)
                if with_starmap else None)
     scene = MoonScene(config, elevation, radius_scale, albedo, starmap)

@@ -58,6 +58,13 @@ class RenderConfig:
     # default and 2 is exact-parity mode (one extra radiosity pyramid in
     # the bounce program).
     indirect_bounces: int = 1
+    # target grid for the PROCEDURAL elevation fallback (real data files
+    # absent): None = the base synthesis grid; (H, W) = upsample to the
+    # given size (an integer multiple of the base grid — e.g. the real
+    # LOLA LDEM working sets 23040x46080 / 46080x92160, reference
+    # main.py:25-29), streamed and disk-cached so the full-scale
+    # experience needs no downloads. The bench exercises the same path.
+    synth_shape: Optional[tuple] = None
     # device-mesh width for multi-chip rendering: 1 = single device,
     # 0 = auto (all local devices), N = exactly N (image rows + shadow-scan
     # phi wedges shard over the mesh; ICI gathers the frame)
@@ -136,4 +143,11 @@ class RenderConfig:
                               "positive number of GiB.")
         if self.indirect_bounces not in (1, 2):
             raise ConfigError("Invalid indirect bounces. Must be 1 or 2.")
+        if self.synth_shape is not None:
+            ss = tuple(self.synth_shape)
+            if (len(ss) != 2 or any(int(v) != v or v <= 0 for v in ss)
+                    or ss[1] != 2 * ss[0]):
+                raise ConfigError(
+                    "Invalid synth shape. Must be HxW with positive "
+                    "integers and W = 2*H (equirectangular).")
         return self

@@ -151,3 +151,24 @@ def test_preset_carries_every_launcher_field(tmp_path):
               "earthshine": False, "devices": 8, "hbm_budget_gb": 12.5}
     presets.save_preset("phys", values, str(tmp_path))
     assert presets.load_preset("phys", str(tmp_path)) == values
+
+
+def test_synth_shape_flag_round_trip():
+    """--synth-shape targets the procedural working set (full-scale
+    experience without the real ~8 GB downloads)."""
+    cfg = config_from_args(parse_args(
+        ["--lat", "50", "--lon", "19", "--no-download",
+         "--synth-shape", "23040x46080"]))
+    assert cfg.synth_shape == (23040, 46080)
+    cfg = config_from_args(parse_args(
+        ["--lat", "50", "--lon", "19", "--no-download"]))
+    assert cfg.synth_shape is None
+
+
+def test_synth_shape_flag_malformed_exits():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        config_from_args(parse_args(
+            ["--lat", "50", "--lon", "19", "--no-download",
+             "--synth-shape", "banana"]))

@@ -26,6 +26,9 @@ def test_defaults_valid():
         ("shadow_accuracy", 21),
         ("view_orientation", "ABCD"),
         ("backend", "cuda"),
+        ("synth_shape", (100, 150)),   # W must be 2*H
+        ("synth_shape", (0, 0)),
+        ("synth_shape", (2880.5, 5761.0)),
     ],
 )
 def test_out_of_range_rejected(field, value):
@@ -52,3 +55,9 @@ def test_observer_ranges(lat, lon, elev):
     cfg = RenderConfig(observer=Observer(lat, lon, elev))
     with pytest.raises(ConfigError):
         cfg.validate()
+
+
+def test_synth_shape_accepted():
+    cfg = dataclasses.replace(RenderConfig(),
+                              synth_shape=(23040, 46080)).validate()
+    assert cfg.synth_shape == (23040, 46080)

@@ -93,3 +93,30 @@ def test_cli_timelapse_flag():
     assert args.timelapse_frames == 5
     assert parse_args(["--lat", "1", "--lon", "2",
                        "--no-download"]).timelapse_frames == 1
+
+
+def test_build_scene_with_synth_shape(tmp_path, monkeypatch):
+    """config.synth_shape (--synth-shape) upsizes the procedural working
+    set through the product flow — the full-scale experience without the
+    real ~8 GB downloads (reference main.py:25-29)."""
+    from datetime import datetime, timezone
+
+    from moonrtx_tpu.app.headless import build_scene
+    from moonrtx_tpu.config import RenderConfig
+    from moonrtx_tpu.data import loader
+    from moonrtx_tpu.types import Observer
+
+    monkeypatch.setattr(loader, "SYNTH_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(loader, "SYNTH_ELEVATION_SHAPE", (90, 180))
+    monkeypatch.setenv("MOONRTX_TPU_CACHE", str(tmp_path))
+    cfg = RenderConfig(
+        observer=Observer(50.0, 19.9, 219),
+        dt_local=datetime(2024, 4, 15, 21, 0, tzinfo=timezone.utc),
+        width=64, height=64, downscale=1, backend="blocked",
+        synth_shape=(180, 360),
+    ).validate()
+    scene = build_scene(cfg, with_starmap=False)
+    assert tuple(scene.mip_shapes[0])[:2][0] == 180
+    scene.update_view()
+    frame = np.asarray(scene.display())
+    assert frame.shape == (64, 64, 3)

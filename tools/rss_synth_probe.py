@@ -62,10 +62,13 @@ def main():
           f"(mmap={isinstance(albedo, np.memmap)})")
     quantized = elevation.shape[0] * elevation.shape[1] \
         > pyramids.QUANTIZE_TEXELS
-    ps = pyramids.build_pyramids(np.asarray(elevation), np.asarray(albedo),
-                                 quantized)
+    # the product path (scene construction): cold build spills levels
+    # into the cache dir and serves them memory-mapped
+    ps = pyramids.load_or_build(np.asarray(elevation), np.asarray(albedo),
+                                quantized, use_cache=True)
     stage(f"pyramids built (quantized={ps.quantized}, "
-          f"{sum(m.nbytes for m in ps.mips) / 2**30:.2f} GiB mips)")
+          f"{sum(m.nbytes for m in ps.mips) / 2**30:.2f} GiB mips, "
+          f"mmap={isinstance(ps.mips[0], np.memmap)})")
     del elevation, albedo
     stage("sources dropped")
 
