@@ -108,38 +108,75 @@ def array_fingerprint(a: np.ndarray) -> str:
 
 
 def _encode_i16_padded(m: np.ndarray, h_scale: float, h_offset: float,
-                       pad: int, chunk: int = 512) -> np.ndarray:
+                       pad: int, chunk: int = 512,
+                       out_path: str | None = None) -> np.ndarray:
     """int16 heights with `pad` wrapped longitude columns appended: value =
     raw * h_scale + h_offset, exact affine shared by every level (block
     means stay inside [min, max]).  f64 in row chunks: an f32 subtraction
     (m - offset) near 1.0 would itself cost ~1 quantization step.  Encoding
     straight into the padded buffer (instead of pad_lon_wrap on a finished
-    int16 array) avoids a second full-level copy on the cold path."""
+    int16 array) avoids a second full-level copy on the cold path.
+
+    out_path: encode straight into a w+ open_memmap at this path and
+    serve it back read-only — the level is never RAM-resident (the spill
+    path; level 0 of the full LOLA LDEM is 8.5 GB as padded int16)."""
+    from moonrtx_tpu.data.synth import flush_drop_pages
+
     h, w = m.shape
     pad = min(pad, w)  # pad_lon_wrap semantics: one wrapped copy at most
-    out = np.empty((h, w + pad), np.int16)
-    for r in range(0, h, chunk):
+    if out_path is None:
+        out = np.empty((h, w + pad), np.int16)
+    else:
+        out = np.lib.format.open_memmap(out_path, mode="w+",
+                                        dtype=np.int16,
+                                        shape=(h, w + pad))
+    for i, r in enumerate(range(0, h, chunk)):
         sl = np.asarray(m[r:r + chunk]).astype(np.float64)
         out[r:r + chunk, :w] = np.clip(
             np.rint((sl - h_offset) / h_scale), -32767, 32767
         ).astype(np.int16)
         drop_row_range(m, r, min(r + chunk, h))
+        if out_path is not None and i % 8 == 7:
+            flush_drop_pages(out)
+    if out_path is not None:
+        flush_drop_pages(out)  # pad reads refault clean from the file
     out[:, w:] = out[:, :pad]
+    if out_path is not None:
+        out.flush()
+        del out
+        return np.load(out_path, mmap_mode="r")
     return out
 
 
-def _encode_u8_padded(m: np.ndarray, pad: int, chunk: int = 512) -> np.ndarray:
+def _encode_u8_padded(m: np.ndarray, pad: int, chunk: int = 512,
+                      out_path: str | None = None) -> np.ndarray:
     """uint8 albedo with `pad` wrapped longitude columns, row-chunked
-    (value = raw / 255; same rint/clip as the unstreamed conversion)."""
+    (value = raw / 255; same rint/clip as the unstreamed conversion).
+    out_path: as in _encode_i16_padded — spill-encode to disk."""
+    from moonrtx_tpu.data.synth import flush_drop_pages
+
     h, w = m.shape[:2]
     pad = min(pad, w)
-    out = np.empty((h, w + pad) + m.shape[2:], np.uint8)
-    for r in range(0, h, chunk):
+    if out_path is None:
+        out = np.empty((h, w + pad) + m.shape[2:], np.uint8)
+    else:
+        out = np.lib.format.open_memmap(out_path, mode="w+",
+                                        dtype=np.uint8,
+                                        shape=(h, w + pad) + m.shape[2:])
+    for i, r in enumerate(range(0, h, chunk)):
         sl = np.asarray(m[r:r + chunk])
         out[r:r + chunk, :w] = np.clip(np.rint(sl * 255.0), 0, 255
                                        ).astype(np.uint8)
         drop_row_range(m, r, min(r + chunk, h))
+        if out_path is not None and i % 8 == 7:
+            flush_drop_pages(out)
+    if out_path is not None:
+        flush_drop_pages(out)
     out[:, w:] = out[:, :pad]
+    if out_path is not None:
+        out.flush()
+        del out
+        return np.load(out_path, mmap_mode="r")
     return out
 
 
@@ -204,13 +241,17 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
     while True:
         level_shapes.append(cur.shape)
         slope_cells.append(slope_sq_level(cur))
+        name = f"mip{len(mips):02d}.npy"
         if quantized:
-            enc = _encode_i16_padded(cur, h_scale, h_offset, PAD_COLS)
+            enc = _encode_i16_padded(
+                cur, h_scale, h_offset, PAD_COLS,
+                out_path=(None if spill_dir is None
+                          else os.path.join(spill_dir, name)))
         else:
             enc = pad_lon_wrap(
                 np.ascontiguousarray(cur, dtype=np.float32), PAD_COLS)
-        if spill_dir is not None:
-            enc = _spill(spill_dir, f"mip{len(mips):02d}.npy", enc)
+            if spill_dir is not None:
+                enc = _spill(spill_dir, name, enc)
         mips.append(enc)
         del enc
         if min(cur.shape[0], cur.shape[1]) // 2 < MIP_MIN_SIZE:
@@ -268,17 +309,23 @@ def build_pyramids(elevation: np.ndarray, albedo: np.ndarray,
         else np.ascontiguousarray(albedo, dtype=np.float32)
     for idx in range(max(need) + 1):
         if idx in need:
+            j0 = need.index(idx)
             if quantized:
-                arr = _encode_u8_padded(cur_a, PAD_COLS)
+                arr = _encode_u8_padded(
+                    cur_a, PAD_COLS,
+                    out_path=(None if spill_dir is None else
+                              os.path.join(spill_dir, f"alb{j0:02d}.npy")))
             else:
                 arr = pad_lon_wrap(
                     np.ascontiguousarray(cur_a, dtype=np.float32),
                     PAD_COLS)
+                if spill_dir is not None:
+                    arr = _spill(spill_dir, f"alb{j0:02d}.npy", arr)
             for j, i in enumerate(need):
                 if i == idx:
-                    kept[j] = (arr if spill_dir is None
+                    kept[j] = (arr if j == j0 or spill_dir is None
                                else _spill(spill_dir, f"alb{j:02d}.npy",
-                                           arr))
+                                           np.asarray(arr)))
             del arr
         if idx < max(need):
             nxt_a = block_mean(cur_a, 2)
