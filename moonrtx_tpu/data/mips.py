@@ -24,27 +24,56 @@ import numpy as np
 BAND_ROWS = 1024
 
 
-def drop_row_range(a: np.ndarray, row0: int, row1: int) -> None:
-    """Release the resident pages backing rows [row0, row1) of a
-    memory-mapped array (no-op otherwise).  The streamed passes call this
-    behind themselves so one pass over a multi-GB source file keeps
-    O(band) resident instead of faulting the whole file into RSS (clean
-    pages refault transparently if re-read).  Page-aligned inward, so a
-    halo row shared with the next band at worst refaults."""
-    mm = getattr(a, "_mmap", None)
-    off = getattr(a, "offset", None)
-    if mm is None or off is None or a.ndim < 2 or row1 <= row0:
-        return
+def mmap_of(a) -> tuple:
+    """(mmap object, byte offset of a's first element within it), or
+    (None, 0) for in-RAM arrays.  Walks the .base chain: np.asarray on a
+    np.memmap returns a plain ndarray VIEW without ._mmap, and views are
+    what the streamed passes usually hold."""
+    obj = a
+    root = None
+    while isinstance(obj, np.ndarray):
+        if getattr(obj, "_mmap", None) is not None:
+            # keep walking: a SLICE of a memmap is itself a memmap whose
+            # copied .offset attribute describes the original mapping,
+            # not the slice — only the deepest memmap's offset is valid
+            root = obj
+        obj = getattr(obj, "base", None)
+    if root is None:
+        return None, 0
     try:
         import mmap as _mmap
 
         # numpy maps the file from the allocation-granularity floor of
-        # `offset`; the data therefore starts at offset % granularity
-        # within the mmap object
-        data0 = int(off) % _mmap.ALLOCATIONGRANULARITY
+        # `offset`; the root's data therefore starts at
+        # offset % granularity within the mmap object
+        data0 = int(root.offset) % _mmap.ALLOCATIONGRANULARITY
+        delta = (a.__array_interface__["data"][0]
+                 - root.__array_interface__["data"][0])
+        if delta < 0:
+            return None, 0
+        return root._mmap, data0 + delta
+    except (AttributeError, TypeError, KeyError, ValueError):
+        return None, 0
+
+
+def drop_row_range(a: np.ndarray, row0: int, row1: int) -> None:
+    """Release the resident pages backing rows [row0, row1) of a
+    memory-mapped array or a view of one (no-op otherwise).  The streamed
+    passes call this behind themselves so one pass over a multi-GB source
+    file keeps O(band) resident instead of faulting the whole file into
+    RSS (clean pages refault transparently if re-read).  Page-aligned
+    inward, so a halo row shared with the next band at worst refaults."""
+    if a.ndim < 2 or row1 <= row0:
+        return
+    mm, off = mmap_of(a)
+    if mm is None:
+        return
+    try:
+        import mmap as _mmap
+
         ps = _mmap.PAGESIZE
-        start = ((data0 + row0 * a.strides[0]) + ps - 1) // ps * ps
-        end = (data0 + row1 * a.strides[0]) // ps * ps
+        start = ((off + row0 * a.strides[0]) + ps - 1) // ps * ps
+        end = (off + row1 * a.strides[0]) // ps * ps
         if end > start:
             mm.madvise(_mmap.MADV_DONTNEED, start, end - start)
     except (AttributeError, ValueError, OSError, OverflowError):

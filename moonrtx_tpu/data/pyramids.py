@@ -44,8 +44,11 @@ MIP_MIN_SIZE = 64
 def _drop_mmap_pages(m) -> None:
     """Release a memory-mapped source's resident pages after the last
     streamed pass over it (clean file-backed pages, but they count
-    against the cold-start peak and refault transparently if touched)."""
-    mm = getattr(m, "_mmap", None)
+    against the cold-start peak and refault transparently if touched).
+    Works through views (mips.mmap_of walks the .base chain)."""
+    from moonrtx_tpu.data.mips import mmap_of
+
+    mm, _ = mmap_of(m)
     if mm is not None:
         try:
             import mmap as _mmap

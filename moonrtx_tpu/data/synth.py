@@ -200,20 +200,19 @@ def upsample_elevation(base: np.ndarray, factor: int, seed: int = 13,
 
 
 def flush_drop_pages(arr) -> None:
-    """If arr is memory-mapped: write dirty pages back and release the
-    resident ones (they refault from the file transparently). No-op for
-    in-RAM arrays — callers stream large outputs through this to keep
-    the cold-start host peak at O(band)."""
-    mm = getattr(arr, "_mmap", None)
+    """If arr is memory-mapped (or a view of one): write dirty pages back
+    and release the resident ones (they refault from the file
+    transparently). No-op for in-RAM arrays — callers stream large
+    outputs through this to keep the cold-start host peak at O(band)."""
+    from moonrtx_tpu.data.mips import mmap_of
+
+    mm, _ = mmap_of(arr)
     if mm is None:
-        return
-    try:
-        arr.flush()
-    except (AttributeError, ValueError, OSError):
         return
     try:
         import mmap as _mmap
 
+        mm.flush()
         mm.madvise(_mmap.MADV_DONTNEED)
     except (AttributeError, ValueError, OSError):
         pass

@@ -71,7 +71,9 @@ def _drop_mmap_pages(m) -> None:
     faults the whole file into RSS, and the pages are dead weight once
     the device copy exists — they refault from disk if measurement
     touches the level again)."""
-    mm = getattr(m, "_mmap", None)
+    from moonrtx_tpu.data.mips import mmap_of
+
+    mm, _ = mmap_of(m)
     if mm is not None:
         try:
             import mmap as _mmap

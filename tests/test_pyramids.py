@@ -203,6 +203,19 @@ def test_drop_row_range_preserves_mmap_content(tmp_path):
     np.testing.assert_array_equal(np.asarray(m), a)  # refaults intact
     drop_row_range(m, 100, 100)   # empty range: no-op
     drop_row_range(a, 0, 512)     # plain ndarray: no-op
+    # np.asarray strips the memmap subclass; the drop must still resolve
+    # the mapping through .base (this is what the streamed passes hold)
+    v = np.asarray(m)
+    assert not isinstance(v, np.memmap)
+    from moonrtx_tpu.data.mips import mmap_of
+    mm, off = mmap_of(v)
+    assert mm is not None
+    drop_row_range(v, 0, 512)
+    np.testing.assert_array_equal(np.asarray(m), a)
+    # a row-sliced view resolves with the right offset
+    mm2, off2 = mmap_of(m[100:])
+    assert mm2 is mm and off2 == off + 100 * m.strides[0]
+    drop_row_range(m[100:], 0, 50)
     np.testing.assert_array_equal(np.asarray(m), a)
 
 
