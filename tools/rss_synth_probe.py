@@ -1,10 +1,12 @@
 """Stage-by-stage host-RSS anatomy of the COLD synthesis + pyramid path.
 
 The first-ever run on a machine synthesizes the full working set
-(23040x46080 by default) and was measured peaking ~40 GB ru_maxrss in
-the round-5 bench; warm runs (mmap'd caches) peak under 5 GB. This
-probe isolates which stage owns the cold peak so the fix targets the
-right copy. Run with a SCRATCH cache dir so the real caches stay warm:
+(23040x46080 by default); before the round-5 streaming work it peaked
+~40 GB ru_maxrss in the bench. With the banded/spilled cold path
+(data/{synth,loader,mips,pyramids}.py) the measured peaks are ~2.0 GB
+for the synthesis stage and ~2.9 GB for the product-flow pyramid build
+(docs/PERF.md) — this probe regression-checks that. Run with a SCRATCH
+cache dir so the real caches stay warm:
 
     MOONRTX_PLATFORM=cpu MOONRTX_TPU_CACHE=/tmp/rss_probe_cache \
         python tools/rss_synth_probe.py [HxW]
